@@ -1,13 +1,44 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType}
+import graft.chunker.{BatchChunker, ChunkerConfig}
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+
+  /** Flagship: the reference's bread-and-butter workload — a chunked batch
+    * operation over a big table (reference examples/basic.pl:21-31), Spark
+    * style. The adaptive chunk loop walks the lineitem keyspace and each
+    * chunk's aggregate is a pushdown-pruned Spark action; the result is a
+    * per-chunk audit DataFrame (driver smoke-checks rows > 0).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val li = spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+    val bc = new BatchChunker(li, "l_orderkey",
+      ChunkerConfig(chunkSize = BigInt(256), targetTime = 0, sleep = 0,
+        minChunkPercent = 0.5, log = _ => ()))
+    bc.calculateRanges()
+    val perChunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    bc.foreachChunk { chunk =>
+      val r = chunk.agg(
+        min(col("l_orderkey")), max(col("l_orderkey")), count(lit(1)),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
+          .cast(DoubleType)).head()
+      if (!r.isNullAt(0))
+        perChunk += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    }
+    import spark.implicits._
+    perChunk.toSeq.toDF("first_key", "last_key", "n_rows", "revenue")
+  }
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    graft.ops.CoreQueries.queries
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    graft.ops.CoreQueries.oracleSql
 }

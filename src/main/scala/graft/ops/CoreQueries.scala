@@ -1,0 +1,390 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.chunker.{BatchChunker, ChunkerConfig}
+import Tables._
+
+/** The §2 operator catalog: the reference's native operator surface (N*) plus
+  * the relational surface its users push through `stmt`/`rs` (SURVEY.md §2.2),
+  * each as a named query with a DuckDB oracle twin.
+  *
+  * Determinism rules (the driver hash-compares against DuckDB):
+  *  - double SUMs go through per-row DECIMAL casts so addition is exact and
+  *    order-independent, then a final DOUBLE cast for a stable schema;
+  *  - raw per-row double arithmetic is fine (IEEE-identical in both engines);
+  *  - timestamps are output as formatted strings (no tz/encoding ambiguity);
+  *  - every LIMIT carries a total order with a unique tiebreak column.
+  */
+object CoreQueries {
+  private val quiet: String => Unit = _ => ()
+  private def chunkCfg(size: Int) = ChunkerConfig(
+    chunkSize = BigInt(size), targetTime = 0, sleep = 0, minChunkPercent = 0, log = quiet)
+
+  /** N1 range discovery: MIN/MAX over the chunk key via the engine
+    * (reference lib/DBIx/BatchChunker.pm:1019-1093). One column-pruned scan. */
+  def n1RangeMinmax(s: SparkSession, d: String): DataFrame = {
+    val bc = new BatchChunker(orders(s, d), "o_orderkey", chunkCfg(4096))
+    bc.calculateRanges()
+    import s.implicits._
+    Seq((bc.minId.get.toLong, bc.maxId.get.toLong)).toDF("min_id", "max_id")
+  }
+
+  /** N2+N9 chunk loop with count probes, exposed as data: fixed-grid chunk
+    * stats over the orders keyspace (the chunk plan the reference's verbose
+    * mode prints, as a queryable DataFrame). */
+  def n2ChunkStats(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    // Grid from the planner (driver-side, no jobs), densities from ONE
+    // distributed pass. Per-chunk count() probes would be N sequential jobs,
+    // each paying scheduling + fresh codegen for its literals — the histogram
+    // is the shape that survives a 100 TB keyspace (single partial-agg
+    // shuffle of ~range/4096 groups).
+    val bc = new BatchChunker(o, "o_orderkey", chunkCfg(4096), enableCountProbe = false)
+    bc.calculateRanges()
+    val mn = bc.minId.get // capture before the run: execute() writes the resume point back into minId
+    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    bc.foreachRange((st, en) => ranges += ((st.toLong, en.toLong)))
+    val counts = o
+      .groupBy(expr(s"(o_orderkey - ${mn}L) div 4096").as("chunk_idx"))
+      .agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    import s.implicits._
+    ranges.toSeq.zipWithIndex
+      .map { case ((st, en), i) => (i.toLong, st, en, counts.getOrElse(i.toLong, 0L)) }
+      .filter(_._4 > 0)
+      .toDF("chunk_idx", "start_id", "end_id", "cnt")
+  }
+
+  /** N9 count probe over one BETWEEN range (reference lib/DBIx/BatchChunker.pm:1256-1289). */
+  def n9CountProbe(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val bc = new BatchChunker(li, "l_orderkey", chunkCfg(4096))
+    import s.implicits._
+    Seq(li.filter(bc.betweenFilter(BigInt(100), BigInt(1200))).count()).toDF("cnt")
+  }
+
+  /** N4 chunk scan: projection + filter + BETWEEN range — the reference's
+    * canonical workload shape (`SELECT trackid FROM track WHERE position = 1
+    * AND trackid BETWEEN ? AND ?`, t/dbh.t:114-115). */
+  def n4ChunkScan(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_linenumber") === 1 && col("l_orderkey").between(500, 3000))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+
+  /** Filter predicates incl. IN-lists (reference `-in` usage, t/dbic.t:358). */
+  def qFilterIn(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_returnflag").isin("A", "R") &&
+        col("l_linenumber").isin(1, 2) &&
+        col("l_orderkey").between(0, 5000))
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"))
+
+  /** Aggregations: TPC-H Q1-shaped pricing summary (MIN/MAX/COUNT are the
+    * reference's own aggregate surface, t/dbh.t:112-115; SUM/AVG/GROUP BY is
+    * what its users' stmt SQL does). Partial (map-side) aggregation is
+    * automatic in Catalyst — one shuffle of 4 groups, not of 600k rows. */
+  def q1PricingSummary(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_base_price"),
+        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
+          .cast(DoubleType).as("sum_disc_price"),
+        count(lit(1)).as("count_order"))
+
+  /** Join + group + deterministic top-k (TPC-H Q3 shape; the reference's doc
+    * example is an UPDATE-with-JOIN at lib/DBIx/BatchChunker.pm:121-130 and
+    * its tests chain Track->CD->Genre joins, t/one-many.t:30). The orders and
+    * customer sides hash-join; at 100 TB customer-segment is the broadcast
+    * candidate and lineitem never moves except by its join key. */
+  def q3TopOrders(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_mktsegment") === "MACHINERY")
+    val o = orders(s, d)
+    val l = lineitem(s, d)
+    l.join(o, l("l_orderkey") === o("o_orderkey"))
+      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .groupBy(col("o_orderkey"))
+      .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
+        .cast(DoubleType).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  /** One-many rollup via left outer join: order-count histogram per customer
+    * (reference one-many genre rollup, t/one-many.t:29-73). */
+  def qJoinOuterHistogram(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"))
+      .groupBy(col("n_orders"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Semi join: orders having at least one big-quantity lineitem. */
+  def qSemiJoin(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+    val l = lineitem(s, d).filter(col("l_quantity") >= 49)
+    o.join(l, o("o_orderkey") === l("l_orderkey"), "left_semi")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Anti join: customers with no orders, per market segment. */
+  def qAntiJoin(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val o = orders(s, d)
+    c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"))
+  }
+
+  /** Set ops: EXCEPT (distinct) — custkeys that ordered, minus negative-balance customers. */
+  def qSetExcept(s: SparkSession, d: String): DataFrame =
+    orders(s, d).select(col("o_custkey").as("custkey")).distinct()
+      .except(customer(s, d).filter(col("c_acctbal") < 0).select(col("c_custkey").as("custkey")))
+
+  /** Set ops: UNION distinct of two key sets. */
+  def qSetUnion(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").as("nk"))
+      .union(supplier(s, d).select(col("s_nationkey").as("nk")))
+      .distinct()
+
+  /** Window: top-2 orders per customer by price (row_number with unique tiebreak). */
+  def qWindowTopn(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+  }
+
+  /** Window: running per-customer revenue ordered by date (unique tiebreak). */
+  def qWindowRunning(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders(s, d)
+      .filter(col("o_custkey") <= 200)
+      .withColumn("running_spend",
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).over(w).cast(DoubleType))
+      .select(col("o_custkey"), col("o_orderkey"), col("running_spend"))
+  }
+
+  /** Grouping sets: ROLLUP over region -> nation of supplier balances. */
+  def qRollup(s: SparkSession, d: String): DataFrame =
+    supplier(s, d)
+      .join(broadcast(nation(s, d)), col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .rollup(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_supp"),
+        sum(col("s_acctbal").cast(DecimalType(18, 2))).cast(DoubleType).as("total_bal"))
+
+  /** DISTINCT projection. */
+  def qDistinct(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d).select(col("l_returnflag"), col("l_linestatus")).distinct()
+
+  /** Deterministic ORDER BY ... LIMIT top-k (Spark TakeOrderedAndProject —
+    * no global sort, each partition keeps k rows then the driver merges). */
+  def qTopk(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .limit(10)
+
+  /** CASE expression bucketing. */
+  def qCaseBucket(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .withColumn("bal_bucket",
+        when(col("c_acctbal") < 0, "negative")
+          .when(col("c_acctbal") < 5000, "low")
+          .otherwise("high"))
+      .groupBy(col("bal_bucket"))
+      .agg(count(lit(1)).as("n"))
+
+  /** String scalar functions (upper/substring/length/concat). */
+  def qStringFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_partkey") <= 200)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        substring(col("p_name"), 1, 5).as("name5"),
+        length(col("p_name")).as("name_len"),
+        concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"))
+
+  /** Date/time scalar functions + grouping. */
+  def qDateFuncs(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(year(col("o_orderdate")).as("oy"), month(col("o_orderdate")).as("om"))
+      .agg(count(lit(1)).as("n_orders"))
+
+  /** Event-time hourly windowed aggregation over the events stream table —
+    * the batch shape of a Structured Streaming windowed agg (same code runs
+    * under readStream + watermark; see graft.streaming). */
+  def qEventsHourly(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(date_format(col("ts"), "yyyy-MM-dd HH").as("hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
+
+  /** DML surface: chunked DELETE modeled as anti-filter rewrite — parquet has
+    * no in-place delete, so "delete matching rows" = keep the complement
+    * (SURVEY.md §2.2 DML row). Here: purge pre-1995 shipments, then audit
+    * what remains. */
+  def dmlDeleteAntifilter(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(!(col("l_shipdate") < lit("1995-01-01").cast(TimestampType)))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_remaining"))
+
+  /** DML surface: chunked UPDATE modeled as column rewrite (withColumn) —
+    * the reference's canonical example is an UPDATE-with-JOIN
+    * (lib/DBIx/BatchChunker.pm:121-130). Applies a 5% haircut to returned
+    * items and audits the new totals. */
+  def dmlUpdateRewrite(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("new_price",
+        when(col("l_returnflag") === "R", (col("l_extendedprice") * 0.95).cast(DecimalType(18, 4)))
+          .otherwise(col("l_extendedprice").cast(DecimalType(18, 4))))
+      .groupBy(col("l_linestatus"))
+      .agg(sum(col("new_price")).cast(DoubleType).as("total_price"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "n1_range_minmax" -> n1RangeMinmax _,
+    "n2_chunk_stats" -> n2ChunkStats _,
+    "n9_count_probe" -> n9CountProbe _,
+    "n4_chunk_scan" -> (n4ChunkScan _),
+    "q_filter_in" -> (qFilterIn _),
+    "q1_pricing_summary" -> (q1PricingSummary _),
+    "q3_top_orders" -> (q3TopOrders _),
+    "q_join_outer_histogram" -> (qJoinOuterHistogram _),
+    "q_semi_join" -> (qSemiJoin _),
+    "q_anti_join" -> (qAntiJoin _),
+    "q_set_except" -> (qSetExcept _),
+    "q_set_union" -> (qSetUnion _),
+    "q_window_topn" -> (qWindowTopn _),
+    "q_window_running" -> (qWindowRunning _),
+    "q_rollup" -> (qRollup _),
+    "q_distinct" -> (qDistinct _),
+    "q_topk" -> (qTopk _),
+    "q_case_bucket" -> (qCaseBucket _),
+    "q_string_funcs" -> (qStringFuncs _),
+    "q_date_funcs" -> (qDateFuncs _),
+    "q_events_hourly" -> (qEventsHourly _),
+    "dml_delete_antifilter" -> (dmlDeleteAntifilter _),
+    "dml_update_rewrite" -> (dmlUpdateRewrite _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "n1_range_minmax" ->
+      "SELECT CAST(min(o_orderkey) AS BIGINT) AS min_id, CAST(max(o_orderkey) AS BIGINT) AS max_id FROM orders",
+    "n2_chunk_stats" ->
+      """WITH b AS (SELECT min(o_orderkey) AS mn, max(o_orderkey) AS mx FROM orders)
+        |SELECT CAST((o_orderkey - b.mn) // 4096 AS BIGINT) AS chunk_idx,
+        |       CAST(b.mn + ((o_orderkey - b.mn) // 4096) * 4096 AS BIGINT) AS start_id,
+        |       CAST(least(b.mn + ((o_orderkey - b.mn) // 4096) * 4096 + 4095, b.mx) AS BIGINT) AS end_id,
+        |       count(*) AS cnt
+        |FROM orders, b GROUP BY 1, 2, 3""".stripMargin,
+    "n9_count_probe" ->
+      "SELECT count(*) AS cnt FROM lineitem WHERE l_orderkey BETWEEN 100 AND 1200",
+    "n4_chunk_scan" ->
+      "SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice FROM lineitem WHERE l_linenumber = 1 AND l_orderkey BETWEEN 500 AND 3000",
+    "q_filter_in" ->
+      "SELECT l_orderkey, l_linenumber, l_returnflag FROM lineitem WHERE l_returnflag IN ('A','R') AND l_linenumber IN (1,2) AND l_orderkey BETWEEN 0 AND 5000",
+    "q1_pricing_summary" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS sum_disc_price,
+        |       count(*) AS count_order
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+    "q3_top_orders" ->
+      """SELECT o_orderkey,
+        |       CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'MACHINERY'
+        |GROUP BY o_orderkey
+        |ORDER BY revenue DESC, o_orderkey LIMIT 10""".stripMargin,
+    "q_join_outer_histogram" ->
+      """SELECT n_orders, count(*) AS n_customers FROM (
+        |  SELECT c_custkey, count(o_orderkey) AS n_orders
+        |  FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |  GROUP BY c_custkey
+        |) GROUP BY n_orders""".stripMargin,
+    "q_semi_join" ->
+      """SELECT o_orderstatus, count(*) AS n FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey AND l_quantity >= 49)
+        |GROUP BY o_orderstatus""".stripMargin,
+    "q_anti_join" ->
+      """SELECT c_mktsegment, count(*) AS n_customers FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_set_except" ->
+      """SELECT DISTINCT o_custkey AS custkey FROM orders
+        |EXCEPT
+        |SELECT c_custkey AS custkey FROM customer WHERE c_acctbal < 0""".stripMargin,
+    "q_set_union" ->
+      "SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey AS nk FROM supplier",
+    "q_window_topn" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders
+        |) WHERE rn <= 2""".stripMargin,
+    "q_window_running" ->
+      """SELECT o_custkey, o_orderkey,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER (
+        |         PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
+        |FROM orders WHERE o_custkey <= 200""".stripMargin,
+    "q_rollup" ->
+      """SELECT r_name, n_name, count(*) AS n_supp,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY ROLLUP(r_name, n_name)""".stripMargin,
+    "q_distinct" ->
+      "SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem",
+    "q_topk" ->
+      "SELECT o_orderkey, o_totalprice FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10",
+    "q_case_bucket" ->
+      """SELECT CASE WHEN c_acctbal < 0 THEN 'negative'
+        |            WHEN c_acctbal < 5000 THEN 'low'
+        |            ELSE 'high' END AS bal_bucket,
+        |       count(*) AS n
+        |FROM customer GROUP BY 1""".stripMargin,
+    "q_string_funcs" ->
+      """SELECT p_partkey, upper(p_brand) AS brand_u, substr(p_name, 1, 5) AS name5,
+        |       CAST(length(p_name) AS INTEGER) AS name_len,
+        |       p_brand || '#' || p_type AS brand_type
+        |FROM part WHERE p_partkey <= 200""".stripMargin,
+    "q_date_funcs" ->
+      """SELECT CAST(year(o_orderdate) AS INTEGER) AS oy, CAST(month(o_orderdate) AS INTEGER) AS om,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY 1, 2""".stripMargin,
+    "q_events_hourly" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    "dml_delete_antifilter" ->
+      """SELECT l_returnflag, count(*) AS n_remaining FROM lineitem
+        |WHERE NOT (l_shipdate < TIMESTAMP '1995-01-01 00:00:00')
+        |GROUP BY l_returnflag""".stripMargin,
+    "dml_update_rewrite" ->
+      """SELECT l_linestatus,
+        |       CAST(SUM(CASE WHEN l_returnflag = 'R'
+        |                     THEN CAST(l_extendedprice * 0.95 AS DECIMAL(18,4))
+        |                     ELSE CAST(l_extendedprice AS DECIMAL(18,4)) END) AS DOUBLE) AS total_price
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin
+  )
+}

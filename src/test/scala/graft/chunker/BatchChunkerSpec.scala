@@ -1,0 +1,171 @@
+package graft.chunker
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, StructField, StructType, StringType}
+import org.apache.spark.sql.Row
+import graft.SparkTestSession
+import scala.collection.mutable.ArrayBuffer
+
+/** DataFrame-level behavior of the chunk loop: the reference's per-mode
+  * coverage matrix (t/dbic.t, t/dbh.t, t/big-id.t) re-expressed over
+  * DataFrames, plus the real testdata parquet.
+  */
+class BatchChunkerSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val quiet: String => Unit = _ => ()
+  private def cfg0 = ChunkerConfig(sleep = 0, targetTime = 0, log = quiet)
+
+  private def gappyDf = {
+    // track-style gappy ids incl. id 0 (t/lib/CDTest.pm:289-338)
+    val ids = (0L to 20L) ++ (35L to 40L) ++ (100L to 120L)
+    ids.toDF("id")
+  }
+
+  test("calculateRanges discovers min/max over a DataFrame (N1)") {
+    val bc = new BatchChunker(gappyDf, "id", cfg0.copy(chunkSize = 10, minChunkPercent = 0))
+    assert(bc.calculateRanges())
+    assert(bc.minId.contains(BigInt(0)) && bc.maxId.contains(BigInt(120)))
+  }
+
+  test("calculateRanges on an empty DataFrame is false (lib/DBIx/BatchChunker.pm:1076)") {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[Row],
+      StructType(Seq(StructField("id", org.apache.spark.sql.types.LongType))))
+    val bc = new BatchChunker(empty, "id", cfg0.copy(chunkSize = 10))
+    assert(!bc.calculateRanges())
+  }
+
+  test("foreachChunk covers every row exactly once over gappy ids (coverage invariant)") {
+    val bc = new BatchChunker(gappyDf, "id", cfg0.copy(chunkSize = 10, minChunkPercent = 0.5))
+    bc.calculateRanges()
+    var rows = 0L
+    val rpt = bc.foreachChunk(chunk => rows += chunk.count())
+    assert(rows == 48) // 21 + 6 + 21
+    assert(rpt.outcomes.last.chunk.end == 120)
+  }
+
+  test("foreachRow visits each row once; call count == row count (single_rows, t/dbic.t:126)") {
+    val bc = new BatchChunker(gappyDf, "id", cfg0.copy(chunkSize = 10, minChunkPercent = 0.5))
+    bc.calculateRanges()
+    val seen = ArrayBuffer.empty[Long]
+    bc.foreachRow(r => seen += r.getLong(0))
+    assert(seen.size == 48)
+    assert(seen.toSet == ((0L to 20L) ++ (35L to 40L) ++ (100L to 120L)).toSet)
+  }
+
+  test("foreachRow failure restarts the whole chunk (t/dbic.t:461-502)") {
+    val df = (1L to 10L).toDF("id")
+    val bc = new BatchChunker(df, "id", cfg0.copy(chunkSize = 10, minChunkPercent = 0, retryAttempts = 2))
+    bc.calculateRanges()
+    val seen = ArrayBuffer.empty[Long]
+    var failed = false
+    bc.foreachRow { r =>
+      val v = r.getLong(0)
+      if (v == 5 && !failed) { failed = true; throw new RuntimeException("boom mid-chunk") }
+      seen += v
+    }
+    // first attempt saw 1-4, then the chunk restarted and saw all 10
+    assert(seen.size == 14)
+    assert(seen.drop(4).toSeq == (1L to 10L).toSeq)
+  }
+
+  test("runSql substitutes {start}/{end} per chunk (stmt mode, lib/DBIx/BatchChunker.pm:116-131)") {
+    gappyDf.createOrReplaceTempView("gappy_ids")
+    val bc = new BatchChunker(gappyDf, "id", cfg0.copy(chunkSize = 50, minChunkPercent = 0))
+    bc.calculateRanges()
+    var total = 0L
+    bc.runSql(spark, "SELECT * FROM gappy_ids WHERE id BETWEEN {start} AND {end}", d => total += d.count())
+    assert(total == 48)
+  }
+
+  test("foreachRange DIY mode hands out bare ranges (t/dbh.t:201-247)") {
+    val bc = new BatchChunker(gappyDf, "id", cfg0.copy(chunkSize = 25, minChunkPercent = 0))
+    bc.calculateRanges()
+    val ranges = ArrayBuffer.empty[(BigInt, BigInt)]
+    bc.foreachRange((s, e) => ranges += ((s, e)))
+    assert(ranges.head == ((BigInt(0), BigInt(24))))
+    assert(ranges.last._2 == BigInt(120))
+  }
+
+  test("manual min/max skips range discovery (t/dbh.t:249-281)") {
+    val bc = new BatchChunker(gappyDf, "id", cfg0.copy(chunkSize = 10, minChunkPercent = 0))
+    bc.minId = Some(BigInt(100))
+    bc.maxId = Some(BigInt(120))
+    var rows = 0L
+    bc.foreachChunk(c => rows += c.count())
+    assert(rows == 21)
+  }
+
+  test("DecimalType(38,0) ids beyond Long range work end-to-end (t/big-id.t)") {
+    // The reference drives 41-digit ids (arbitrary-precision Perl BigInt);
+    // Spark's DecimalType caps at 38 digits, so 38 digits is this engine's
+    // documented ceiling. Driver-side planner math stays arbitrary-precision.
+    val base = BigInt("9" + "01" * 18) // 37 digits
+    val schema = StructType(Seq(StructField("id", DecimalType(38, 0))))
+    val rows = Seq(base, base + 3, base + 7).map(v => Row(new java.math.BigDecimal(v.bigInteger)))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows), schema)
+    val bc = new BatchChunker(df, "id", cfg0.copy(chunkSize = 5, minChunkPercent = 0.5))
+    assert(bc.calculateRanges())
+    assert(bc.minId.contains(base) && bc.maxId.contains(base + 7))
+    var n = 0L
+    bc.foreachChunk(c => n += c.count())
+    assert(n == 3)
+  }
+
+  test("numeric string ids compare numerically, not lexically (lib/DBIx/BatchChunker.pm:1756-1770)") {
+    // lexical order would put "9" after "100"
+    val df = Seq("9", "10", "100", "101").toDF("id")
+    val bc = new BatchChunker(df, "id", cfg0.copy(chunkSize = 200, minChunkPercent = 0))
+    assert(bc.calculateRanges())
+    assert(bc.minId.contains(BigInt(9)) && bc.maxId.contains(BigInt(101)))
+    var n = 0L
+    bc.foreachChunk(c => n += c.count())
+    assert(n == 4)
+  }
+
+  test("unsupported id column types are rejected at construction (N17 validation)") {
+    val df = Seq(1.5, 2.5).toDF("id")
+    intercept[IllegalArgumentException] { new BatchChunker(df, "id", cfg0.copy(chunkSize = 10)) }
+    intercept[IllegalArgumentException] { new BatchChunker(gappyDf, "nope", cfg0.copy(chunkSize = 10)) }
+  }
+
+  test("constructAndExecute convenience wrapper (N3)") {
+    var rows = 0L
+    val rpt = BatchChunker.constructAndExecute(gappyDf, "id",
+      cfg0.copy(chunkSize = 30, minChunkPercent = 0))(c => rows += c.count())
+    assert(rows == 48 && rpt.finishedRange)
+  }
+
+  test("real parquet: chunked scan over sf0.001 orders matches a direct count") {
+    val orders = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+    val expected = orders.count()
+    val bc = new BatchChunker(orders, "o_orderkey",
+      cfg0.copy(chunkSize = 512, minChunkPercent = 0.5))
+    assert(bc.calculateRanges())
+    var rows = 0L
+    val rpt = bc.foreachChunk(c => rows += c.count())
+    assert(rows == expected)
+    assert(rpt.processed.flatMap(_.count).sum == BigInt(expected))
+  }
+
+  test("between filter on a long id column is pushed down to the parquet scan") {
+    val orders = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+    val bc = new BatchChunker(orders, "o_orderkey", cfg0.copy(chunkSize = 512))
+    val plan = bc.chunkDf(Chunk(BigInt(10), BigInt(500))).queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") &&
+      plan.contains("GreaterThanOrEqual(o_orderkey,10)") &&
+      plan.contains("LessThanOrEqual(o_orderkey,500)"),
+      s"range predicate must reach the scan:\n$plan")
+  }
+
+  test("distributed per-row dispatch processes all rows on executors") {
+    val acc = spark.sparkContext.longAccumulator("rows")
+    val bc = new BatchChunker(gappyDf, "id", cfg0.copy(chunkSize = 25, minChunkPercent = 0))
+    bc.calculateRanges()
+    bc.foreachRowInChunkPartitions(it => it.foreach(_ => acc.add(1)))
+    assert(acc.value == 48)
+  }
+}
