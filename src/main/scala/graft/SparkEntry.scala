@@ -33,12 +33,23 @@ object SparkEntry {
     perChunk.toSeq.toDF("first_key", "last_key", "n_rows", "revenue")
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline extensions (dedup, similarity, text analysis,
+    * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    graft.ops.CoreQueries.queries
+    graft.ops.CoreQueries.queries ++
+      graft.ops.TextAnalysis.queries ++
+      graft.ops.Dedup.queries ++
+      graft.ops.Similarity.queries ++
+      graft.ops.Multimodal.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops (sketches:
+    * minhash/simhash/LSH) — those get the driver's rows-only check. */
   def oracleSql: Map[String, String] =
-    graft.ops.CoreQueries.oracleSql
+    graft.ops.CoreQueries.oracleSql ++
+      graft.ops.TextAnalysis.oracleSql ++
+      graft.ops.Dedup.oracleSql ++
+      graft.ops.Similarity.oracleSql ++
+      graft.ops.Multimodal.oracleSql
 }

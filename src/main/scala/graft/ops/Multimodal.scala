@@ -1,0 +1,92 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Multimodal-column plumbing: media payloads as opaque `binary` columns with
+  * typed metadata, decoded via per-partition batch functions.
+  *
+  * The image/audio codec libraries are not available in this environment, so
+  * the decode step is a clearly-marked deterministic STUB; everything around
+  * it — binary schema, partition-batched invocation, metadata struct shape,
+  * and the expression-only fast path — is real Spark plumbing, tested and
+  * oracled. Swap [[decodeStub]] for a real codec and nothing else changes.
+  */
+object Multimodal {
+
+  /** Decoded-media metadata. In production this comes from the codec. */
+  final case class MediaMeta(width: Int, height: Int, nFrames: Int, kind: String)
+
+  /** STUB decode: deterministic fake metadata derived from the payload bytes.
+    * Replace with a real decoder (e.g. javax.imageio / ffmpeg bindings); the
+    * signature — bytes in, typed meta out, called once per row inside a
+    * partition batch — is the production shape. */
+  def decodeStub(payload: Array[Byte]): MediaMeta = {
+    val n = payload.length
+    MediaMeta(
+      width = n % 640,
+      height = (n * 31) % 480,
+      nFrames = n % 30,
+      kind = (n % 3) match { case 0 => "image"; case 1 => "audio"; case _ => "video" })
+  }
+
+  private val mediaSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("n_bytes", IntegerType),
+    StructField("width", IntegerType),
+    StructField("height", IntegerType),
+    StructField("n_frames", IntegerType),
+    StructField("kind", StringType)))
+
+  /** Partition-batched decode over a binary payload column: the executor-side
+    * loop a real codec would run (one JNI/library context per partition, not
+    * per row). `mapPartitions` is justified here — a codec is per-partition
+    * imperative logic no built-in expression can express. */
+  def withDecodedMeta(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val rdd = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .rdd.mapPartitions { rows =>
+        // per-partition: a real implementation would open the codec once here
+        rows.map { r =>
+          val id = r.getLong(0)
+          val bytes = r.getAs[Array[Byte]](1)
+          val m = decodeStub(bytes)
+          Row(id, bytes.length, m.width, m.height, m.nFrames, m.kind)
+        }
+      }
+    spark.createDataFrame(rdd, mediaSchema)
+  }
+
+  /** Catalog query: treat each document's utf8 bytes as a fake media payload
+    * and extract stub metadata. Uses the expression-only path (codegen'd,
+    * no RDD) — bit-identical to [[withDecodedMeta]], proven by a test. */
+  def multimodalMeta(s: SparkSession, d: String): DataFrame = {
+    val nBytes = expr("octet_length(text)")
+    documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(
+        col("doc_id"),
+        nBytes.as("n_bytes"),
+        (nBytes % 640).as("width"),
+        ((nBytes * 31) % 480).as("height"),
+        (nBytes % 30).as("n_frames"),
+        when(nBytes % 3 === 0, "image").when(nBytes % 3 === 1, "audio").otherwise("video").as("kind"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_multimodal_meta" -> (multimodalMeta _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x_multimodal_meta" ->
+      """SELECT doc_id,
+        |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |       CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |       CAST((octet_length(encode(text)) * 31) % 480 AS INTEGER) AS height,
+        |       CAST(octet_length(encode(text)) % 30 AS INTEGER) AS n_frames,
+        |       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |FROM documents WHERE doc_id < 300""".stripMargin
+  )
+}

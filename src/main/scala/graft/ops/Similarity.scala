@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Similarity search over the embeddings table (`Array[Float]`, dim 64):
+  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
+  * LSH-bucketed variant as the scale path.
+  *
+  * Numeric discipline: floats are cast to double BEFORE any arithmetic and
+  * every reduction is an explicit left fold (`aggregate(zip_with(...))`), so
+  * the result is bit-identical to any engine that folds left in float64 —
+  * which is what makes the DuckDB `list_dot_product` oracle exact, not
+  * approximate.
+  *
+  * At 100 TB: brute force is O(Q*N*dim) — correct but only for reranking;
+  * the LSH variant buckets vectors once (one narrow shuffle on bucket id)
+  * and joins within buckets, trading recall for a ~2^bits candidate
+  * reduction. An IVF variant would swap the bucket function for k-means
+  * centroid assignment; the join shape is identical.
+  */
+object Similarity {
+
+  /** Explicit left-fold dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
+
+  private def vectors(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+
+  /** Exact cosine top-3 neighbors for the first 50 query vectors. */
+  def annBruteforce(s: SparkSession, d: String): DataFrame = {
+    val all = vectors(s, d)
+    val q = all.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = q.join(broadcast(all), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("nn_id"), col("rnk"), col("sim"))
+  }
+
+  private val PLANES = 6
+
+  /** Deterministic pseudo-random hyperplanes (no RNG at query time: weights
+    * derive from a splitmix-style integer mix of (plane, dim)). */
+  private[ops] def planeWeights(dim: Int): Array[Array[Double]] =
+    Array.tabulate(PLANES, dim) { (p, j) =>
+      var z = p.toLong * 64 + j + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z = z ^ (z >>> 31)
+      (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+    }
+
+  /** LSH-bucketed approximate top-1 neighbor: 6 sign bits -> bucket id;
+    * candidates are same-bucket pairs only. Output is (q_id, nn_id, sim)
+    * for queries that found any same-bucket candidate — recall < 1 by
+    * design, deterministic by construction. */
+  def annLsh(s: SparkSession, d: String): DataFrame = {
+    val planes = planeWeights(64)
+    val all = vectors(s, d)
+    val bucketBits = planes.zipWithIndex.map { case (w, p) =>
+      val wc = typedLit(w.toSeq)
+      when(dot(col("v"), wc) > 0, lit(1L << p)).otherwise(lit(0L))
+    }.reduce(_ + _)
+    val bucketed = all.withColumn("bucket", bucketBits)
+    val q = bucketed.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
+    val pairs = q.join(bucketed, Seq("bucket"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("nn_id"), col("sim"))
+  }
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_ann_bruteforce" -> (annBruteforce _),
+    "x_ann_lsh" -> (annLsh _)
+  )
+
+  /** The LSH variant's bucket function (xxhash-mixed planes) is not
+    * reproducible in DuckDB SQL; rows-only check. Brute force is exactly
+    * oracled thanks to the left-fold discipline. */
+  val oracleSql: Map[String, String] = Map(
+    "x_ann_bruteforce" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM t),
+        |p AS (SELECT a.vec_id AS q_id, b.vec_id AS nn_id,
+        |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+        |      FROM n a, n b WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id),
+        |r AS (SELECT q_id, nn_id, sim,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rnk
+        |      FROM p)
+        |SELECT q_id, nn_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin
+  )
+}

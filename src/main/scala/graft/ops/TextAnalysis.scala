@@ -1,0 +1,136 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import Tables._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (BASELINE.json north star): language-ID, quality scoring, token counting,
+  * document fingerprinting. All pure `functions._` column expressions —
+  * whole-stage-codegen'd, no UDFs, embarrassingly parallel over document
+  * partitions (no shuffle except the final small aggregate).
+  */
+object TextAnalysis {
+
+  /** Tokens = maximal runs of non-whitespace (a BPE-ish regex split would
+    * swap the pattern here; the shape is identical). */
+  def tokensCol(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
+  def tokenCountCol(text: Column): Column = size(tokensCol(text))
+
+  /** Occurrences of `marker` in `text` via the replace-length trick — exact,
+    * codegen-friendly, and expressible identically in any SQL dialect.
+    * Plain (non-regex) replace: markers are literals. */
+  def occurrences(text: Column, marker: String): Column =
+    (length(text) - length(call_function("replace", text, lit(marker))))
+      ./(lit(marker.length)).cast("int")
+
+  /** Per-language token totals. */
+  def tokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountCol(col("text"))).as("total_tokens"))
+
+  /** Per-document quality metrics: length, alphabetic ratio, stopword ratio,
+    * and a bucketed verdict — the standard cheap pre-filter before expensive
+    * pipeline stages. */
+  def qualityScore(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    val nChars = length(txt)
+    val nAlpha = length(txt) - length(regexp_replace(txt, "[a-z]", ""))
+    val nTokens = tokenCountCol(txt)
+    val nStop = occurrences(concat(lit(" "), txt, lit(" ")), " the ") +
+      occurrences(concat(lit(" "), txt, lit(" ")), " a ")
+    documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(
+        col("doc_id"),
+        nChars.as("n_chars_txt"),
+        nTokens.as("n_tokens"),
+        (nAlpha.cast("double") / nChars).as("alpha_ratio"),
+        (nStop.cast("double") / nTokens).as("stopword_ratio"),
+        when(nTokens < 10, "too_short")
+          .when(nAlpha.cast("double") / nChars < 0.5, "low_alpha")
+          .otherwise("ok").as("quality"))
+  }
+
+  private val langMarkers: Seq[(String, String)] = Seq(
+    "en" -> " the ", "de" -> " der ", "fr" -> " le ", "es" -> " el ", "zh" -> "的")
+
+  /** N-gram-marker language ID: count language-specific marker substrings,
+    * argmax with a fixed priority for ties, 'und' when nothing matched.
+    * Output compares prediction against the labeled lang column (a confusion
+    * summary), which verifies the whole formula end-to-end. */
+  def langId(s: SparkSession, d: String): DataFrame = {
+    val padded = concat(lit(" "), lower(col("text")), lit(" "))
+    val counts = langMarkers.map { case (l, m) => l -> occurrences(padded, m) }
+    val maxCount = greatest(counts.map(_._2): _*)
+    val predicted = when(maxCount === 0, "und")
+      .otherwise(counts.foldRight(lit("und")) { case ((l, c), acc) =>
+        when(c === maxCount, l).otherwise(acc)
+      })
+    documents(s, d)
+      .select(col("lang"), predicted.as("predicted"))
+      .groupBy(col("lang"), col("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Document fingerprint: md5 over whitespace-normalized lowercased text —
+    * the canonical-form hash used for exact dedup across formatting variants. */
+  def fingerprintCol(text: Column): Column =
+    md5(lower(regexp_replace(text, "\\s+", " ")))
+
+  def fingerprint(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(fingerprintCol(col("text"))).as("n_unique"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_token_count" -> (tokenCount _),
+    "x_quality_score" -> (qualityScore _),
+    "x_lang_id" -> (langId _),
+    "x_fingerprint" -> (fingerprint _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "x_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
+    "x_quality_score" ->
+      """SELECT doc_id,
+        |       CAST(length(text) AS INTEGER) AS n_chars_txt,
+        |       CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens,
+        |       CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE) / length(text) AS alpha_ratio,
+        |       CAST((length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' the ', ''))) // length(' the ')
+        |          + (length(' ' || text || ' ') - length(replace(' ' || text || ' ', ' a ', ''))) // length(' a ') AS DOUBLE)
+        |         / len(regexp_extract_all(text, '\S+')) AS stopword_ratio,
+        |       CASE WHEN len(regexp_extract_all(text, '\S+')) < 10 THEN 'too_short'
+        |            WHEN CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE) / length(text) < 0.5 THEN 'low_alpha'
+        |            ELSE 'ok' END AS quality
+        |FROM documents WHERE doc_id < 200""".stripMargin,
+    "x_lang_id" ->
+      """WITH c AS (
+        |  SELECT lang,
+        |    (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' the ', ''))) // length(' the ') AS c_en,
+        |    (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' der ', ''))) // length(' der ') AS c_de,
+        |    (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' le ', ''))) // length(' le ') AS c_fr,
+        |    (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', ' el ', ''))) // length(' el ') AS c_es,
+        |    (length(' ' || lower(text) || ' ') - length(replace(' ' || lower(text) || ' ', '的', ''))) // length('的') AS c_zh
+        |  FROM documents)
+        |SELECT lang,
+        |       CASE WHEN greatest(c_en, c_de, c_fr, c_es, c_zh) = 0 THEN 'und'
+        |            WHEN c_en = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'en'
+        |            WHEN c_de = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'de'
+        |            WHEN c_fr = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'fr'
+        |            WHEN c_es = greatest(c_en, c_de, c_fr, c_es, c_zh) THEN 'es'
+        |            ELSE 'zh' END AS predicted,
+        |       count(*) AS n
+        |FROM c GROUP BY 1, 2""".stripMargin,
+    "x_fingerprint" ->
+      """SELECT source, count(*) AS n_docs,
+        |       count(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_unique
+        |FROM documents GROUP BY source""".stripMargin
+  )
+}

@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Behavioral checks for the pipeline extension operators (dedup, similarity,
+  * text analysis, multimodal) beyond the driver's DuckDB oracle: semantic
+  * properties the oracle can't express (sketch recall, stub/expression
+  * equivalence, known-answer fixtures).
+  */
+class ExtensionOpsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sfDir = SparkTestSession.sfDir
+
+  test("exact dedup counts duplicates (known-answer fixture)") {
+    val df = Seq(
+      (1L, "alpha beta gamma", "en", "web", 16L),
+      (2L, "alpha beta gamma", "en", "web", 16L),
+      (3L, "something else entirely", "en", "web", 23L)
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    df.createOrReplaceTempView("ext_fixture_docs")
+    val stats = df.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"), countDistinct(md5(col("text"))).as("u"))
+      .head()
+    assert(stats.getLong(1) == 3 && stats.getLong(2) == 2)
+  }
+
+  test("minhash LSH finds exact and near duplicates, skips unrelated docs") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 58).map(i => s"tok$i").mkString(" ") + " xnova ynova"
+    val other = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    val docs = Seq(
+      (10L, base), (11L, base), (12L, near), (20L, other)
+    ).toDF("doc_id", "text")
+    // route through the same machinery as the catalog query via a temp dir
+    val dir = java.nio.file.Files.createTempDirectory("mh").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.dedupMinhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toList
+    assert(pairs.exists { case (a, b, e) => a == 10 && b == 11 && e == 1.0 }, s"exact dup pair missing: $pairs")
+    assert(pairs.exists { case (a, b, e) => Set(a, b).subsetOf(Set(10L, 11L, 12L)) && a == 10 && b == 12 && e > 0.6 },
+      s"near dup pair missing: $pairs")
+    assert(!pairs.exists { case (a, b, _) => a == 20 || b == 20 }, s"unrelated doc paired: $pairs")
+  }
+
+  test("simhash: identical docs hamming 0, unrelated docs never within threshold") {
+    val base = (1 to 40).map(i => s"w$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, base), (3L, (1 to 40).map(i => s"q${i}x").mkString(" ")))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("sh").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = Dedup.dedupSimhash(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toList
+    assert(pairs.contains((1L, 2L, 0)), s"identical pair should have hamming 0: $pairs")
+  }
+
+  test("brute-force ANN: an exact duplicate vector is its own top-1 neighbor with sim ~ 1") {
+    val top1 = Similarity.annBruteforce(spark, sfDir)
+      .filter(col("rnk") === 1).collect()
+    assert(top1.length == 50)
+    // planted duplicate embeddings exist in the testdata; at minimum cosine is in [-1, 1]
+    top1.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0 + 1e-12))
+  }
+
+  test("LSH ANN agrees with brute force on returned queries (same-bucket top-1 is a true neighbor)") {
+    val bf = Similarity.annBruteforce(spark, sfDir)
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val lsh = Similarity.annLsh(spark, sfDir)
+      .filter(col("q_id") < 50).collect()
+    lsh.foreach { r =>
+      val q = r.getLong(0); val sim = r.getDouble(2)
+      bf.get(q).foreach(best => assert(sim <= best + 1e-12, s"LSH sim beats exact best for q=$q"))
+    }
+  }
+
+  test("multimodal: mapPartitions stub decode == expression-only fast path") {
+    val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 300)
+    val viaRdd = Multimodal.withDecodedMeta(docs, "doc_id", "text")
+      .orderBy("doc_id").collect().toSeq
+    val viaExpr = Multimodal.multimodalMeta(spark, sfDir)
+      .orderBy("doc_id").collect().toSeq
+    assert(viaRdd.map(_.toSeq) == viaExpr.map(_.toSeq))
+  }
+
+  test("token count handles multi-space and empty-ish text") {
+    val df = Seq((1L, "a  b   c"), (2L, "single"), (3L, "  padded  ")).toDF("doc_id", "text")
+    val counts = df.select(col("doc_id"), TextAnalysis.tokenCountCol(col("text")).as("n"))
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(counts == Map(1L -> 3, 2L -> 1, 3L -> 1))
+  }
+
+  test("language id picks the marker-majority language deterministically") {
+    val df = Seq(
+      (1L, "the cat sat on the mat", "en"),
+      (2L, "der hund und der mann", "de"),
+      (3L, "xyz abc qqq", "zz")
+    ).toDF("doc_id", "text", "lang")
+    val dir = java.nio.file.Files.createTempDirectory("li").toString
+    df.withColumn("source", lit("t")).withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.langId(spark, dir)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(out.contains(("en", "en")) && out.contains(("de", "de")) && out.contains(("zz", "und")))
+  }
+}
