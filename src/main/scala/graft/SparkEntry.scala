@@ -38,6 +38,7 @@ object SparkEntry {
     * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.ops.CoreQueries.queries ++
+      graft.ops.MoreQueries.queries ++
       graft.ops.TextAnalysis.queries ++
       graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++
@@ -48,6 +49,7 @@ object SparkEntry {
     * minhash/simhash/LSH) — those get the driver's rows-only check. */
   def oracleSql: Map[String, String] =
     graft.ops.CoreQueries.oracleSql ++
+      graft.ops.MoreQueries.oracleSql ++
       graft.ops.TextAnalysis.oracleSql ++
       graft.ops.Dedup.oracleSql ++
       graft.ops.Similarity.oracleSql ++

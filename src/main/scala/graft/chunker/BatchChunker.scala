@@ -126,6 +126,11 @@ final class BatchChunker(
   def foreachChunk(f: DataFrame => Unit): ExecutionReport =
     engine.execute(c => f(chunkDf(c)))
 
+  /** Like [[foreachChunk]] but also hands the callback the chunk bounds —
+    * needed by sinks that key their output by range (see ChunkedRewrite). */
+  def foreachChunkWithRange(f: (Chunk, DataFrame) => Unit): ExecutionReport =
+    engine.execute(c => f(c, chunkDf(c)))
+
   /** N7 `single_rows`: rows fetched to the driver one chunk at a time, the
     * callback invoked per row. A mid-chunk failure rethrows and the retry
     * wrapper restarts the WHOLE chunk (parity with the per-chunk transaction,

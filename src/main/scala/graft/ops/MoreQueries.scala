@@ -1,0 +1,155 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Second tranche of the delegated relational surface (SURVEY.md §2.2):
+  * grouping sets beyond rollup, UNION ALL, HAVING, scalar subqueries,
+  * multi-way joins, math/string scalar functions, null handling, and the
+  * batch twin of the streaming hourly aggregation (shared body with
+  * graft.streaming.EventStream — batch/stream parity by construction).
+  */
+object MoreQueries {
+
+  /** CUBE grouping sets over order status x priority. */
+  def qCube(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"))
+
+  /** UNION ALL (bag semantics, vs the distinct set ops in CoreQueries). */
+  def qUnionAll(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).select(lit("customer").as("src"), col("c_custkey").as("key"))
+    val o = orders(s, d).filter(col("o_orderkey") < 1000)
+      .select(lit("order").as("src"), col("o_orderkey").as("key"))
+    c.unionAll(o).groupBy(col("src")).agg(count(lit(1)).as("n"), sum(col("key")).as("key_sum"))
+  }
+
+  /** GROUP BY ... HAVING. */
+  def qHaving(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_orders"))
+      .filter(col("n_orders") >= 20)
+
+  /** Uncorrelated scalar subquery (exact aggregate, so cross-engine safe). */
+  def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
+    val maxSupp = supplier(s, d).agg(max(col("s_acctbal"))).head().getDouble(0)
+    customer(s, d)
+      .filter(col("c_acctbal") > maxSupp)
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n"))
+  }
+
+  /** Four-way broadcast-chained join: region -> nation -> supplier -> counts. */
+  def qJoinFourWay(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_cust"),
+        sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType).as("bal"))
+
+  /** Math scalar functions (only exactly-defined ones: no cross-engine
+    * rounding-mode roulette). */
+  def qMathFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_partkey") <= 300)
+      .select(
+        col("p_partkey"),
+        abs(col("p_retailprice") * -1).as("abs_price"),
+        floor(col("p_retailprice")).as("floor_price"),
+        ceil(col("p_retailprice")).as("ceil_price"),
+        sqrt(col("p_size").cast(DoubleType)).as("sqrt_size"),
+        (col("p_partkey") % 7).as("key_mod7"),
+        pow(lit(2.0), col("p_size") % 10).as("pow2"))
+
+  /** More string functions: trim/pad/replace/reverse/position. */
+  def qStringFuncs2(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_partkey") <= 300)
+      .select(
+        col("p_partkey"),
+        trim(col("p_name")).as("name_trim"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        regexp_replace(col("p_type"), " ", "_").as("type_us"),
+        reverse(col("p_brand")).as("brand_rev"),
+        instr(col("p_type"), "a").as("a_pos"))
+
+  /** NULL handling: nullif/coalesce/null-safe grouping. */
+  def qNullHandling(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .select(coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status_x"))
+      .groupBy(col("status_x"))
+      .agg(count(lit(1)).as("n"))
+
+  /** Batch twin of the streaming hourly window aggregation — the exact same
+    * transformation body as graft.streaming.EventStream.hourlyAgg, proving
+    * the logical query is mode-agnostic. */
+  def qStreamHourlyParity(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStream.hourlyAgg(events(s, d))
+      .select(date_format(col("window_start"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"), col("n"), col("total_value"))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_cube" -> (qCube _),
+    "q_union_all" -> (qUnionAll _),
+    "q_having" -> (qHaving _),
+    "q_scalar_subquery" -> (qScalarSubquery _),
+    "q_join_four_way" -> (qJoinFourWay _),
+    "q_math_funcs" -> (qMathFuncs _),
+    "q_string_funcs2" -> (qStringFuncs2 _),
+    "q_null_handling" -> (qNullHandling _),
+    "q_stream_hourly_parity" -> (qStreamHourlyParity _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_cube" ->
+      "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
+    "q_union_all" ->
+      """SELECT src, count(*) AS n, CAST(SUM(key) AS BIGINT) AS key_sum FROM (
+        |  SELECT 'customer' AS src, c_custkey AS key FROM customer
+        |  UNION ALL
+        |  SELECT 'order' AS src, o_orderkey AS key FROM orders WHERE o_orderkey < 1000
+        |) GROUP BY src""".stripMargin,
+    "q_having" ->
+      "SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey HAVING count(*) >= 20",
+    "q_scalar_subquery" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer
+        |WHERE c_acctbal > (SELECT max(s_acctbal) FROM supplier)
+        |GROUP BY c_mktsegment""".stripMargin,
+    "q_join_four_way" ->
+      """SELECT r_name, n_name, count(*) AS n_cust,
+        |       CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+        |FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+    "q_math_funcs" ->
+      """SELECT p_partkey,
+        |       abs(p_retailprice * -1) AS abs_price,
+        |       CAST(floor(p_retailprice) AS BIGINT) AS floor_price,
+        |       CAST(ceil(p_retailprice) AS BIGINT) AS ceil_price,
+        |       sqrt(CAST(p_size AS DOUBLE)) AS sqrt_size,
+        |       CAST(p_partkey % 7 AS BIGINT) AS key_mod7,
+        |       pow(2.0, p_size % 10) AS pow2
+        |FROM part WHERE p_partkey <= 300""".stripMargin,
+    "q_string_funcs2" ->
+      """SELECT p_partkey,
+        |       trim(p_name) AS name_trim,
+        |       lpad(p_brand, 12, '*') AS brand_pad,
+        |       replace(p_type, ' ', '_') AS type_us,
+        |       reverse(p_brand) AS brand_rev,
+        |       CAST(strpos(p_type, 'a') AS INTEGER) AS a_pos
+        |FROM part WHERE p_partkey <= 300""".stripMargin,
+    "q_null_handling" ->
+      """SELECT coalesce(nullif(o_orderstatus, 'O'), 'open') AS status_x, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+    "q_stream_hourly_parity" ->
+      """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |FROM events GROUP BY 1, 2""".stripMargin
+  )
+}

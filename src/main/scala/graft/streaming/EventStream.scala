@@ -1,0 +1,103 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Structured Streaming surface over the events table: the same
+  * transformations the batch catalog runs (CoreQueries.qEventsHourly),
+  * expressed as streaming queries — `readStream` → watermark → windowed agg →
+  * `writeStream`, plus custom sessionization state via
+  * `flatMapGroupsWithState`.
+  *
+  * The reference has no streaming surface (SURVEY.md §1.1: time appears only
+  * as wall-clock instrumentation); this module is part of the pipeline
+  * extension mandate. Batch/stream parity is by construction: the windowed
+  * aggregation body is shared, so one logical query runs in either mode —
+  * Spark's unified Dataset API at work.
+  */
+object EventStream {
+
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType)))
+
+  /** File-based event stream: at scale this is the parquet/Kafka drop
+    * directory; each micro-batch picks up newly-landed files. */
+  def readEventStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Hourly tumbling-window counts/sums with a 2h watermark: late events
+    * within the watermark update their window, older ones are dropped —
+    * bounded state however long the stream runs. Works identically on a
+    * batch DataFrame (then the watermark is a no-op). */
+  def hourlyAgg(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "2 hours")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
+
+  final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
+  final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
+  final case class SessionOutput(user_id: Long, n_events: Long, duration_sec: Double)
+
+  private val SessionGapMs: Long = 30 * 60 * 1000L
+
+  /** Custom per-user sessionization via flatMapGroupsWithState with
+    * EVENT-time timeouts: a session closes after 30 minutes of event-time
+    * inactivity, detected either by a later event from the same user (gap
+    * split) or by the watermark passing the session's deadline (timeout).
+    *
+    * Event time, not processing time, on purpose: results are deterministic
+    * and replayable from the log (a backfill produces identical sessions),
+    * and the engine only runs batches when data/watermark move — a
+    * processing-time timeout forces continuous empty micro-batches. State is
+    * a few longs per ACTIVE user: O(active users), not O(events).
+    *
+    * Input must carry a watermark on `ts` (see the spec for the standard
+    * `withWatermark("ts", ...)` wiring).
+    */
+  def sessionize(events: Dataset[SessionInput]): Dataset[SessionOutput] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOutput](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[SessionInput], state: GroupState[SessionState]) =>
+          def close(s: SessionState): SessionOutput =
+            SessionOutput(userId, s.nEvents, (s.lastTs - s.firstTs) / 1000.0)
+
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(close(s))
+          } else {
+            val closed = List.newBuilder[SessionOutput]
+            var current = state.getOption
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              current match {
+                case Some(s) if t - s.lastTs > SessionGapMs =>
+                  closed += close(s)
+                  current = Some(SessionState(1, t, t))
+                case Some(s) =>
+                  current = Some(SessionState(s.nEvents + 1, s.firstTs min t, s.lastTs max t))
+                case None =>
+                  current = Some(SessionState(1, t, t))
+              }
+            }
+            current.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.lastTs + SessionGapMs)
+            }
+            closed.result().iterator
+          }
+      }
+  }
+}

@@ -1,0 +1,68 @@
+package graft.chunker
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Chunked copy-on-write DML: the reference's UPDATE/DELETE workload shape
+  * over immutable parquet, with idempotent per-chunk retry.
+  */
+class ChunkedRewriteSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val quiet: String => Unit = _ => ()
+  private def cfg0 = ChunkerConfig(chunkSize = 25, sleep = 0, targetTime = 0,
+    minChunkPercent = 0, log = quiet)
+
+  test("chunked DELETE (anti-filter rewrite) equals the batch filter") {
+    val dir = java.nio.file.Files.createTempDirectory("cow-del").toString
+    val src = (1L to 100L).map(i => (i, i % 7)).toDF("id", "v")
+    src.write.mode("overwrite").parquet(s"$dir/src")
+    val table = spark.read.parquet(s"$dir/src")
+
+    ChunkedRewrite.rewrite(table, "id", cfg0, s"$dir/out")(_.filter(col("v") =!= 0))
+    val result = ChunkedRewrite.readBack(spark, s"$dir/out")
+    val expected = table.filter(col("v") =!= 0)
+    assert(result.count() == expected.count())
+    assert(result.select(sum(col("id"))).head().getLong(0) ==
+      expected.select(sum(col("id"))).head().getLong(0))
+  }
+
+  test("chunked UPDATE (column rewrite) equals the batch rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("cow-upd").toString
+    val src = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "price")
+    src.write.mode("overwrite").parquet(s"$dir/src")
+    val table = spark.read.parquet(s"$dir/src")
+
+    ChunkedRewrite.rewrite(table, "id", cfg0, s"$dir/out") { chunk =>
+      chunk.withColumn("price", when(col("id") % 2 === 0, col("price") * 2).otherwise(col("price")))
+    }
+    val result = ChunkedRewrite.readBack(spark, s"$dir/out")
+    val expectedSum = (1L to 100L).map(i => if (i % 2 == 0) i * 2.0 else i.toDouble).sum
+    assert(result.select(sum(col("price"))).head().getDouble(0) == expectedSum)
+    assert(result.count() == 100)
+  }
+
+  test("a failed chunk retries and overwrites its own output idempotently") {
+    val dir = java.nio.file.Files.createTempDirectory("cow-retry").toString
+    val src = (1L to 100L).toDF("id")
+    src.write.mode("overwrite").parquet(s"$dir/src")
+    val table = spark.read.parquet(s"$dir/src")
+
+    var failedOnce = false
+    val rpt = ChunkedRewrite.rewrite(table, "id",
+      cfg0.copy(retryAttempts = 2), s"$dir/out") { chunk =>
+      // fail the chunk containing id 30 AFTER its write would have happened:
+      // simulate by throwing on first encounter, forcing a re-dispatch
+      val hit = chunk.filter(col("id") === 30).count() > 0
+      if (hit && !failedOnce) { failedOnce = true; throw new RuntimeException("transient sink failure") }
+      chunk
+    }
+    assert(failedOnce)
+    assert(rpt.processed.size == 4)
+    val result = ChunkedRewrite.readBack(spark, s"$dir/out")
+    assert(result.count() == 100) // no loss, no duplication
+    assert(result.select(countDistinct(col("id"))).head().getLong(0) == 100)
+  }
+}

@@ -1,0 +1,82 @@
+package graft.streaming
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.SparkTestSession
+
+/** Streaming surface: windowed aggregation parity with batch, and custom
+  * sessionization state. Driven through MemoryStream micro-batches — the
+  * standard Structured Streaming test harness.
+  */
+class EventStreamSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+
+  private def ts(minute: Int): java.sql.Timestamp =
+    java.sql.Timestamp.valueOf(f"2026-01-01 10:$minute%02d:00")
+
+  test("streaming hourly aggregation over micro-batches equals the batch result") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+
+    val query = EventStream.hourlyAgg(events).writeStream
+      .format("memory").queryName("hourly_test").outputMode("complete").start()
+    try {
+      input.addData((1L, ts(5), 1L, "click", 1.5), (2L, ts(10), 2L, "view", 2.0))
+      query.processAllAvailable()
+      input.addData((3L, ts(20), 1L, "click", 3.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("hourly_test")
+        .select(col("event_type"), col("n"), col("total_value")).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(streamed == Set(("click", 2L, 4.5), ("view", 1L, 2.0)))
+    } finally query.stop()
+  }
+
+  test("the same hourlyAgg body runs in batch mode (mode-agnostic logical query)") {
+    import spark.implicits._
+    val batch = Seq(
+      (1L, ts(5), 1L, "click", 1.5), (2L, ts(10), 2L, "view", 2.0), (3L, ts(20), 1L, "click", 3.0)
+    ).toDF("event_id", "ts", "user_id", "event_type", "value")
+    val out = EventStream.hourlyAgg(batch)
+      .select(col("event_type"), col("n"), col("total_value")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(out == Set(("click", 2L, 4.5), ("view", 1L, 2.0)))
+  }
+
+  test("event-time sessionization: gap splits and watermark timeouts close sessions deterministically") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[EventStream.SessionInput]
+    val withWm = input.toDS().withWatermark("ts", "10 minutes")
+    val query = EventStream.sessionize(withWm).writeStream
+      .format("memory").queryName("session_test").outputMode("append").start()
+    try {
+      // batch 1: user 1 has two events 10 min apart; user 2 has one event
+      input.addData(
+        EventStream.SessionInput(1L, ts(0), "click"),
+        EventStream.SessionInput(1L, ts(10), "view"),
+        EventStream.SessionInput(2L, ts(5), "click"))
+      query.processAllAvailable()
+      assert(spark.table("session_test").count() == 0) // all sessions still open
+
+      // batch 2: user 1 comes back 110 min later -> gap split closes session 1
+      // and the watermark (12:00 - 10min) passes user 2's 10:35 deadline
+      input.addData(EventStream.SessionInput(1L,
+        java.sql.Timestamp.valueOf("2026-01-01 12:00:00"), "click"))
+      query.processAllAvailable()
+      // nudge batch so the just-advanced watermark fires user 2's timeout
+      input.addData(EventStream.SessionInput(3L,
+        java.sql.Timestamp.valueOf("2026-01-01 12:01:00"), "click"))
+      query.processAllAvailable()
+
+      val sessions = spark.table("session_test").as[EventStream.SessionOutput]
+        .collect().map(s => (s.user_id, s.n_events, s.duration_sec)).toSet
+      assert(sessions.contains((1L, 2L, 600.0)), s"gap-split session missing: $sessions") // 10:00-10:10
+      assert(sessions.contains((2L, 1L, 0.0)), s"timeout session missing: $sessions")
+    } finally query.stop()
+  }
+}
