@@ -326,7 +326,10 @@ final class ChunkEngine(
   }
 
   /** Per-chunk status line, equivalent of `_print_chunk_status`
-    * (lib/DBIx/BatchChunker.pm:1681-1745). */
+    * (lib/DBIx/BatchChunker.pm:1681-1745), extended with the progress-bar
+    * information the reference renders via Term::ProgressBar
+    * (`_increment_progress`, lib/DBIx/BatchChunker.pm:1663-1671): percent of
+    * the id-space covered (`so_far = end - min_id + 1`) and a linear ETA. */
   private def printChunkStatus(ls: LoopState, action: String): Unit = {
     if (!cfg.verbose) return
     val countStr = ls.chunkCount.map(c => intFmt.format(c)).getOrElse("?")
@@ -337,7 +340,15 @@ final class ChunkEngine(
       case "processed" => f"${ls.prevRuntime.getOrElse(0.0)}%.2f sec runtime"
       case _           => ""
     }
-    cfg.log(s"IDs ${intFmt.format(ls.start.getOrElse(BigInt(0)))} to ${intFmt.format(ls.end)} " +
-      s"$action, $countStr rows found ($pctStr of chunk size) $rt".trim)
+    val progress = (for { mn <- minId; mx <- maxId } yield {
+      val total = BigDecimal(mx - mn + 1)
+      val soFar = BigDecimal((ls.end - mn + 1).min(mx - mn + 1)).max(0)
+      val frac = (soFar / total).toDouble
+      val elapsed = clock.now() - ls.totalTimer
+      val eta = if (frac > 0 && frac < 1) f", ETA ${elapsed / frac - elapsed}%.0f sec" else ""
+      f" [${cfg.progressName} ${frac * 100}%.1f%%$eta]"
+    }).getOrElse("")
+    cfg.log((s"IDs ${intFmt.format(ls.start.getOrElse(BigInt(0)))} to ${intFmt.format(ls.end)} " +
+      s"$action, $countStr rows found ($pctStr of chunk size) $rt").trim + progress)
   }
 }

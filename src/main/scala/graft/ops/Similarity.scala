@@ -23,8 +23,16 @@ import Tables._
   */
 object Similarity {
 
-  /** Explicit left-fold dot product of two double-array columns. */
+  /** Dot product of two double-array columns: the native codegen'd
+    * expression (see org.apache.spark.sql.graftbridge.DotProduct). Same
+    * strict left-fold float64 semantics as [[dotHof]], which it replaced
+    * after measuring ~interpreted-lambda overhead in the ANN hot path. */
   def dot(a: Column, b: Column): Column =
+    org.apache.spark.sql.graftbridge.dotProduct(a, b)
+
+  /** The equivalent higher-order-function fold — kept as the semantic
+    * reference implementation (a test asserts bit-equality with [[dot]]). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))

@@ -1,0 +1,21 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.classic.ExpressionUtils
+import org.apache.spark.sql.graftbridge.DotProduct
+
+/** Column constructors for graft's native Catalyst expressions.
+  *
+  * Lives inside `org.apache.spark.sql` only to reach the package-private
+  * Expression -> Column bridge (`ExpressionUtils.column`); Spark 4 removed
+  * the public `Column(expr)` constructor. No Spark internals are modified —
+  * this is the minimal shim every expression-library (e.g. spark-daria,
+  * itachi) uses. Works in ANY session, no SparkSessionExtensions
+  * registration required.
+  */
+package object graftbridge {
+
+  /** Codegen'd dot product of two array<double> columns (see
+    * [[graft.functions.DotProduct]]). */
+  def dotProduct(a: Column, b: Column): Column =
+    ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+}

@@ -89,6 +89,17 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(viaRdd.map(_.toSeq) == viaExpr.map(_.toSeq))
   }
 
+  test("native DotProduct expression is bit-identical to the HOF fold it replaced") {
+    val emb = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast("double")).as("v"))
+    val pairs = emb.as("a").crossJoin(emb.as("b")).limit(20000)
+    val neq = pairs.select(
+      (Similarity.dot(col("a.v"), col("b.v")) =!= Similarity.dotHof(col("a.v"), col("b.v")))
+        .cast("int").as("neq"))
+      .agg(sum(col("neq"))).head().getLong(0)
+    assert(neq == 0)
+  }
+
   test("token count handles multi-space and empty-ish text") {
     val df = Seq((1L, "a  b   c"), (2L, "single"), (3L, "  padded  ")).toDF("doc_id", "text")
     val counts = df.select(col("doc_id"), TextAnalysis.tokenCountCol(col("text")).as("n"))
