@@ -38,6 +38,7 @@ object SparkEntry {
     * multimodal). */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     graft.ops.CoreQueries.queries ++
+      graft.ops.SkewOps.queries ++
       graft.ops.MoreQueries.queries ++
       graft.ops.TextAnalysis.queries ++
       graft.ops.Dedup.queries ++
@@ -49,6 +50,7 @@ object SparkEntry {
     * minhash/simhash/LSH) — those get the driver's rows-only check. */
   def oracleSql: Map[String, String] =
     graft.ops.CoreQueries.oracleSql ++
+      graft.ops.SkewOps.oracleSql ++
       graft.ops.MoreQueries.oracleSql ++
       graft.ops.TextAnalysis.oracleSql ++
       graft.ops.Dedup.oracleSql ++
