@@ -156,12 +156,18 @@ object Dedup {
     * ever run on a sample (here doc_id < 300); at scale this runs AFTER
     * LSH banding as the per-candidate verifier. */
   def jaccardPairs(s: SparkSession, d: String): DataFrame = {
-    val docs = shingledDocs(s, d, maxDocId = Some(300)).withColumnRenamed("sh", "bg")
+    // Sorted-distinct shingle arrays + the native merge-count expression:
+    // |A ∩ B| via an allocation-free two-pointer merge in generated code,
+    // |A ∪ B| = |A| + |B| - |A ∩ B|. Equal by construction to the
+    // array_intersect/array_union formulation it replaced, ~O(pairs·len)
+    // with no intermediate arrays.
+    val docs = shingledDocs(s, d, maxDocId = Some(300))
+      .select(col("doc_id"), sort_array(col("sh")).as("bg"))
+    val inter = org.apache.spark.sql.graftbridge.sortedIntersectCount(col("a.bg"), col("b.bg"))
     docs.as("a").join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
       .select(
         col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        (size(array_intersect(col("a.bg"), col("b.bg"))).cast("double") /
-          size(array_union(col("a.bg"), col("b.bg")))).as("jaccard"))
+        (inter.cast("double") / (size(col("a.bg")) + size(col("b.bg")) - inter)).as("jaccard"))
       .filter(col("jaccard") > 0)
   }
 

@@ -15,7 +15,12 @@ import org.apache.spark.sql.graftbridge.DotProduct
 package object graftbridge {
 
   /** Codegen'd dot product of two array<double> columns (see
-    * [[graft.functions.DotProduct]]). */
+    * [[graftbridge.DotProduct]]). */
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Codegen'd merge-count of two SORTED distinct array<string> columns
+    * (see [[graftbridge.SortedIntersectCount]]). */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ExpressionUtils.column(SortedIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 }

@@ -100,6 +100,20 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(neq == 0)
   }
 
+  test("native SortedIntersectCount equals size(array_intersect) on sorted distinct arrays") {
+    val df = Seq(
+      (Seq("a", "b", "c", "d"), Seq("b", "c", "x")),
+      (Seq("a"), Seq("z")),
+      (Seq[String](), Seq("a", "b")),
+      (Seq("m", "n"), Seq("m", "n"))
+    ).toDF("x", "y")
+    val neq = df.select(
+      (org.apache.spark.sql.graftbridge.sortedIntersectCount(col("x"), col("y"))
+        =!= size(array_intersect(col("x"), col("y")))).cast("int").as("neq"))
+      .agg(sum(col("neq"))).head().getLong(0)
+    assert(neq == 0)
+  }
+
   test("token count handles multi-space and empty-ish text") {
     val df = Seq((1L, "a  b   c"), (2L, "single"), (3L, "  padded  ")).toDF("doc_id", "text")
     val counts = df.select(col("doc_id"), TextAnalysis.tokenCountCol(col("text")).as("n"))
