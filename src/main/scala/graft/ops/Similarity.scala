@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Tables._
 
 /** Similarity search over the embeddings table (`Array[Float]`, dim 64):
@@ -92,9 +93,96 @@ object Similarity {
       .select(col("q_id"), col("nn_id"), col("sim"))
   }
 
+  private val IVF_K = 16
+  private val IVF_ITERS = 3
+  private val IVF_NPROBE = 2
+
+  /** Centroids as ONE 2D array literal. Inlining k separate 64-double
+    * literals into the expression tree made every training job pay seconds
+    * of codegen for the giant constant-folded source; a single Literal
+    * serializes once and the per-element work runs through the (already
+    * interpreted-safe) DotProduct eval. */
+  private def centsLit(cents: Array[Array[Double]]): Column =
+    typedLit(cents.map(_.toSeq).toSeq)
+
+  /** Similarity of `v` to each centroid, as an array aligned with cluster ids. */
+  private def centroidSims(v: Column, cents: Array[Array[Double]]): Column =
+    transform(centsLit(cents), c => org.apache.spark.sql.graftbridge.dotProduct(v, c))
+
+  /** Nearest-centroid id: argmax similarity, ties to the lowest cluster
+    * index (array_position returns the first match, 1-based). */
+  private def assignCluster(v: Column, cents: Array[Array[Double]]): Column = {
+    val sims = centroidSims(v, cents)
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  /** Deterministic k-means-lite: centroids seeded from evenly-strided
+    * vec_ids, refined with a few Lloyd iterations. Centroid means use exact
+    * DECIMAL sums (a raw-double avg varies with partition order, which would
+    * make cluster assignments — and therefore query results — flap between
+    * runs). Returns driver-side centroids; k*dim is tiny at any data scale.
+    */
+  private[ops] def trainIvfCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+    val vecs = vectors(s, d).select(col("vec_id"), col("v"))
+    val n = vecs.count()
+    val stride = math.max(1L, n / IVF_K)
+    val seedIds = (0 until IVF_K).map(i => i * stride)
+    var cents: Array[Array[Double]] = vecs
+      .filter(col("vec_id").isin(seedIds: _*))
+      .orderBy(col("vec_id")).limit(IVF_K)
+      .collect().map(_.getSeq[Double](1).toArray)
+    for (_ <- 1 to IVF_ITERS) {
+      val assigned = vecs.withColumn("cluster", assignCluster(col("v"), cents))
+      val sums = assigned
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("x").cast(DecimalType(28, 12))).as("sx"), count(lit(1)).as("cn"))
+        .collect()
+      val byCluster = sums.groupBy(_.getInt(0))
+      cents = Array.tabulate(IVF_K) { c =>
+        byCluster.get(c) match {
+          case Some(rows) =>
+            val dim = rows.map(_.getInt(1)).max + 1
+            val arr = new Array[Double](dim)
+            rows.foreach(r => arr(r.getInt(1)) = (BigDecimal(r.getDecimal(2)) / r.getLong(3)).toDouble)
+            arr
+          case None => cents(c) // empty cluster keeps its centroid
+        }
+      }
+    }
+    cents
+  }
+
+  /** IVF-bucketed approximate top-1 neighbor: assign every vector to its
+    * nearest trained centroid (one narrow shuffle on cluster id), probe the
+    * NPROBE nearest clusters per query, exact cosine inside the probed
+    * buckets only. The scale path for ANN beyond LSH: candidate count ~
+    * nprobe/k of the corpus, and the bucket function adapts to the data
+    * distribution (unlike fixed hyperplanes). */
+  def annIvf(s: SparkSession, d: String): DataFrame = {
+    val cents = trainIvfCentroids(s, d)
+    val all = vectors(s, d).withColumn("cluster", assignCluster(col("v"), cents))
+    // per-query probe list: the NPROBE nearest centroids
+    val simStructs = transform(centroidSims(col("qv"), cents),
+      (sim, i) => struct(sim.as("sim"), i.as("cl")))
+    val q = all.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("probes", slice(reverse(array_sort(simStructs)), 1, IVF_NPROBE))
+      .select(col("q_id"), col("qv"), col("qn"), explode(col("probes.cl")).as("cluster"))
+    val pairs = q.join(all, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("nn_id"), col("sim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_ann_bruteforce" -> (annBruteforce _),
-    "x_ann_lsh" -> (annLsh _)
+    "x_ann_lsh" -> (annLsh _),
+    "x_ann_ivf" -> (annIvf _)
   )
 
   /** The LSH variant's bucket function (xxhash-mixed planes) is not

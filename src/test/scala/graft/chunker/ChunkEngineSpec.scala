@@ -257,6 +257,20 @@ class ChunkEngineSpec extends AnyFunSuite {
     assert(seen.size == 5)
   }
 
+  test("unknown chunk counts print '?' in status lines without errors (t/dbh.t:437-476)") {
+    val lines = ArrayBuffer.empty[String]
+    val eng = new ChunkEngine(
+      ChunkerConfig(chunkSize = 10, targetTime = 0, sleep = 0, minChunkPercent = 0,
+        verbose = true, log = lines += _),
+      Some(src((BigInt(1) to BigInt(30)).toVector))) // no count probe -> counts unknown
+    eng.calculateRanges()
+    eng.execute(_ => ())
+    val status = lines.filter(_.startsWith("IDs "))
+    assert(status.size == 3)
+    assert(status.forall(_.contains("? rows found (? of chunk size)")), status.mkString("\n"))
+    assert(status.last.contains("100.0%")) // progress reaches completion
+  }
+
   test("manual min/max without a source works (DIY planning, t/dbh.t:249-281)") {
     val eng = new ChunkEngine(cfg0.copy(chunkSize = 25, minChunkPercent = 0), None)
     eng.minId = Some(BigInt(100))

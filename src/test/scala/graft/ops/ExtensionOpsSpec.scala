@@ -80,6 +80,26 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF ANN: deterministic training, answers never beat the exact best, decent recall") {
+    val bf = Similarity.annBruteforce(spark, sfDir)
+      .filter(col("rnk") === 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    val ivf = Similarity.annIvf(spark, sfDir)
+      .filter(col("q_id") < 50).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    ivf.foreach { case (q, (_, sim)) =>
+      assert(sim <= bf(q)._2 + 1e-12, s"IVF beats exact best for q=$q")
+    }
+    // recall: the probed-bucket search should find the TRUE top-1 for a
+    // reasonable fraction of queries (data-adaptive buckets beat random)
+    val hits = ivf.count { case (q, (nn, _)) => bf.get(q).exists(_._1 == nn) }
+    assert(ivf.nonEmpty && hits >= ivf.size / 4, s"IVF recall too low: $hits/${ivf.size}")
+    // determinism: training twice yields identical centroids
+    val c1 = Similarity.trainIvfCentroids(spark, sfDir)
+    val c2 = Similarity.trainIvfCentroids(spark, sfDir)
+    assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+  }
+
   test("multimodal: mapPartitions stub decode == expression-only fast path") {
     val docs = Tables.documents(spark, sfDir).filter(col("doc_id") < 300)
     val viaRdd = Multimodal.withDecodedMeta(docs, "doc_id", "text")
