@@ -93,7 +93,29 @@ object MoreQueries {
       .select(date_format(col("window_start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Batch sessionization via window functions — the same 30-minute-gap
+    * semantics as graft.streaming.EventStream.sessionize, expressed as a
+    * lag/cumulative-sum window query (the classic batch formulation). Gap
+    * math on exact epoch-millis longs; ordering on (ms, event_id) so both
+    * engines sort identically regardless of sub-ms timestamp precision. */
+  def qSessionizeBatch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tms = unix_millis(col("ts"))
+    val w = Window.partitionBy(col("user_id")).orderBy(tms, col("event_id"))
+    val gap = tms - lag(tms, 1).over(w)
+    val cum = Window.partitionBy(col("user_id")).orderBy(tms, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events(s, d)
+      .withColumn("tms", tms)
+      .withColumn("new_s", when(gap.isNull || gap > 30 * 60 * 1000L, 1).otherwise(0))
+      .withColumn("sess_idx", sum(col("new_s")).over(cum))
+      .groupBy(col("user_id"), col("sess_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        (max(col("tms")) - min(col("tms"))).as("duration_ms"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sessionize_batch" -> (qSessionizeBatch _),
     "q_cube" -> (qCube _),
     "q_union_all" -> (qUnionAll _),
     "q_having" -> (qHaving _),
@@ -106,6 +128,21 @@ object MoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_sessionize_batch" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS tms,
+        |         CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+        |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, tms,
+        |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+        |  FROM g)
+        |SELECT user_id, sess_idx, count(*) AS n_events,
+        |       max(tms) - min(tms) AS duration_ms
+        |FROM s GROUP BY user_id, sess_idx""".stripMargin,
     "q_cube" ->
       "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
     "q_union_all" ->

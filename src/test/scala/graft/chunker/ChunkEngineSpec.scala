@@ -257,6 +257,46 @@ class ChunkEngineSpec extends AnyFunSuite {
     assert(seen.size == 5)
   }
 
+  test("COUNT-too-slow shrinks the chunk (ladder case 4, t/dbic.t:354-419)") {
+    val clock = new ManualClock
+    val ids = (BigInt(1) to BigInt(100)).toVector
+    var slowProbes = 0
+    val slowProbe: (BigInt, BigInt) => BigInt = (s, e) => {
+      // a slow COUNT only when the range is wide; fast once shrunk
+      if (e - s >= 19) { clock.advance(6.0); slowProbes += 1 } // > 1.05 * targetTime
+      BigInt(ids.count(id => id >= s && id <= e))
+    }
+    val eng = new ChunkEngine(
+      ChunkerConfig(chunkSize = 20, targetTime = 5.0, sleep = 0, minChunkPercent = 0.5, log = quiet),
+      Some(src(ids)), Some(slowProbe), clock = clock)
+    eng.calculateRanges()
+    val rpt = eng.execute(_ => ())
+    assert(slowProbes > 0)
+    // every processed chunk ended up narrower than the slow-probe threshold
+    assert(rpt.processed.nonEmpty)
+    assert(rpt.processed.forall(_.chunk.width < 20), rpt.processed.map(_.chunk).mkString(", "))
+    assert(rpt.processed.last.chunk.end == 100)
+  }
+
+  test("resizing gives up after 10 checks and processes as-is (lib/DBIx/BatchChunker.pm:1549-1553)") {
+    // a lying probe that keeps the ladder oscillating: too-many when wide,
+    // too-few when narrow — never inside the band
+    val lyingProbe: (BigInt, BigInt) => BigInt =
+      (s, e) => if (e - s >= 5) BigInt(100) else BigInt(1)
+    val eng = new ChunkEngine(
+      cfg0.copy(chunkSize = 10, minChunkPercent = 0.5),
+      Some(src((BigInt(1) to BigInt(1000)).toVector)), Some(lyingProbe))
+    eng.calculateRanges()
+    val rpt = eng.execute(_ => ())
+    // the run completes (give-up prevents an infinite bisection) and some
+    // processed chunk is outside the density band — proof the ladder bailed
+    assert(rpt.processed.last.chunk.end == 1000)
+    assert(rpt.processed.exists { o =>
+      val pct = BigDecimal(o.count.get) / BigDecimal(o.chunkSizeAtRun)
+      pct > 1.5 || pct < 0.5
+    })
+  }
+
   test("unknown chunk counts print '?' in status lines without errors (t/dbh.t:437-476)") {
     val lines = ArrayBuffer.empty[String]
     val eng = new ChunkEngine(
