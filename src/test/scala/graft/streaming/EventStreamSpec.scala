@@ -47,6 +47,38 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out == Set(("click", 2L, 4.5), ("view", 1L, 2.0)))
   }
 
+  test("streaming sessionization equals the batch window-function formulation on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    // real sf0.001 events through the streaming sessionizer, one micro-batch
+    // per day-ish slice, plus a far-future sentinel to flush all open
+    // sessions via the watermark
+    val events = graft.ops.Tables.events(spark, "/root/testdata/sf0.001")
+      .select(col("user_id"), col("ts"), col("event_type"))
+      .as[EventStream.SessionInput]
+      .collect().sortBy(_.ts.getTime)
+    val input = MemoryStream[EventStream.SessionInput]
+    val withWm = input.toDS().withWatermark("ts", "1 minute")
+    val query = EventStream.sessionize(withWm).writeStream
+      .format("memory").queryName("session_parity").outputMode("append").start()
+    try {
+      val (first, second) = events.splitAt(events.length / 2)
+      input.addData(first.toSeq); query.processAllAvailable()
+      input.addData(second.toSeq); query.processAllAvailable()
+      val sentinelTs = new java.sql.Timestamp(events.last.ts.getTime + 10L * 24 * 3600 * 1000)
+      input.addData(EventStream.SessionInput(-1L, sentinelTs, "sentinel")); query.processAllAvailable()
+      input.addData(EventStream.SessionInput(-2L, sentinelTs, "sentinel2")); query.processAllAvailable()
+
+      val streamed = spark.table("session_parity").as[EventStream.SessionOutput]
+        .filter(col("user_id") >= 0)
+        .collect().map(s => (s.user_id, s.n_events, math.round(s.duration_sec * 1000))).toSeq.sorted
+      val batch = graft.ops.MoreQueries.qSessionizeBatch(spark, "/root/testdata/sf0.001")
+        .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3))).toSeq.sorted
+      assert(streamed.size == batch.size, s"session counts differ: ${streamed.size} vs ${batch.size}")
+      assert(streamed == batch)
+    } finally query.stop()
+  }
+
   test("event-time sessionization: gap splits and watermark timeouts close sessions deterministically") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
