@@ -171,6 +171,55 @@ final class BatchChunker(
   /** Dry run: drive the full adaptive loop (count probes, resizing, skips)
     * without dispatching any work — the chunk plan as data. */
   def planChunks(): ExecutionReport = engine.execute(_ => ())
+
+  /** Parallel fan-out over a FIXED-SIZE chunk plan: plan all chunks first
+    * (driver-side, no jobs), then run `parallelism` chunk actions
+    * concurrently on the scheduler.
+    *
+    * The reference's loop is deliberately sequential because its chunks hold
+    * DB locks (SURVEY.md §7.4); for read-only Spark workloads (chunked
+    * export, scan-and-score, reindex) no such constraint exists, and
+    * concurrent chunk jobs let the cluster overlap scan latency with
+    * compute. Adaptive resizing/runtime-targeting is inherently sequential
+    * (each chunk's observation feeds the next plan), so this entry point
+    * requires the fixed-size configuration: no count probe, resizing
+    * disabled. Retry stays per-chunk.
+    */
+  def foreachChunkPar(parallelism: Int)(f: (Chunk, DataFrame) => Unit): Vector[Chunk] = {
+    require(parallelism >= 1, "parallelism must be >= 1")
+    require(cfg.targetTime == 0 && cfg.minChunkPercent <= 0,
+      "foreachChunkPar needs the fixed-size configuration (targetTime = 0, minChunkPercent <= 0): " +
+        "adaptive resizing is sequential by nature")
+    val chunks = Vector.newBuilder[Chunk]
+    // plan with no dispatch; the fixed config makes this driver-side math only
+    val planner = new ChunkEngine(cfg, None, None, clock)
+    planner.minId = engine.minId
+    planner.maxId = engine.maxId
+    planner.execute(c => chunks += c, markTimerOnDispatch = false)
+    val planned = chunks.result()
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+    implicit val ec: scala.concurrent.ExecutionContext =
+      scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    try {
+      val futures = planned.map { c =>
+        scala.concurrent.Future {
+          var attempt = 0
+          var done = false
+          while (!done) {
+            attempt += 1
+            try { f(c, chunkDf(c)); done = true }
+            catch {
+              case e: Throwable if attempt < cfg.retryAttempts =>
+                cfg.log(s"Chunk $c attempt $attempt/${cfg.retryAttempts} failed, retrying: ${e.getMessage}")
+            }
+          }
+        }
+      }
+      import scala.concurrent.duration.Duration
+      futures.foreach(scala.concurrent.Await.result(_, Duration.Inf))
+      planned
+    } finally pool.shutdown()
+  }
 }
 
 object BatchChunker {

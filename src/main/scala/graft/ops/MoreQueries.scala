@@ -114,7 +114,29 @@ object MoreQueries {
         (max(col("tms")) - min(col("tms"))).as("duration_ms"))
   }
 
+  /** Pivot (wide aggregation): returnflag counts as columns per linestatus.
+    * Explicit value list keeps the output schema static — at scale an
+    * unconstrained pivot needs a distinct-values job first. */
+  def qPivot(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .pivot("l_returnflag", Seq("A", "N", "R"))
+      .agg(count(lit(1)))
+
+  /** Custom typed Aggregator (UDAF surface): one-pass per-group range stats,
+    * exact so the oracle verifies the whole partial/merge/finish cycle. */
+  def qCustomUdaf(s: SparkSession, d: String): DataFrame = {
+    val rangeStats = udaf(graft.functions.RangeStatsAggregator)
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(rangeStats(col("o_totalprice")).as("rs"))
+      .select(col("o_orderstatus"),
+        col("rs.mn").as("min_price"), col("rs.mx").as("max_price"), col("rs.n").as("n_orders"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_custom_udaf" -> (qCustomUdaf _),
+    "q_pivot" -> (qPivot _),
     "q_sessionize_batch" -> (qSessionizeBatch _),
     "q_cube" -> (qCube _),
     "q_union_all" -> (qUnionAll _),
@@ -128,6 +150,12 @@ object MoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_custom_udaf" ->
+      """SELECT o_orderstatus, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+        |       count(*) AS n_orders
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_pivot" ->
+      "PIVOT lineitem ON l_returnflag IN ('A', 'N', 'R') USING count(*) GROUP BY l_linestatus",
     "q_sessionize_batch" ->
       """WITH g AS (
         |  SELECT user_id, event_id, epoch_ms(ts) AS tms,

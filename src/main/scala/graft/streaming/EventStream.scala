@@ -43,6 +43,15 @@ object EventStream {
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"), col("total_value"))
 
+  /** Streaming exact dedup: drop repeated event_ids with bounded state —
+    * the watermark ages out ids older than the lateness bound, so state is
+    * O(events per watermark window), not O(stream). The streaming face of
+    * the batch `dropDuplicates`/hash-groupBy dedup in ops/Dedup. */
+  def dedupEvents(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("event_id")
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
   final case class SessionOutput(user_id: Long, n_events: Long, duration_sec: Double)

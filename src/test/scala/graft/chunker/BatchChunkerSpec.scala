@@ -161,6 +161,21 @@ class BatchChunkerSpec extends AnyFunSuite {
       s"range predicate must reach the scan:\n$plan")
   }
 
+  test("parallel chunk fan-out covers every row exactly once and rejects adaptive configs") {
+    val orders = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+    val bc = new BatchChunker(orders, "o_orderkey", cfg0.copy(chunkSize = 256, minChunkPercent = 0))
+    bc.calculateRanges()
+    val counted = new java.util.concurrent.atomic.AtomicLong()
+    val chunks = bc.foreachChunkPar(parallelism = 4)((_, df) => counted.addAndGet(df.count()))
+    assert(counted.get() == orders.count())
+    assert(chunks.map(_.width).sum == BigInt(1500))
+    // adaptive configs must be refused
+    val adaptive = new BatchChunker(orders, "o_orderkey",
+      ChunkerConfig(chunkSize = 256, targetTime = 5.0, sleep = 0, log = _ => ()))
+    adaptive.calculateRanges()
+    intercept[IllegalArgumentException] { adaptive.foreachChunkPar(4)((_, _) => ()) }
+  }
+
   test("distributed per-row dispatch processes all rows on executors") {
     val acc = spark.sparkContext.longAccumulator("rows")
     val bc = new BatchChunker(gappyDf, "id", cfg0.copy(chunkSize = 25, minChunkPercent = 0))

@@ -47,6 +47,23 @@ class EventStreamSpec extends AnyFunSuite {
     assert(out == Set(("click", 2L, 4.5), ("view", 1L, 2.0)))
   }
 
+  test("streaming dedup drops repeated event_ids across micro-batches within the watermark") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.dedupEvents(events).writeStream
+      .format("memory").queryName("dedup_test").outputMode("append").start()
+    try {
+      input.addData((1L, ts(0), 1L, "click", 1.0), (1L, ts(0), 1L, "click", 1.0), (2L, ts(1), 2L, "view", 2.0))
+      query.processAllAvailable()
+      input.addData((1L, ts(2), 1L, "click", 1.0), (3L, ts(3), 3L, "view", 3.0)) // id 1 repeats across batches
+      query.processAllAvailable()
+      val ids = spark.table("dedup_test").select("event_id").collect().map(_.getLong(0)).sorted
+      assert(ids.toSeq == Seq(1L, 2L, 3L))
+    } finally query.stop()
+  }
+
   test("streaming sessionization equals the batch window-function formulation on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
