@@ -134,7 +134,45 @@ object MoreQueries {
         col("rs.mn").as("min_price"), col("rs.mx").as("max_price"), col("rs.n").as("n_orders"))
   }
 
+  /** Set ops: INTERSECT distinct (EXCEPT/UNION live in CoreQueries). */
+  def qSetIntersect(s: SparkSession, d: String): DataFrame =
+    customer(s, d).select(col("c_nationkey").cast("int").as("nk")).distinct()
+      .intersect(supplier(s, d).select(col("s_nationkey").cast("int").as("nk")).distinct())
+
+  /** Banded range join — the scalable shape for interval predicates: bucket
+    * both sides by a coarse band (here: the minute), join each row to its
+    * own and neighboring bands only, then apply the exact range filter. A
+    * naive theta-join is O(n^2); banding reduces candidates to
+    * O(n * rows-per-band) with one equi-shuffle on the band key — the
+    * "compose built-ins" answer to range joins before reaching for a custom
+    * SparkStrategy. Here: pairs of events from different users within 30s
+    * of each other, counted per event_type pair. */
+  def qRangeJoinBanded(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).filter(col("event_id") < 2000)
+      .select(col("event_id"), col("user_id"), col("event_type"), unix_millis(col("ts")).as("tms"))
+    val banded = e.withColumn("band", explode(array(
+      (col("tms") / 60000L).cast("long") - 1,
+      (col("tms") / 60000L).cast("long"))))
+    // left side joins at its own band; right side contributed itself to its
+    // band and band+1 via the explode, so every pair within 60s of each
+    // other shares a band exactly once for tms_a <= tms_b ordering
+    val a = e.as("a")
+    val b = banded.as("b")
+    // time-ordered pairs (a before b), event_id as the equal-timestamp
+    // tiebreak, so each unordered pair is counted exactly once
+    a.join(b,
+        ((col("a.tms") / 60000L).cast("long") === col("b.band")) &&
+          (col("b.tms") > col("a.tms") ||
+            (col("b.tms") === col("a.tms") && col("a.event_id") < col("b.event_id"))) &&
+          (col("b.tms") - col("a.tms") <= 30000L) &&
+          (col("a.user_id") =!= col("b.user_id")))
+      .groupBy(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_set_intersect" -> (qSetIntersect _),
+    "q_range_join_banded" -> (qRangeJoinBanded _),
     "q_custom_udaf" -> (qCustomUdaf _),
     "q_pivot" -> (qPivot _),
     "q_sessionize_batch" -> (qSessionizeBatch _),
@@ -150,6 +188,19 @@ object MoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_set_intersect" ->
+      """SELECT CAST(c_nationkey AS INTEGER) AS nk FROM customer
+        |INTERSECT
+        |SELECT CAST(s_nationkey AS INTEGER) AS nk FROM supplier""".stripMargin,
+    "q_range_join_banded" ->
+      """SELECT a.event_type AS type_a, b.event_type AS type_b, count(*) AS n_pairs
+        |FROM events a, events b
+        |WHERE a.event_id < 2000 AND b.event_id < 2000
+        |  AND a.user_id <> b.user_id
+        |  AND (epoch_ms(b.ts) > epoch_ms(a.ts)
+        |       OR (epoch_ms(b.ts) = epoch_ms(a.ts) AND a.event_id < b.event_id))
+        |  AND epoch_ms(b.ts) - epoch_ms(a.ts) <= 30000
+        |GROUP BY 1, 2""".stripMargin,
     "q_custom_udaf" ->
       """SELECT o_orderstatus, min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
         |       count(*) AS n_orders
