@@ -170,7 +170,28 @@ object MoreQueries {
       .agg(count(lit(1)).as("n_pairs"))
   }
 
+  /** JSON scalar functions: extract a field from the events props payload
+    * and aggregate over it. */
+  def qJsonFuncs(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("k_sum"),
+        min(col("k")).as("k_min"), max(col("k")).as("k_max"))
+
+  /** Array functions: per-order sorted line-number list, emitted as a string
+    * (collect_list alone is partition-order-nondeterministic; sort_array
+    * makes it canonical — the same discipline DuckDB needs with list_sort). */
+  def qArrayFuncs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_orderkey") <= 500)
+      .groupBy(col("l_orderkey"))
+      .agg(concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("lns"),
+        size(collect_list(col("l_linenumber"))).as("n_lines"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_json_funcs" -> (qJsonFuncs _),
+    "q_array_funcs" -> (qArrayFuncs _),
     "q_set_intersect" -> (qSetIntersect _),
     "q_range_join_banded" -> (qRangeJoinBanded _),
     "q_custom_udaf" -> (qCustomUdaf _),
@@ -188,6 +209,17 @@ object MoreQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_json_funcs" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
+        |       CAST(MIN(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS k_min,
+        |       CAST(MAX(CAST(json_extract(props, '$.k') AS INTEGER)) AS INTEGER) AS k_max
+        |FROM events GROUP BY event_type""".stripMargin,
+    "q_array_funcs" ->
+      """SELECT l_orderkey,
+        |       array_to_string(list_sort(list(l_linenumber)), ',') AS lns,
+        |       CAST(len(list(l_linenumber)) AS INTEGER) AS n_lines
+        |FROM lineitem WHERE l_orderkey <= 500 GROUP BY l_orderkey""".stripMargin,
     "q_set_intersect" ->
       """SELECT CAST(c_nationkey AS INTEGER) AS nk FROM customer
         |INTERSECT
