@@ -161,6 +161,23 @@ class BatchChunkerSpec extends AnyFunSuite {
       s"range predicate must reach the scan:\n$plan")
   }
 
+  test("one-many rollup chunked on the parent key conserves joined rows (t/one-many.t:29-73)") {
+    // chunk the CUSTOMER keyspace; each chunk's work is a join fan-out into
+    // orders (one-many) — the reference's Track->CD->Genre shape
+    val customer = spark.read.parquet(s"${SparkTestSession.sfDir}/customer.parquet")
+    val orders = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
+    val expected = customer.join(orders, col("c_custkey") === col("o_custkey")).count()
+    val bc = new BatchChunker(customer, "c_custkey", cfg0.copy(chunkSize = 40, minChunkPercent = 0.5))
+    bc.calculateRanges()
+    var joined = 0L
+    val rpt = bc.foreachChunk { chunk =>
+      joined += chunk.join(orders, col("c_custkey") === col("o_custkey")).count()
+    }
+    assert(joined == expected)
+    // per-chunk counts are of the PARENT entity (customers), not joined rows
+    assert(rpt.processed.flatMap(_.count).sum == BigInt(customer.count()))
+  }
+
   test("parallel chunk fan-out covers every row exactly once and rejects adaptive configs") {
     val orders = spark.read.parquet(s"${SparkTestSession.sfDir}/orders.parquet")
     val bc = new BatchChunker(orders, "o_orderkey", cfg0.copy(chunkSize = 256, minChunkPercent = 0))

@@ -145,6 +145,26 @@ class ChunkEngineSpec extends AnyFunSuite {
     sizes.sliding(2).foreach(w => if (w.size == 2) assert(w(1) <= w(0) * 2))
   }
 
+  test("runtime targeting change-count == ceil(calls/5) - 1 for uniformly fast runs (t/dbic.t:255-303)") {
+    val clock = new ManualClock
+    val ids = (BigInt(1) to BigInt(3000)).toVector
+    val eng = new ChunkEngine(
+      ChunkerConfig(chunkSize = 10, targetTime = 5.0, sleep = 0, minChunkPercent = 0, log = quiet),
+      Some(src(ids)), clock = clock)
+    eng.calculateRanges()
+    var calls = 0
+    val sizes = ArrayBuffer.empty[BigInt]
+    eng.execute { c => calls += 1; sizes += c.width; clock.advance(1.0) }
+    // every growth requires exactly 5 fresh under-target timings (the
+    // timings ring resets after each change), so the number of size changes
+    // is ceil(calls / 5) - 1 — the reference's exact law
+    val changes = sizes.sliding(2).count(w => w.size == 2 && w(0) != w(1))
+    // the final chunk may be a short remainder; ignore a trailing shrink
+    val effectiveChanges = if (sizes.size >= 2 && sizes.last < sizes(sizes.size - 2)) changes - 1 else changes
+    assert(effectiveChanges == math.ceil(calls / 5.0).toInt - 1,
+      s"calls=$calls changes=$effectiveChanges sizes=${sizes.mkString(",")}")
+  }
+
   test("runtime targeting shrinks to 1 when chunks run over target (t/dbic.t:305-352)") {
     val clock = new ManualClock
     val ids = (BigInt(1) to BigInt(100)).toVector
