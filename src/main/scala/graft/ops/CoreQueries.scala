@@ -37,25 +37,25 @@ object CoreQueries {
     * mode prints, as a queryable DataFrame). */
   def n2ChunkStats(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
-    // Grid from the planner (driver-side, no jobs), densities from ONE
-    // distributed pass. Per-chunk count() probes would be N sequential jobs,
-    // each paying scheduling + fresh codegen for its literals — the histogram
-    // is the shape that survives a 100 TB keyspace (single partial-agg
-    // shuffle of ~range/4096 groups).
+    // Grid bounds from the planner (control plane: one MIN/MAX scan), chunk
+    // densities from ONE distributed pass with start/end derived
+    // arithmetically inside the query. Per-chunk count() probes would be N
+    // sequential jobs each paying scheduling + fresh codegen for its
+    // literals; a driver-side range loop would materialize ~keyspace/4096
+    // cells on the driver (a 100 TB scale-killer). The histogram is one
+    // partial-agg shuffle of ~range/4096 groups and nothing touches the
+    // driver but the final result.
     val bc = new BatchChunker(o, "o_orderkey", chunkCfg(4096), enableCountProbe = false)
     bc.calculateRanges()
-    val mn = bc.minId.get // capture before the run: execute() writes the resume point back into minId
-    val ranges = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    bc.foreachRange((st, en) => ranges += ((st.toLong, en.toLong)))
-    val counts = o
-      .groupBy(expr(s"(o_orderkey - ${mn}L) div 4096").as("chunk_idx"))
+    val mn = bc.minId.get.toLong
+    val mx = bc.maxId.get.toLong
+    val idx = expr(s"(o_orderkey - ${mn}L) div 4096")
+    val start = lit(mn) + idx * lit(4096L)
+    o.groupBy(
+        idx.as("chunk_idx"),
+        start.as("start_id"),
+        least(start + lit(4095L), lit(mx)).as("end_id"))
       .agg(count(lit(1)).as("cnt"))
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    import s.implicits._
-    ranges.toSeq.zipWithIndex
-      .map { case ((st, en), i) => (i.toLong, st, en, counts.getOrElse(i.toLong, 0L)) }
-      .filter(_._4 > 0)
-      .toDF("chunk_idx", "start_id", "end_id", "cnt")
   }
 
   /** N9 count probe over one BETWEEN range (reference lib/DBIx/BatchChunker.pm:1256-1289). */

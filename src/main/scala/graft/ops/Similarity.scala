@@ -47,7 +47,10 @@ object Similarity {
     val all = vectors(s, d)
     val q = all.filter(col("vec_id") < 50)
       .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
-    val pairs = q.join(broadcast(all), col("vec_id") =!= col("q_id"))
+    // Broadcast the 50-row QUERY side and stream the corpus past it: at any
+    // real corpus size the other orientation ships the whole embedding table
+    // to every executor. Same result, opposite scale behavior.
+    val pairs = broadcast(q).join(all, col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id").as("nn_id"),
         (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
@@ -123,7 +126,10 @@ object Similarity {
     * runs). Returns driver-side centroids; k*dim is tiny at any data scale.
     */
   private[ops] def trainIvfCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
-    val vecs = vectors(s, d).select(col("vec_id"), col("v"))
+    // Training is eager (each Lloyd iteration collects centroid sums), so a
+    // persist here genuinely caches across iterations — without it every
+    // iteration re-reads the parquet and re-derives the projection.
+    val vecs = vectors(s, d).select(col("vec_id"), col("v")).persist()
     val n = vecs.count()
     val stride = math.max(1L, n / IVF_K)
     val seedIds = (0 until IVF_K).map(i => i * stride)
@@ -150,6 +156,7 @@ object Similarity {
         }
       }
     }
+    vecs.unpersist(blocking = false)
     cents
   }
 

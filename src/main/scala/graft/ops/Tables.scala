@@ -18,13 +18,20 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = t(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = t(s, d, "region")
   /** The events table stores TIMESTAMP(NANOS) which Spark's parquet reader
-    * rejects by default; read nanos as long and convert to a micros
-    * timestamp with exact integer division (a double division would lose
-    * precision: 2026-epoch nanos ~ 1.8e18 >> 2^53).
+    * rejects by default; with `spark.sql.legacy.parquet.nanosAsLong=true`
+    * (set at session build — see Verify/Bench and the test fixtures; this
+    * reader is deliberately side-effect free) nanos arrive as longs and are
+    * converted to a micros timestamp with exact integer division (a double
+    * division would lose precision: 2026-epoch nanos ~ 1.8e18 >> 2^53).
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val df = t(s, d, "events")
+    val df =
+      try t(s, d, "events")
+      catch { case e: org.apache.spark.sql.AnalysisException =>
+        throw new IllegalStateException(
+          "reading the events table requires spark.sql.legacy.parquet.nanosAsLong=true " +
+            "at session build (static for the parquet schema converter)", e)
+      }
     df.schema("ts").dataType match {
       case org.apache.spark.sql.types.LongType => // nanos read as long
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(

@@ -62,17 +62,27 @@ object TextAnalysis {
     * Output compares prediction against the labeled lang column (a confusion
     * summary), which verifies the whole formula end-to-end. */
   def langId(s: SparkSession, d: String): DataFrame = {
+    // Two-level aggregate so each marker count is computed ONCE per document:
+    // the counts are grouping keys of the first (partial-agg'd, tiny-output)
+    // groupBy — an aggregation is a genuine materialization barrier, whereas
+    // a bare projection would be merged back into the argmax expression by
+    // CollapseProject, re-running the replace-scans ~4x per row (this was
+    // the slowest catalog query at 5s before). The argmax then runs over the
+    // few hundred distinct count-vectors, not over every document.
     val padded = concat(lit(" "), lower(col("text")), lit(" "))
-    val counts = langMarkers.map { case (l, m) => l -> occurrences(padded, m) }
-    val maxCount = greatest(counts.map(_._2): _*)
+    val grouped = documents(s, d)
+      .groupBy(col("lang") +: langMarkers.map { case (l, m) =>
+        occurrences(padded, m).as(s"c_$l") }: _*)
+      .agg(count(lit(1)).as("n0"))
+    val maxCount = greatest(langMarkers.map { case (l, _) => col(s"c_$l") }: _*)
     val predicted = when(maxCount === 0, "und")
-      .otherwise(counts.foldRight(lit("und")) { case ((l, c), acc) =>
-        when(c === maxCount, l).otherwise(acc)
+      .otherwise(langMarkers.foldRight(lit("und")) { case ((l, _), acc) =>
+        when(col(s"c_$l") === maxCount, l).otherwise(acc)
       })
-    documents(s, d)
-      .select(col("lang"), predicted.as("predicted"))
+    grouped
+      .select(col("lang"), predicted.as("predicted"), col("n0"))
       .groupBy(col("lang"), col("predicted"))
-      .agg(count(lit(1)).as("n"))
+      .agg(sum(col("n0")).as("n"))
   }
 
   /** Document fingerprint: md5 over whitespace-normalized lowercased text —
