@@ -61,11 +61,37 @@ object Dedup {
 
   private val K = 32 // minhash permutations
   private val BANDS = 8 // 4 rows per band
+  /** Modulus of the permutation family: the Mersenne prime 2^31-1. With a
+    * 28-bit base hash, `a*h + b` stays under 2^59 — exact in plain 64-bit
+    * integer arithmetic in ANY engine (no 128-bit mul, no decimal path). */
+  private val MH_P = 2147483647L
 
-  /** Per-document K minhash values as an array column. Permutation i is
-    * `min(xxhash64(i, shingle))` — seeding by prepending the permutation
-    * index, so one pass over exploded shingles computes all K mins
-    * (map-side combined). */
+  private def splitmix(x: Long): Long = {
+    var z = x + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  /** The K (a, b) pairs of the Kirsch–Mitzenmacher permutation family
+    * h_i = (a_i*h + b_i) mod P — fixed pseudo-random constants (splitmix of
+    * the index), so the whole sketch is a deterministic function of the data
+    * that any SQL engine with md5 + hex parsing can replicate bit-for-bit.
+    * (The xxhash64 seeding this replaced was Spark-only, which made the
+    * sketch unverifiable against the DuckDB oracle.) */
+  private[ops] val minhashParams: IndexedSeq[(Long, Long)] = (0 until K).map { i =>
+    (java.lang.Long.remainderUnsigned(splitmix(2L * i), MH_P - 1) + 1,
+      java.lang.Long.remainderUnsigned(splitmix(2L * i + 1), MH_P))
+  }
+
+  /** 28-bit shingle hash: 7 hex chars of md5. Cross-engine contract: DuckDB
+    * side is `CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT)`. */
+  private def baseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  /** Per-document K minhash values as an array column. One md5 per shingle,
+    * then K exact integer permutations `(a_i*h + b_i) mod P` — one pass over
+    * exploded shingles computes all K mins (map-side combined). */
   def minhashSignatures(s: SparkSession, d: String): DataFrame = {
     // Explode with the shingle expression INLINE in the generator: exploding
     // a pre-projected array column routes rows through a ~6x slower
@@ -79,7 +105,10 @@ object Dedup {
           .otherwise(transform(sequence(lit(0), size(col("toks")) - 2),
             i => concat(element_at(col("toks"), i + 1), lit(" "), element_at(col("toks"), i + 2)))))
           .as("sh"))
-    val mins = (0 until K).map(i => min(xxhash64(lit(i), col("sh"))).as(s"mh_$i"))
+      .select(col("doc_id"), baseHash(col("sh")).as("h"))
+    val mins = minhashParams.zipWithIndex.map { case ((a, b), i) =>
+      min((lit(a) * col("h") + lit(b)) % MH_P).as(s"mh_$i")
+    }
     exploded.groupBy(col("doc_id")).agg(mins.head, mins.tail: _*)
       .select(col("doc_id"), array((0 until K).map(i => col(s"mh_$i")): _*).as("mh"))
   }
@@ -94,9 +123,12 @@ object Dedup {
     // shingle aggregation; caching is useless in a lazily-returned plan), and
     // the self-join's two sides reuse one shuffle exchange.
     val sigs = minhashSignatures(s, d)
+    // Band key = the 4 minhash values joined as a string — engine-portable
+    // and collision-free. (At 100 TB a 64-bit fingerprint of the slice would
+    // shrink the shuffle key; the join shape is identical.)
     val bands = sigs.select(col("doc_id"), col("mh"),
       posexplode(array((0 until BANDS).map { b =>
-        xxhash64((0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)): _*)
+        concat_ws(",", (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)): _*)
       }: _*)).as(Seq("band_idx", "band_hash")))
     val est = size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => (x === y).cast("int")),
       v => v === 1)).cast("double") / K
@@ -115,12 +147,13 @@ object Dedup {
 
   private val SIMHASH_BITS = 32
 
-  /** 32-bit SimHash per document: hash each token, sum +/-1 per bit position
+  /** 32-bit SimHash per document: hash each token (32 md5 bits — replicable
+    * in any engine, see [[baseHash]] contract), sum +/-1 per bit position
     * over all tokens, take the sign bit vector. One explode + one groupBy. */
   def simhashSignatures(s: SparkSession, d: String): DataFrame = {
     val toks = documents(s, d)
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
-      .select(col("doc_id"), xxhash64(col("tok")).as("h"))
+      .select(col("doc_id"), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
     val bitSums = (0 until SIMHASH_BITS).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$i")
     }
@@ -171,18 +204,100 @@ object Dedup {
       .filter(col("jaccard") > 0)
   }
 
+  /** Candidate-quality audit: MinHash-LSH candidates vs the exact-Jaccard
+    * ground truth on the same bounded sample (doc_id < 300) — the
+    * verification loop a production dedup pipeline runs before trusting a
+    * sketch configuration. Emits exact counts (deterministic, oracle-able):
+    * precision = n_both/n_candidates, recall = n_both/n_exact_05. */
+  def minhashPrecision(s: SparkSession, d: String): DataFrame = {
+    val cand = dedupMinhashLsh(s, d)
+      .filter(col("doc_a") < 300 && col("doc_b") < 300)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_cand"))
+    val exact = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_exact"))
+    cand.join(exact, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(col("is_cand")).as("n_candidates"),
+        sum(col("is_exact")).as("n_exact_05"),
+        sum(col("is_cand") * col("is_exact")).as("n_both"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_keep_list" -> (dedupKeepList _),
     "x_dedup_minhash" -> (dedupMinhashLsh _),
     "x_dedup_simhash" -> (dedupSimhash _),
+    "x_dedup_minhash_precision" -> (minhashPrecision _),
     "x_jaccard_pairs" -> (jaccardPairs _)
   )
 
-  /** MinHash/SimHash sketches are not SQL-expressible in DuckDB (xxhash64
-    * seeding); they get the driver's rows-only check. The exact ops and the
-    * ground-truth Jaccard are fully oracled. */
+  /** DuckDB twin of the full MinHash pipeline (shared CTE pile for the
+    * sketch query and the precision audit). The (a, b) constants are the
+    * SAME Scala values as [[minhashParams]], inlined as a VALUES list. */
+  private def minhashCtes: String = {
+    val perm = minhashParams.zipWithIndex
+      .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+    s"""w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+       |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
+       |       FROM w WHERE len(w) >= 2),
+       |h AS (SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h FROM sh),
+       |mh AS (SELECT doc_id, p.i AS i, min((p.a * h + p.b) % $MH_P) AS mh
+       |       FROM h, (VALUES $perm) p(i,a,b) GROUP BY doc_id, p.i),
+       |sig AS (SELECT doc_id, list(mh ORDER BY i) AS mh FROM mh GROUP BY doc_id),
+       |band AS (SELECT doc_id, mh, b.b AS band_idx,
+       |                array_to_string(mh[b.b*4+1 : b.b*4+4], ',') AS band_key
+       |         FROM sig, (SELECT unnest(range(0, $BANDS)) AS b) b),
+       |cand AS (
+       |  SELECT doc_a, doc_b,
+       |         CAST(list_sum(list_transform(range(1,${K + 1}), j -> CASE WHEN mh_a[j] = mh_b[j] THEN 1 ELSE 0 END)) AS DOUBLE)/$K AS est_jaccard
+       |  FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b, a.mh AS mh_a, b.mh AS mh_b
+       |        FROM band a JOIN band b
+       |          ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id)
+       |  WHERE CAST(list_sum(list_transform(range(1,${K + 1}), j -> CASE WHEN mh_a[j] = mh_b[j] THEN 1 ELSE 0 END)) AS DOUBLE)/$K >= 0.5)""".stripMargin
+  }
+
+  private def jaccardCte: String =
+    """jt AS (
+      |  SELECT doc_id,
+      |         list_distinct(list_transform(range(1, len(regexp_extract_all(text,'\S+'))),
+      |           i -> regexp_extract_all(text,'\S+')[i] || ' ' || regexp_extract_all(text,'\S+')[i+1])) AS bg
+      |  FROM documents WHERE doc_id < 300),
+      |jp AS (
+      |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |         CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(list_distinct(a.bg || b.bg)) AS jaccard
+      |  FROM jt a, jt b
+      |  WHERE a.doc_id < b.doc_id AND len(a.bg) > 0 AND len(b.bg) > 0)""".stripMargin
+
+  /** Every sketch here is now exactly replicable in DuckDB (md5-derived
+    * hashes + integer permutation family) — full hash-level oracles, no
+    * rows-only checks left in this module. */
   val oracleSql: Map[String, String] = Map(
+    "x_dedup_minhash" ->
+      s"""WITH $minhashCtes
+         |SELECT doc_a, doc_b, est_jaccard FROM cand""".stripMargin,
+    "x_dedup_simhash" ->
+      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,'\S+')) AS tok FROM documents),
+        |h AS (SELECT doc_id, CAST('0x' || substring(md5(tok),1,8) AS BIGINT) AS h FROM tok),
+        |bits AS (SELECT doc_id, i.i AS i, SUM(CASE WHEN (h >> CAST(i.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+        |         FROM h, (SELECT unnest(range(0,32)) AS i) i GROUP BY doc_id, i.i),
+        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+        |        FROM bits GROUP BY doc_id),
+        |band AS (SELECT doc_id, simhash, b.b AS band_idx, (simhash >> CAST(b.b*8 AS INTEGER)) & 255 AS band_val
+        |         FROM sig, (SELECT unnest(range(0,4)) AS b) b)
+        |SELECT doc_a, doc_b, hamming FROM (
+        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        |  FROM band a JOIN band b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+        |WHERE hamming <= 4""".stripMargin,
+    "x_dedup_minhash_precision" ->
+      s"""WITH $minhashCtes,
+         |$jaccardCte
+         |SELECT CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+         |       CAST(SUM(is_exact) AS BIGINT) AS n_exact_05,
+         |       CAST(SUM(is_cand * is_exact) AS BIGINT) AS n_both
+         |FROM (SELECT doc_a, doc_b, 1 AS is_cand FROM cand WHERE doc_a < 300 AND doc_b < 300) c
+         |FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS is_exact FROM jp WHERE jaccard >= 0.5) e
+         |  USING (doc_a, doc_b)""".stripMargin,
     "x_dedup_exact" ->
       """SELECT lang, count(*) AS n_docs,
         |       count(DISTINCT md5(text)) AS n_unique,

@@ -59,46 +59,78 @@ object Similarity {
       .select(col("q_id"), col("nn_id"), col("rnk"), col("sim"))
   }
 
-  private val PLANES = 6
+  private val LSH_TABLES = 16
+  private val LSH_BITS = 6
 
-  /** Deterministic pseudo-random hyperplanes (no RNG at query time: weights
-    * derive from a splitmix-style integer mix of (plane, dim)). */
+  /** Deterministic pseudo-random hyperplanes for LSH_TABLES*LSH_BITS
+    * sign-bit hashes. Weights derive from a splitmix-style integer mix of
+    * (plane, dim), then are QUANTIZED to 6 decimals by a text round-trip:
+    * the decimal literal is the cross-engine source of truth (the DuckDB
+    * oracle inlines the same text), so both engines hold bit-identical
+    * doubles. */
   private[ops] def planeWeights(dim: Int): Array[Array[Double]] =
-    Array.tabulate(PLANES, dim) { (p, j) =>
+    Array.tabulate(LSH_TABLES * LSH_BITS, dim) { (p, j) =>
       var z = p.toLong * 64 + j + 0x9e3779b97f4a7c15L
       z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
       z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
       z = z ^ (z >>> 31)
-      (z.toDouble / Long.MaxValue.toDouble) // in [-1, 1]
+      f"${z.toDouble / Long.MaxValue.toDouble}%.6f".toDouble // in [-1, 1]
     }
 
-  /** LSH-bucketed approximate top-1 neighbor: 6 sign bits -> bucket id;
-    * candidates are same-bucket pairs only. Output is (q_id, nn_id, sim)
-    * for queries that found any same-bucket candidate — recall < 1 by
-    * design, deterministic by construction. */
+  /** (vec_id, tbl, bucket) hash-table entries: LSH_TABLES independent
+    * LSH_BITS-bit sign hashes per vector. All plane dot products ride ONE
+    * 2D literal through an inline-generated posexplode (separate literals
+    * per plane cost seconds of codegen; a post-hoc projection would re-run
+    * the transform per element), then one partial-agg'd groupBy assembles
+    * the bit patterns — no shuffle wider than (vec_id, tbl, bits). */
+  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
+    val planesLit = typedLit(planeWeights(64).map(_.toSeq).toSeq)
+    embeddings(s, d)
+      .select(col("vec_id"),
+        posexplode(transform(planesLit, w => dot(asDouble(col("embedding")), w)))
+          .as(Seq("pidx", "psim")))
+      .groupBy(col("vec_id"), (col("pidx") / lit(LSH_BITS)).cast("int").as("tbl"))
+      .agg(sum(when(col("psim") > 0, expr(s"shiftleft(1L, pidx % $LSH_BITS)"))
+        .otherwise(lit(0L))).as("bucket"))
+  }
+
+  /** Multi-table LSH approximate top-1 neighbor: candidates = union over
+    * LSH_TABLES hash tables of same-bucket ids, dedup'd, then exact-cosine
+    * reranked (fetch vectors back by id — candidate generation never
+    * shuffles vector payloads). Recall/cost is tuned by (TABLES, BITS):
+    * on THIS corpus (random embeddings, no planted near-neighbors — the
+    * worst case for LSH) 16x6 measures recall@1 = 0.58 and top-3 rate =
+    * 0.92 while scanning ~23% of the corpus per query; sweep: 8x6 -> 0.37 /
+    * 0.72 @ 12%, 16x8 -> 0.30 / 0.58 @ 7%. Corpora with genuine near-dup
+    * structure sit far above these numbers at the same parameters. The
+    * x_ann_lsh_recall audit query reports the exact hit counts. */
   def annLsh(s: SparkSession, d: String): DataFrame = {
-    val planes = planeWeights(64)
-    val all = vectors(s, d)
-    val bucketBits = planes.zipWithIndex.map { case (w, p) =>
-      val wc = typedLit(w.toSeq)
-      when(dot(col("v"), wc) > 0, lit(1L << p)).otherwise(lit(0L))
-    }.reduce(_ + _)
-    val bucketed = all.withColumn("bucket", bucketBits)
-    val q = bucketed.filter(col("vec_id") < 200)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"), col("bucket"))
-    val pairs = q.join(bucketed, Seq("bucket"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id").as("nn_id"),
-        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    val bk = lshBuckets(s, d)
+    val cand = bk.as("a").filter(col("a.vec_id") < 200)
+      .join(bk.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("b.vec_id") =!= col("a.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("nn_id"))
+      .distinct()
+    val n = vectors(s, d)
+    val scored = cand
+      .join(n.as("qa"), col("q_id") === col("qa.vec_id"))
+      .join(n.as("qb"), col("nn_id") === col("qb.vec_id"))
+      .select(col("q_id"), col("nn_id"),
+        (dot(col("qa.v"), col("qb.v")) / (col("qa.nrm") * col("qb.nrm"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
-    pairs.withColumn("rnk", row_number().over(w))
+    scored.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") === 1)
       .select(col("q_id"), col("nn_id"), col("sim"))
   }
 
   private val IVF_K = 16
   private val IVF_ITERS = 3
-  private val IVF_NPROBE = 2
+  /** Probes per query — the recall/cost knob. Measured on this corpus
+    * (random embeddings, worst case): nprobe 2 -> recall@1 0.42 / top-3
+    * 0.76; 4 -> 0.63 / 0.95; 8 -> 0.82 / 0.995 (half the clusters). 4 is
+    * the balanced default; the x_ann_ivf_recall audit reports exact counts. */
+  private val IVF_NPROBE = 4
 
   /** Centroids as ONE 2D array literal. Inlining k separate 64-double
     * literals into the expression tree made every training job pay seconds
@@ -150,7 +182,13 @@ object Similarity {
           case Some(rows) =>
             val dim = rows.map(_.getInt(1)).max + 1
             val arr = new Array[Double](dim)
-            rows.foreach(r => arr(r.getInt(1)) = (BigDecimal(r.getDecimal(2)) / r.getLong(3)).toDouble)
+            // Exact decimal sum, then decimal->double cast BEFORE the
+            // divide: `CAST(sum AS DOUBLE) / count` is replicable in any
+            // engine's SQL verbatim, which is what lets the DuckDB oracle
+            // re-run the whole Lloyd loop bit-for-bit. (A BigDecimal
+            // division here would bake JVM-only MathContext semantics into
+            // the centroids.)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDecimal(2).doubleValue / r.getLong(3))
             arr
           case None => cents(c) // empty cluster keeps its centroid
         }
@@ -186,25 +224,171 @@ object Similarity {
       .select(col("q_id"), col("nn_id"), col("sim"))
   }
 
+  /** Exact cosine top-3 for the first `nq` query vectors — the ground truth
+    * the sketch audits compare against (same plan shape as
+    * [[annBruteforce]]: broadcast the query side, stream the corpus). */
+  private def exactTop3(s: SparkSession, d: String, nq: Int): DataFrame = {
+    val all = vectors(s, d)
+    val q = all.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val pairs = broadcast(q).join(all, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= 3)
+      .select(col("q_id"), col("nn_id"), col("rnk"))
+  }
+
+  /** Exact hit counts of a sketch's top-1 answers against the exact top-3:
+    * recall@1 = n_top1/n_results, within-top-3 rate = n_top3/n_results.
+    * Deterministic integers — hash-oracle-able, unlike a float recall. */
+  private def recallAgainstExact(sketch: DataFrame, exact3: DataFrame): DataFrame =
+    sketch.select(col("q_id"), col("nn_id"))
+      .join(exact3, Seq("q_id", "nn_id"), "left")
+      .agg(
+        count(lit(1)).as("n_results"),
+        sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("n_top1"),
+        sum(when(col("rnk").isNotNull, 1L).otherwise(0L)).as("n_top3"))
+
+  def annLshRecall(s: SparkSession, d: String): DataFrame =
+    recallAgainstExact(annLsh(s, d), exactTop3(s, d, 200))
+
+  def annIvfRecall(s: SparkSession, d: String): DataFrame =
+    recallAgainstExact(annIvf(s, d), exactTop3(s, d, 200))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_ann_bruteforce" -> (annBruteforce _),
     "x_ann_lsh" -> (annLsh _),
-    "x_ann_ivf" -> (annIvf _)
+    "x_ann_ivf" -> (annIvf _),
+    "x_ann_lsh_recall" -> (annLshRecall _),
+    "x_ann_ivf_recall" -> (annIvfRecall _)
   )
 
-  /** The LSH variant's bucket function (xxhash-mixed planes) is not
-    * reproducible in DuckDB SQL; rows-only check. Brute force is exactly
-    * oracled thanks to the left-fold discipline. */
+  // ---- DuckDB oracle twins -------------------------------------------------
+  // Every query here is now EXACTLY replicable in SQL: the hyperplane
+  // weights are deterministic Scala doubles inlined as literals, and the IVF
+  // training loop (deterministic seeds + 3 Lloyd iterations with exact
+  // decimal centroid sums) is unrolled into CTEs. Dot products are strict
+  // left folds in both engines (graftbridge.DotProduct ≡ list_dot_product),
+  // which is what makes float equality — and therefore bucket/cluster
+  // membership and final hashes — line up bit-for-bit.
+
+  private def baseCtes: String =
+    """t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM t)""".stripMargin
+
+  private def lshCtes: String = {
+    val planes = planeWeights(64)
+    val arms = (0 until LSH_TABLES).map { l =>
+      val terms = (0 until LSH_BITS).map { j =>
+        val arr = planes(l * LSH_BITS + j).map(w => f"$w%.6f").mkString("[", ",", "]")
+        s"(CASE WHEN list_dot_product(v, $arr) > 0 THEN ${1L << j} ELSE 0 END)"
+      }.mkString("\n     + ")
+      s"SELECT vec_id, $l AS tbl,\n       $terms AS bucket FROM n"
+    }.mkString("\nUNION ALL\n")
+    s"""$baseCtes,
+       |bk AS (
+       |$arms),
+       |cand AS (SELECT DISTINCT a.vec_id AS q_id, b.vec_id AS nn_id
+       |         FROM bk a JOIN bk b
+       |           ON a.tbl = b.tbl AND a.bucket = b.bucket AND b.vec_id <> a.vec_id
+       |         WHERE a.vec_id < 200),
+       |lsh AS (
+       |  SELECT q_id, nn_id, sim FROM (
+       |    SELECT c.q_id, c.nn_id,
+       |           list_dot_product(qa.v, qb.v) / (qa.nrm * qb.nrm) AS sim,
+       |           row_number() OVER (PARTITION BY c.q_id
+       |             ORDER BY list_dot_product(qa.v, qb.v) / (qa.nrm * qb.nrm) DESC, c.nn_id) AS rnk
+       |    FROM cand c JOIN n qa ON qa.vec_id = c.q_id JOIN n qb ON qb.vec_id = c.nn_id)
+       |  WHERE rnk = 1)""".stripMargin
+  }
+
+  /** Unrolled Lloyd loop: c0 = strided seeds, a{t} = argmax-sim assignment
+    * (ties to the lowest cluster id, like array_position), c{t} = exact
+    * DECIMAL(28,12) per-dimension sums cast to double THEN divided — the
+    * same arithmetic trainIvfCentroids performs. Empty clusters keep their
+    * previous centroid. */
+  private def ivfCtes: String = {
+    def assign(cPrev: String, aName: String, extra: String = "") =
+      s"""$aName AS (SELECT vec_id, v,$extra cl FROM (
+         |  SELECT n.vec_id, n.v,$extra c.cl,
+         |         row_number() OVER (PARTITION BY n.vec_id
+         |           ORDER BY list_dot_product(n.v, c.cent) DESC, c.cl) AS rn
+         |  FROM n, $cPrev c) WHERE rn = 1)""".stripMargin
+    def recompute(aName: String, cPrev: String, cName: String) =
+      s"""$cName AS (
+         |  SELECT cl, list(cv ORDER BY pos) AS cent FROM (
+         |    SELECT cl, pos.p AS pos,
+         |           CAST(SUM(CAST(v[pos.p] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cv
+         |    FROM $aName, (SELECT unnest(range(1,65)) AS p) pos
+         |    GROUP BY cl, pos.p) GROUP BY cl
+         |  UNION ALL
+         |  SELECT cl, cent FROM $cPrev WHERE cl NOT IN (SELECT DISTINCT cl FROM $aName))""".stripMargin
+    val iters = (1 to IVF_ITERS).map { i =>
+      assign(s"c${i - 1}", s"a$i") + ",\n" + recompute(s"a$i", s"c${i - 1}", s"c$i")
+    }.mkString(",\n")
+    s"""$baseCtes,
+       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cent
+       |       FROM n WHERE vec_id IN (
+       |         SELECT i.i * (SELECT greatest(1, count(*) // $IVF_K) FROM n)
+       |         FROM (SELECT unnest(range(0,$IVF_K)) AS i) i)
+       |       ORDER BY vec_id LIMIT $IVF_K),
+       |$iters,
+       |${assign(s"c$IVF_ITERS", "af", " nrm,")},
+       |pr AS (SELECT q_id, cl AS cluster FROM (
+       |    SELECT n.vec_id AS q_id, c.cl,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(n.v, c.cent) DESC, c.cl DESC) AS rn
+       |    FROM n, c$IVF_ITERS c WHERE n.vec_id < 200) WHERE rn <= $IVF_NPROBE),
+       |ivf AS (SELECT q_id, nn_id, sim FROM (
+       |    SELECT p.q_id, b.vec_id AS nn_id,
+       |           list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS sim,
+       |           row_number() OVER (PARTITION BY p.q_id
+       |             ORDER BY list_dot_product(q.v, b.v) / (q.nrm * b.nrm) DESC, b.vec_id) AS rnk
+       |    FROM pr p JOIN n q ON q.vec_id = p.q_id
+       |              JOIN af b ON b.cl = p.cluster AND b.vec_id <> p.q_id)
+       |  WHERE rnk = 1)""".stripMargin
+  }
+
+  /** Exact top-3 CTE over the first 200 queries (depends on CTE `n`). */
+  private def exactTop3Cte: String =
+    """ex AS (
+      |  SELECT q_id, nn_id, rnk FROM (
+      |    SELECT a.vec_id AS q_id, b.vec_id AS nn_id,
+      |           row_number() OVER (PARTITION BY a.vec_id
+      |             ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk
+      |    FROM n a, n b WHERE a.vec_id < 200 AND b.vec_id <> a.vec_id)
+      |  WHERE rnk <= 3)""".stripMargin
+
+  private def recallSelect(sketchCte: String): String =
+    s"""SELECT count(*) AS n_results,
+       |       CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_top1,
+       |       CAST(SUM(CASE WHEN rnk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_top3
+       |FROM $sketchCte LEFT JOIN ex USING (q_id, nn_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "x_ann_bruteforce" ->
-      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM t),
-        |p AS (SELECT a.vec_id AS q_id, b.vec_id AS nn_id,
-        |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
-        |      FROM n a, n b WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id),
-        |r AS (SELECT q_id, nn_id, sim,
-        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rnk
-        |      FROM p)
-        |SELECT q_id, nn_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin
+      s"""WITH $baseCtes,
+         |p AS (SELECT a.vec_id AS q_id, b.vec_id AS nn_id,
+         |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+         |      FROM n a, n b WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id),
+         |r AS (SELECT q_id, nn_id, sim,
+         |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rnk
+         |      FROM p)
+         |SELECT q_id, nn_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
+    "x_ann_lsh" ->
+      s"""WITH $lshCtes
+         |SELECT q_id, nn_id, sim FROM lsh""".stripMargin,
+    "x_ann_ivf" ->
+      s"""WITH $ivfCtes
+         |SELECT q_id, nn_id, sim FROM ivf""".stripMargin,
+    "x_ann_lsh_recall" ->
+      s"""WITH $lshCtes,
+         |$exactTop3Cte
+         |${recallSelect("lsh")}""".stripMargin,
+    "x_ann_ivf_recall" ->
+      s"""WITH $ivfCtes,
+         |$exactTop3Cte
+         |${recallSelect("ivf")}""".stripMargin
   )
 }
