@@ -9,11 +9,15 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   *  - DELETE = anti-filter: each chunk writes only the rows that survive;
   *  - UPDATE = column rewrite: each chunk writes its transformed rows;
-  *  - each chunk's output goes to its own range-keyed subdirectory with
-  *    `Overwrite` mode, which stands in for the reference's per-chunk
-  *    transaction: a failed/retried chunk simply re-overwrites its own
-  *    directory, so retries are idempotent and a crashed run resumes from
-  *    the engine's resume point without double-writing earlier chunks.
+  *  - each chunk STAGES its output under a dot-prefixed scratch directory
+  *    and then RENAMES it into its range-keyed final directory — the
+  *    moral equivalent of the reference's per-chunk transaction commit
+  *    (lib/DBIx/BatchChunker.pm:1305-1327): a reader listing `chunk_*`
+  *    never observes a half-written chunk (dot-dirs are invisible to the
+  *    glob AND to Spark's file-index, which skips `.`/`_` paths), a
+  *    failed/retried chunk re-stages and re-renames idempotently, and a
+  *    crashed run resumes from the engine's resume point without
+  *    double-writing earlier chunks.
   *
   * The semantic difference from a real transaction (readers can observe a
   * half-rewritten TABLE across chunk boundaries, never within one chunk) is
@@ -40,10 +44,20 @@ object ChunkedRewrite {
   )(transform: DataFrame => DataFrame): ExecutionReport = {
     val bc = new BatchChunker(df, idColumn, cfg)
     bc.calculateRanges()
+    val hconf = df.sparkSession.sparkContext.hadoopConfiguration
     bc.foreachChunkWithRange { (chunk, chunkDf) =>
-      transform(chunkDf)
-        .write.mode("overwrite")
-        .parquet(s"$outDir/chunk_${chunk.start}_${chunk.end}")
+      val staging = new org.apache.hadoop.fs.Path(
+        s"$outDir/.staging_chunk_${chunk.start}_${chunk.end}")
+      val finalDir = new org.apache.hadoop.fs.Path(
+        s"$outDir/chunk_${chunk.start}_${chunk.end}")
+      val fs = finalDir.getFileSystem(hconf)
+      transform(chunkDf).write.mode("overwrite").parquet(staging.toString)
+      // Commit = swap the fully-written staging dir in. The only
+      // non-atomic instant is between delete and rename, during which the
+      // chunk is ABSENT (a reader skips it), never partial.
+      if (fs.exists(finalDir)) fs.delete(finalDir, true)
+      if (!fs.rename(staging, finalDir))
+        throw new java.io.IOException(s"commit rename failed for $finalDir")
     }
   }
 

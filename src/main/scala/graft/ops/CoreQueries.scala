@@ -256,6 +256,40 @@ object CoreQueries {
       .groupBy(col("l_linestatus"))
       .agg(sum(col("new_price")).cast(DoubleType).as("total_price"))
 
+  /** N5 stmt-mode DML end-to-end: a chunked `INSERT INTO ... SELECT ...
+    * WHERE key BETWEEN {start} AND {end}` template driven through
+    * [[BatchChunker.runSql]] against a real catalog table — the reference's
+    * single most common usage (chunked DML via bound statements,
+    * lib/DBIx/BatchChunker.pm:116-131, examples/basic.pl:21-31). The audit
+    * aggregates the SINK table, so the oracle (same aggregate over the
+    * source) proves the chunk loop covered every key exactly once — no
+    * gaps, no double-writes. */
+  def dmlChunkedInsert(s: SparkSession, d: String): DataFrame = {
+    val loc = "/tmp/graft_dml_chunked_insert"
+    val p = new org.apache.hadoop.fs.Path(loc)
+    val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) fs.delete(p, true)
+    s.sql("DROP TABLE IF EXISTS graft_dml_sink")
+    orders(s, d).createOrReplaceTempView("graft_orders_src")
+    s.sql(
+      s"""CREATE TABLE graft_dml_sink USING parquet LOCATION '$loc' AS
+         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+         |FROM graft_orders_src WHERE 1 = 0""".stripMargin)
+    val bc = new BatchChunker(orders(s, d), "o_orderkey", chunkCfg(8192),
+      enableCountProbe = false)
+    bc.calculateRanges()
+    bc.runSql(s,
+      """INSERT INTO graft_dml_sink
+        |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM graft_orders_src WHERE o_orderkey BETWEEN {start} AND {end}""".stripMargin)
+    s.table("graft_dml_sink")
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_range_minmax" -> n1RangeMinmax _,
     "n2_chunk_stats" -> n2ChunkStats _,
@@ -279,7 +313,8 @@ object CoreQueries {
     "q_date_funcs" -> (qDateFuncs _),
     "q_events_hourly" -> (qEventsHourly _),
     "dml_delete_antifilter" -> (dmlDeleteAntifilter _),
-    "dml_update_rewrite" -> (dmlUpdateRewrite _)
+    "dml_update_rewrite" -> (dmlUpdateRewrite _),
+    "dml_chunked_insert" -> (dmlChunkedInsert _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -380,6 +415,11 @@ object CoreQueries {
       """SELECT l_returnflag, count(*) AS n_remaining FROM lineitem
         |WHERE NOT (l_shipdate < TIMESTAMP '1995-01-01 00:00:00')
         |GROUP BY l_returnflag""".stripMargin,
+    "dml_chunked_insert" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |       count(DISTINCT o_orderkey) AS n_keys,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "dml_update_rewrite" ->
       """SELECT l_linestatus,
         |       CAST(SUM(CASE WHEN l_returnflag = 'R'

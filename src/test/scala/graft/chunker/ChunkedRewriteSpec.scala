@@ -65,4 +65,44 @@ class ChunkedRewriteSpec extends AnyFunSuite {
     assert(result.count() == 100) // no loss, no duplication
     assert(result.select(countDistinct(col("id"))).head().getLong(0) == 100)
   }
+
+  test("per-chunk commit is atomic: a crash mid-chunk leaves no partial chunk visible, and resume completes") {
+    val dir = java.nio.file.Files.createTempDirectory("cow-atomic").toString
+    val src = (1L to 100L).toDF("id")
+    src.write.mode("overwrite").parquet(s"$dir/src")
+    val table = spark.read.parquet(s"$dir/src")
+
+    // Simulate a run killed mid-chunk: the third chunk's transform throws
+    // AFTER its staging write completed (the worst moment — data fully on
+    // disk but not committed).
+    val cfg = cfg0.copy(retryAttempts = 1) // a single attempt: first failure rethrows
+    intercept[RuntimeException] {
+      ChunkedRewrite.rewrite(table, "id", cfg, s"$dir/out") { chunk =>
+        // trigger on the chunk containing id 60 (chunks are 25 wide)
+        if (chunk.filter(col("id") === 60).count() > 0)
+          throw new RuntimeException("killed mid-chunk")
+        chunk
+      }
+    }
+    // Plant a leftover staging dir with junk — the exact on-disk state a
+    // hard kill between staging-write and rename leaves behind.
+    val junk = new java.io.File(s"$dir/out/.staging_chunk_51_75")
+    junk.mkdirs()
+    java.nio.file.Files.writeString(junk.toPath.resolve("part-junk.parquet"), "not parquet")
+    // The reader's view after the crash: only fully-committed chunks, no
+    // partial output from the killed chunk (staging dirs are invisible).
+    val afterCrash = ChunkedRewrite.readBack(spark, s"$dir/out")
+    val seen = afterCrash.select(col("id")).collect().map(_.getLong(0)).toSet
+    assert(seen.forall(id => id <= 50), s"partial chunk leaked into reader view: ${seen.filter(_ > 50)}")
+    assert(afterCrash.count() % 25 == 0, "reader observed a partially-written chunk")
+
+    // Resume: re-run the rewrite (idempotent); every chunk commits.
+    ChunkedRewrite.rewrite(table, "id", cfg, s"$dir/out")(chunk => chunk)
+    val resumed = ChunkedRewrite.readBack(spark, s"$dir/out")
+    assert(resumed.count() == 100)
+    assert(resumed.select(countDistinct(col("id"))).head().getLong(0) == 100)
+    // no staging leftovers
+    val leftovers = new java.io.File(s"$dir/out").listFiles().map(_.getName).filter(_.startsWith(".staging"))
+    assert(leftovers.isEmpty, s"staging dirs not cleaned: ${leftovers.toSeq}")
+  }
 }
