@@ -332,7 +332,16 @@ final class ChunkEngine(
     * the id-space covered (`so_far = end - min_id + 1`) and a linear ETA. */
   private def printChunkStatus(ls: LoopState, action: String): Unit = {
     if (!cfg.verbose) return
-    val countStr = ls.chunkCount.map(c => intFmt.format(c)).getOrElse("?")
+    // Big-id rendering parity (lib/DBIx/BatchChunker.pm:1696-1741): when
+    // start/end reach 1e9 the reference stops applying the CLDR
+    // thousands-separators, and above 1e9 it single-spaces the whole line
+    // so 41-digit BigInt ids don't blow out the column layout.
+    val start = ls.start.getOrElse(BigInt(0))
+    val oneB = BigInt(1000000000)
+    val seps = start < oneB && ls.end < oneB
+    val squeeze = start > oneB || ls.end > oneB
+    def num(n: BigInt): String = if (seps) intFmt.format(n) else n.toString
+    val countStr = ls.chunkCount.map(num).getOrElse("?")
     val pctStr = ls.chunkCount
       .map(c => f"${(BigDecimal(c) / BigDecimal(ls.chunkSize)).toDouble * 100}%.1f%%")
       .getOrElse("?")
@@ -348,7 +357,8 @@ final class ChunkEngine(
       val eta = if (frac > 0 && frac < 1) f", ETA ${elapsed / frac - elapsed}%.0f sec" else ""
       f" [${cfg.progressName} ${frac * 100}%.1f%%$eta]"
     }).getOrElse("")
-    cfg.log((s"IDs ${intFmt.format(ls.start.getOrElse(BigInt(0)))} to ${intFmt.format(ls.end)} " +
-      s"$action, $countStr rows found ($pctStr of chunk size) $rt").trim + progress)
+    val line = (s"IDs ${num(start)} to ${num(ls.end)} " +
+      s"$action, $countStr rows found ($pctStr of chunk size) $rt").trim + progress
+    cfg.log(if (squeeze) line.replaceAll("\\s+", " ").replaceAll("\\(\\s+", "(") else line)
   }
 }

@@ -275,7 +275,7 @@ object CoreQueries {
       s"""CREATE TABLE graft_dml_sink USING parquet LOCATION '$loc' AS
          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          |FROM graft_orders_src WHERE 1 = 0""".stripMargin)
-    val bc = new BatchChunker(orders(s, d), "o_orderkey", chunkCfg(8192),
+    val bc = new BatchChunker(orders(s, d), "o_orderkey", chunkCfg(65536),
       enableCountProbe = false)
     bc.calculateRanges()
     bc.runSql(s,

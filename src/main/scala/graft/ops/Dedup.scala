@@ -92,13 +92,14 @@ object Dedup {
   /** Per-document K minhash values as an array column. One md5 per shingle,
     * then K exact integer permutations `(a_i*h + b_i) mod P` — one pass over
     * exploded shingles computes all K mins (map-side combined). */
-  def minhashSignatures(s: SparkSession, d: String): DataFrame = {
+  def minhashSignatures(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame = {
     // Explode with the shingle expression INLINE in the generator: exploding
     // a pre-projected array column routes rows through a ~6x slower
     // interpreted projection path (measured 10.8s vs 1.8s on 5k docs).
     // array_distinct is skipped on purpose: min(hash) over a multiset equals
     // min(hash) over its set.
-    val exploded = documents(s, d)
+    val base = maxDocId.foldLeft(documents(s, d))((df, m) => df.filter(col("doc_id") < m))
+    val exploded = base
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(when(size(col("toks")) < 2, array().cast("array<string>"))
@@ -116,13 +117,13 @@ object Dedup {
   /** MinHash-LSH near-duplicate pairs: band the signature (8 bands x 4 rows),
     * bucket-join on (band, bandHash), then estimate Jaccard as the fraction
     * of agreeing minhashes; emit pairs with estimated similarity >= 0.5. */
-  def dedupMinhashLsh(s: SparkSession, d: String): DataFrame = {
+  def dedupMinhashLsh(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame = {
     // One linear plan: the signature array rides along through the band
     // explode so the candidate join already has both signatures in hand — no
     // re-join back to the signature relation (which would recompute the
     // shingle aggregation; caching is useless in a lazily-returned plan), and
     // the self-join's two sides reuse one shuffle exchange.
-    val sigs = minhashSignatures(s, d)
+    val sigs = minhashSignatures(s, d, maxDocId)
     // Band key = the 4 minhash values joined as a string — engine-portable
     // and collision-free. (At 100 TB a 64-bit fingerprint of the slice would
     // shrink the shuffle key; the join shape is identical.)
@@ -210,8 +211,11 @@ object Dedup {
     * sketch configuration. Emits exact counts (deterministic, oracle-able):
     * precision = n_both/n_candidates, recall = n_both/n_exact_05. */
   def minhashPrecision(s: SparkSession, d: String): DataFrame = {
-    val cand = dedupMinhashLsh(s, d)
-      .filter(col("doc_a") < 300 && col("doc_b") < 300)
+    // Band membership is a per-PAIR property, so running the sketch on the
+    // doc_id < 300 subset yields exactly the pairs the full-corpus sketch
+    // would emit with both ids < 300 — no need to hash the whole corpus
+    // just to audit the sample.
+    val cand = dedupMinhashLsh(s, d, maxDocId = Some(300))
       .select(col("doc_a"), col("doc_b"), lit(1).as("is_cand"))
     val exact = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
       .select(col("doc_a"), col("doc_b"), lit(1).as("is_exact"))
@@ -225,7 +229,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_keep_list" -> (dedupKeepList _),
-    "x_dedup_minhash" -> (dedupMinhashLsh _),
+    "x_dedup_minhash" -> ((s, d) => dedupMinhashLsh(s, d)),
     "x_dedup_simhash" -> (dedupSimhash _),
     "x_dedup_minhash_precision" -> (minhashPrecision _),
     "x_jaccard_pairs" -> (jaccardPairs _)
@@ -234,10 +238,10 @@ object Dedup {
   /** DuckDB twin of the full MinHash pipeline (shared CTE pile for the
     * sketch query and the precision audit). The (a, b) constants are the
     * SAME Scala values as [[minhashParams]], inlined as a VALUES list. */
-  private def minhashCtes: String = {
+  private def minhashCtes(docFilter: String = ""): String = {
     val perm = minhashParams.zipWithIndex
       .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
-    s"""w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents),
+    s"""w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents$docFilter),
        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
        |       FROM w WHERE len(w) >= 2),
        |h AS (SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h FROM sh),
@@ -273,7 +277,7 @@ object Dedup {
     * rows-only checks left in this module. */
   val oracleSql: Map[String, String] = Map(
     "x_dedup_minhash" ->
-      s"""WITH $minhashCtes
+      s"""WITH ${minhashCtes()}
          |SELECT doc_a, doc_b, est_jaccard FROM cand""".stripMargin,
     "x_dedup_simhash" ->
       """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,'\S+')) AS tok FROM documents),
@@ -290,12 +294,12 @@ object Dedup {
         |  FROM band a JOIN band b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
         |WHERE hamming <= 4""".stripMargin,
     "x_dedup_minhash_precision" ->
-      s"""WITH $minhashCtes,
+      s"""WITH ${minhashCtes(" WHERE doc_id < 300")},
          |$jaccardCte
          |SELECT CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
          |       CAST(SUM(is_exact) AS BIGINT) AS n_exact_05,
          |       CAST(SUM(is_cand * is_exact) AS BIGINT) AS n_both
-         |FROM (SELECT doc_a, doc_b, 1 AS is_cand FROM cand WHERE doc_a < 300 AND doc_b < 300) c
+         |FROM (SELECT doc_a, doc_b, 1 AS is_cand FROM cand) c
          |FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS is_exact FROM jp WHERE jaccard >= 0.5) e
          |  USING (doc_a, doc_b)""".stripMargin,
     "x_dedup_exact" ->

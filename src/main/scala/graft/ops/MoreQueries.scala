@@ -34,11 +34,14 @@ object MoreQueries {
       .agg(count(lit(1)).as("n_orders"))
       .filter(col("n_orders") >= 20)
 
-  /** Uncorrelated scalar subquery (exact aggregate, so cross-engine safe). */
+  /** Uncorrelated scalar subquery (exact aggregate, so cross-engine safe),
+    * expressed as a plan-level broadcast of the 1-row aggregate — one job,
+    * no driver round-trip between the subquery and the outer filter. */
   def qScalarSubquery(s: SparkSession, d: String): DataFrame = {
-    val maxSupp = supplier(s, d).agg(max(col("s_acctbal"))).head().getDouble(0)
+    val maxSupp = supplier(s, d).agg(max(col("s_acctbal")).as("max_supp"))
     customer(s, d)
-      .filter(col("c_acctbal") > maxSupp)
+      .crossJoin(broadcast(maxSupp))
+      .filter(col("c_acctbal") > col("max_supp"))
       .groupBy(col("c_mktsegment"))
       .agg(count(lit(1)).as("n"))
   }

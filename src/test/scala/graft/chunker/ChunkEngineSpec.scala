@@ -331,6 +331,22 @@ class ChunkEngineSpec extends AnyFunSuite {
     assert(status.last.contains("100.0%")) // progress reaches completion
   }
 
+  test("big-id status lines drop digit separators and squeeze spacing (BatchChunker.pm:1696-1741)") {
+    val lines = ArrayBuffer.empty[String]
+    val big = BigInt("12345678901234567890123456789012345678901") // 41 digits, t/big-id.t scale
+    val eng = new ChunkEngine(
+      ChunkerConfig(chunkSize = 10, targetTime = 0, sleep = 0, minChunkPercent = 0,
+        verbose = true, log = lines += _), None)
+    eng.minId = Some(big)
+    eng.maxId = Some(big + 19)
+    eng.execute(_ => ())
+    val status = lines.filter(_.startsWith("IDs "))
+    assert(status.size == 2)
+    assert(status.head.contains(big.toString)) // raw digits, no locale separators
+    assert(status.forall(l => !l.matches(".*\\d,\\d.*")), status.mkString("\n"))
+    assert(status.forall(l => !l.contains("  ")), status.mkString("\n")) // single-spaced
+  }
+
   test("manual min/max without a source works (DIY planning, t/dbh.t:249-281)") {
     val eng = new ChunkEngine(cfg0.copy(chunkSize = 25, minChunkPercent = 0), None)
     eng.minId = Some(BigInt(100))
