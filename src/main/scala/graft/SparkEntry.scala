@@ -40,6 +40,7 @@ object SparkEntry {
     graft.ops.CoreQueries.queries ++
       graft.ops.SkewOps.queries ++
       graft.ops.MoreQueries.queries ++
+      graft.ops.ExtraQueries.queries ++
       graft.ops.TextAnalysis.queries ++
       graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++
@@ -52,6 +53,7 @@ object SparkEntry {
     graft.ops.CoreQueries.oracleSql ++
       graft.ops.SkewOps.oracleSql ++
       graft.ops.MoreQueries.oracleSql ++
+      graft.ops.ExtraQueries.oracleSql ++
       graft.ops.TextAnalysis.oracleSql ++
       graft.ops.Dedup.oracleSql ++
       graft.ops.Similarity.oracleSql ++

@@ -1,0 +1,166 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import Tables._
+
+/** Third tranche of the delegated relational surface: correlated scalar
+  * subqueries, exact percentiles via window arithmetic, regex scalar
+  * functions, conditional aggregation, lag/lead window frames, a
+  * self-verifying approximate-distinct audit, and the batch twin of the
+  * stream-stream interval join.
+  *
+  * Determinism discipline matches CoreQueries: decimal-exact sums before
+  * any double cast, identical division formulations in both engines,
+  * unique window tiebreaks.
+  */
+object ExtraQueries {
+
+  /** Correlated scalar subquery shape: customers above their own nation's
+    * mean balance. Decorrelated by hand into a per-nation aggregate +
+    * equi-join — exactly what Catalyst's subquery decorrelation produces,
+    * and the only shape that scales (the naive per-row subquery is O(n)
+    * queries). Mean = exact decimal sum cast to double THEN divided, so
+    * both engines compare against bit-identical thresholds. */
+  def qCorrelatedScalar(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d)
+    val nationAvg = c.groupBy(col("c_nationkey").as("nk"))
+      .agg((sum(col("c_acctbal").cast(DecimalType(18, 2))).cast(DoubleType) /
+        count(lit(1))).as("avg_bal"))
+    c.join(broadcast(nationAvg), col("c_nationkey") === col("nk"))
+      .filter(col("c_acctbal") > col("avg_bal"))
+      .groupBy(col("c_nationkey"))
+      .agg(count(lit(1)).as("n_above"))
+  }
+
+  /** Exact discrete median per group via window arithmetic (row_number +
+    * count over the partition): deterministic by the unique tiebreak, no
+    * engine-specific percentile semantics involved — both engines run the
+    * same formulation. */
+  def qMedianDisc(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    val wAll = Window.partitionBy(col("o_orderstatus"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .withColumn("cnt", count(lit(1)).over(wAll))
+      .filter(col("rn") === expr("(cnt + 1) div 2")) // integer div: Column./ is double division
+      .select(col("o_orderstatus"), col("o_totalprice").as("median_price"))
+  }
+
+  /** Regex scalar functions: extract / match-test / match-count. Patterns
+    * kept to the POSIX-safe subset both regex engines (Java / RE2-style)
+    * treat identically. */
+  def qRegexFuncs(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .filter(col("p_partkey") <= 300)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_name"), "^([a-z]+)", 1).as("first_word"),
+        col("p_type").rlike("[A-Z]{2,}").as("has_caps_run"),
+        size(regexp_extract_all(col("p_name"), lit("[aeiou]"), lit(0))).as("n_vowels"))
+
+  /** Conditional aggregation (FILTER / CASE-inside-agg). */
+  def qConditionalAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(when(col("l_returnflag") === "R", 1)).as("n_returned"),
+        sum(when(col("l_quantity") > 25, col("l_quantity")).otherwise(lit(0))
+          .cast(DecimalType(18, 2))).cast(DoubleType).as("qty_big"),
+        max(when(col("l_linenumber") === 1, col("l_extendedprice"))).as("max_first_price"))
+
+  /** Lag/lead window functions with a date-gap derivation. */
+  def qLagLead(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_custkey") <= 100)
+      .withColumn("prev_price", lag(col("o_totalprice"), 1).over(w))
+      .withColumn("next_price", lead(col("o_totalprice"), 1).over(w))
+      .withColumn("gap_days",
+        datediff(col("o_orderdate"), lag(col("o_orderdate"), 1).over(w)))
+      .select(col("o_custkey"), col("o_orderkey"),
+        col("prev_price"), col("next_price"), col("gap_days"))
+  }
+
+  /** Approximate-distinct (HLL++) audited against the exact count: the
+    * oracle pins the exact value and `approx_ok = true`; if Spark's sketch
+    * ever drifts past the 5% bound the query emits false and the hash
+    * check fails. This is how non-replicable sketches stay inside an exact
+    * verification harness. */
+  def qApproxDistinctAudit(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .agg(
+        countDistinct(col("l_orderkey")).as("exact_keys"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_keys"))
+      .select(
+        col("exact_keys"),
+        (abs(col("approx_keys") - col("exact_keys")).cast(DoubleType) /
+          col("exact_keys") <= 0.05).as("approx_ok"))
+
+  /** Batch twin of the stream-stream interval join (purchases to the same
+    * user's clicks in the preceding 10 minutes) — the identical join body
+    * runs under two watermarked readStreams in graft.streaming. */
+  def qIntervalJoin(s: SparkSession, d: String): DataFrame =
+    graft.streaming.EventStream.purchaseClickJoinBatch(events(s, d))
+
+  val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_correlated_scalar" -> (qCorrelatedScalar _),
+    "q_median_disc" -> (qMedianDisc _),
+    "q_regex_funcs" -> (qRegexFuncs _),
+    "q_conditional_agg" -> (qConditionalAgg _),
+    "q_lag_lead" -> (qLagLead _),
+    "q_approx_distinct_audit" -> (qApproxDistinctAudit _),
+    "q_interval_join" -> (qIntervalJoin _)
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_correlated_scalar" ->
+      """WITH a AS (
+        |  SELECT c_nationkey AS nk,
+        |         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) / count(*) AS avg_bal
+        |  FROM customer GROUP BY 1)
+        |SELECT c_nationkey, count(*) AS n_above
+        |FROM customer JOIN a ON c_nationkey = nk
+        |WHERE c_acctbal > avg_bal
+        |GROUP BY c_nationkey""".stripMargin,
+    "q_median_disc" ->
+      """SELECT o_orderstatus, o_totalprice AS median_price FROM (
+        |  SELECT o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+        |         count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |  FROM orders)
+        |WHERE rn = (cnt + 1) // 2""".stripMargin,
+    "q_regex_funcs" ->
+      """SELECT p_partkey,
+        |       regexp_extract(p_name, '^([a-z]+)', 1) AS first_word,
+        |       regexp_matches(p_type, '[A-Z]{2,}') AS has_caps_run,
+        |       CAST(len(regexp_extract_all(p_name, '[aeiou]')) AS INTEGER) AS n_vowels
+        |FROM part WHERE p_partkey <= 300""".stripMargin,
+    "q_conditional_agg" ->
+      """SELECT l_linestatus,
+        |       count(CASE WHEN l_returnflag = 'R' THEN 1 END) AS n_returned,
+        |       CAST(SUM(CAST(CASE WHEN l_quantity > 25 THEN l_quantity ELSE 0 END AS DECIMAL(18,2))) AS DOUBLE) AS qty_big,
+        |       max(CASE WHEN l_linenumber = 1 THEN l_extendedprice END) AS max_first_price
+        |FROM lineitem GROUP BY l_linestatus""".stripMargin,
+    "q_lag_lead" ->
+      """SELECT o_custkey, o_orderkey,
+        |       lag(o_totalprice) OVER w AS prev_price,
+        |       lead(o_totalprice) OVER w AS next_price,
+        |       CAST(date_diff('day', CAST(lag(o_orderdate) OVER w AS DATE), CAST(o_orderdate AS DATE)) AS INTEGER) AS gap_days
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
+    "q_approx_distinct_audit" ->
+      "SELECT count(DISTINCT l_orderkey) AS exact_keys, true AS approx_ok FROM lineitem",
+    "q_interval_join" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+        | AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 600000""".stripMargin
+  )
+}

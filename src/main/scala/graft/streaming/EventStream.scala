@@ -52,6 +52,41 @@ object EventStream {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join body: each purchase pairs with the same
+    * user's clicks in the PRECEDING 10 minutes. Shared by the streaming
+    * query (both sides watermarked below) and the batch catalog twin
+    * (`q_interval_join` in ops) — one logical join, two execution modes.
+    * Gap math on exact epoch-millis longs. */
+  def purchaseClickJoinBody(purchases: DataFrame, clicks: DataFrame): DataFrame =
+    purchases.join(clicks,
+      col("p_user") === col("c_user") &&
+        col("click_ms") <= col("p_ms") &&
+        col("click_ms") >= col("p_ms") - lit(10 * 60 * 1000L))
+      .select(col("purchase_id"), col("click_id"), (col("p_ms") - col("click_ms")).as("gap_ms"))
+
+  private def purchaseSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user"), col("ts").as("p_ts"),
+        unix_millis(col("ts")).as("p_ms"), col("event_id").as("purchase_id"))
+
+  private def clickSide(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "click")
+      .select(col("user_id").as("c_user"), col("ts").as("c_ts"),
+        unix_millis(col("ts")).as("click_ms"), col("event_id").as("click_id"))
+
+  /** Batch mode: same join body, no watermarks needed. */
+  def purchaseClickJoinBatch(events: DataFrame): DataFrame =
+    purchaseClickJoinBody(purchaseSide(events), clickSide(events))
+
+  /** Streaming mode: both sides carry watermarks and the join predicate
+    * carries the event-time interval, so Spark can age out buffered rows —
+    * state is O(events per watermark window), the ONLY way a stream-stream
+    * join survives an unbounded stream. */
+  def purchaseClickJoinStream(events: DataFrame): DataFrame =
+    purchaseClickJoinBody(
+      purchaseSide(events).withWatermark("p_ts", "1 hour"),
+      clickSide(events).withWatermark("c_ts", "1 hour"))
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
   final case class SessionOutput(user_id: Long, n_events: Long, duration_sec: Double)

@@ -128,4 +128,36 @@ class EventStreamSpec extends AnyFunSuite {
       assert(sessions.contains((2L, 1L, 0.0)), s"timeout session missing: $sessions")
     } finally query.stop()
   }
+
+  test("stream-stream interval join equals its batch twin on the same events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val rows = Seq(
+      // user 1: click at 10:00, purchase at 10:05 (join), purchase at 10:20 (15 min later: no join)
+      (1L, ts(0), 1L, "click", 0.0), (2L, ts(5), 1L, "purchase", 9.99), (3L, ts(20), 1L, "purchase", 5.0),
+      // user 2: purchase BEFORE its click -> no pair (interval is preceding-only)
+      (4L, ts(2), 2L, "purchase", 1.0), (5L, ts(3), 2L, "click", 0.0),
+      // user 3: two clicks in-window before one purchase -> two pairs
+      (6L, ts(8), 3L, "click", 0.0), (7L, ts(9), 3L, "click", 0.0), (8L, ts(11), 3L, "purchase", 2.0))
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val query = EventStream.purchaseClickJoinStream(events).writeStream
+      .format("memory").queryName("sj_test").outputMode("append").start()
+    val streamed = try {
+      input.addData(rows.take(4))
+      query.processAllAvailable()
+      input.addData(rows.drop(4)) // join pairs across micro-batches
+      query.processAllAvailable()
+      spark.table("sj_test").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    } finally query.stop()
+
+    val batch = EventStream.purchaseClickJoinBatch(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(batch == Set((2L, 1L, 300000L), (8L, 6L, 180000L), (8L, 7L, 120000L)))
+    assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
+  }
 }
