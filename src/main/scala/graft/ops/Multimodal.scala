@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import Tables._
@@ -75,11 +75,63 @@ object Multimodal {
         when(nBytes % 3 === 0, "image").when(nBytes % 3 === 1, "audio").otherwise("video").as("kind"))
   }
 
+  // ---- Real byte-level media ops (no codec required) -----------------------
+
+  /** PNG signature check on a raw binary column: the 8 magic bytes, compared
+    * via hex() — pure codegen'd expressions, works on actual PNG files. */
+  def isPng(bin: Column): Column = hex(substring(bin, 1, 8)) === "89504E470D0A1A0A"
+
+  /** PNG IHDR dimensions parsed from raw bytes with column expressions only:
+    * big-endian u32 at byte offsets 17 (width) and 21 (height) — after the
+    * 8-byte signature, 4-byte chunk length and the 'IHDR' tag. hex()+conv()
+    * is the codegen-friendly big-endian integer read; a real pipeline runs
+    * THIS over billions of thumbnails and saves the codec invocation for
+    * rows that pass the size filter. */
+  def pngWidth(bin: Column): Column = conv(hex(substring(bin, 17, 4)), 16, 10).cast("int")
+  def pngHeight(bin: Column): Column = conv(hex(substring(bin, 21, 4)), 16, 10).cast("int")
+
+  /** Aspect-preserving fit of (w, h) into a (maxW, maxH) box — the resize
+    * TARGET computation (the actual pixel resample is the codec's job; the
+    * planning math is exact integer/double column arithmetic). */
+  def fitWithin(w: Column, h: Column, maxW: Int, maxH: Int): Column = {
+    val scale = least(lit(maxW).cast("double") / w, lit(maxH).cast("double") / h, lit(1.0))
+    struct(floor(w * scale).cast("int").as("w"), floor(h * scale).cast("int").as("h"))
+  }
+
+  /** Evenly-strided frame-sample indices: k frames from an n-frame clip,
+    * `floor(i*n/k)` for i in [0, k) — exact integer math, the standard
+    * keyframe-sampling shape for video training data. */
+  def frameSampleIndices(nFrames: Column, k: Int): Column =
+    when(nFrames <= 0, array().cast("array<int>"))
+      .otherwise(transform(sequence(lit(0), lit(k - 1)),
+        i => floor(i * nFrames / k).cast("int"))) // ints are double-exact here
+
+  /** Catalog query: frame-sampling plan over the stub metadata — for each
+    * video doc, which 4 frame indices a sampler would decode. */
+  def frameSample(s: SparkSession, d: String): DataFrame = {
+    val nBytes = expr("octet_length(text)")
+    documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"), (nBytes % 30).as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), col("n_frames"),
+        posexplode(frameSampleIndices(col("n_frames"), 4)).as(Seq("sample_idx", "frame_idx")))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
-    "x_multimodal_meta" -> (multimodalMeta _)
+    "x_multimodal_meta" -> (multimodalMeta _),
+    "x_frame_sample" -> (frameSample _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x_frame_sample" ->
+      """SELECT doc_id, CAST(n_frames AS INTEGER) AS n_frames,
+        |       CAST(i.i AS INTEGER) AS sample_idx,
+        |       CAST((i.i * n_frames) // 4 AS INTEGER) AS frame_idx
+        |FROM (SELECT doc_id, octet_length(encode(text)) % 30 AS n_frames
+        |      FROM documents WHERE doc_id < 300) d,
+        |     (SELECT unnest(range(0,4)) AS i) i
+        |WHERE n_frames > 0""".stripMargin,
     "x_multimodal_meta" ->
       """SELECT doc_id,
         |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -96,7 +96,33 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"),
         countDistinct(fingerprintCol(col("text"))).as("n_unique"))
 
+  /** Keyword extraction: the top-3 DISTINCTIVE terms per document — highest
+    * term frequency among terms appearing in under 10% of the corpus (the
+    * integer-exact core of TF-IDF; float idf weights are deliberately
+    * avoided because libm log() differs across engines at the ulp level,
+    * while (tf, df) counts are exact everywhere). Shapes: one explode ->
+    * per-(doc,term) count, a broadcast-able per-term document frequency,
+    * and a top-k window — all partial-agg'd, nothing driver-side. */
+  def keywords(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = documents(s, d)
+      .filter(col("doc_id") < 100)
+      .select(col("doc_id"), explode(tokensCol(lower(col("text")))).as("term"))
+    val tf = terms.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val nDocs = documents(s, d).filter(col("doc_id") < 100)
+      .agg(count(lit(1)).as("n_docs"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("tf").desc, col("term"))
+    tf.join(df, "term")
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 10 < col("n_docs"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_keywords" -> (keywords _),
     "x_token_count" -> (tokenCount _),
     "x_quality_score" -> (qualityScore _),
     "x_lang_id" -> (langId _),
@@ -104,6 +130,19 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x_keywords" ->
+      """WITH terms AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
+        |  FROM documents WHERE doc_id < 100),
+        |tf AS (SELECT doc_id, term, count(*) AS tf FROM terms GROUP BY doc_id, term),
+        |df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents WHERE doc_id < 100)
+        |SELECT doc_id, term, tf, df, rnk FROM (
+        |  SELECT tf.doc_id, tf.term, tf.tf, df.df,
+        |         CAST(row_number() OVER (PARTITION BY tf.doc_id ORDER BY tf.tf DESC, tf.term) AS INTEGER) AS rnk
+        |  FROM tf JOIN df USING (term), n
+        |  WHERE df.df * 10 < n.n_docs)
+        |WHERE rnk <= 3""".stripMargin,
     "x_token_count" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens

@@ -154,4 +154,42 @@ class ExtensionOpsSpec extends AnyFunSuite {
       .collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(out.contains(("en", "en")) && out.contains(("de", "de")) && out.contains(("zz", "und")))
   }
+
+  test("PNG header parse: real PNG bytes yield true dimensions via pure column expressions") {
+    import spark.implicits._
+    // A REAL (truncated) PNG: 8-byte signature, IHDR length, 'IHDR' tag,
+    // then big-endian width=320, height=200.
+    def png(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(24)
+      bb.put(Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+      bb.putInt(13).put("IHDR".getBytes("US-ASCII")).putInt(w).putInt(h)
+      bb.array()
+    }
+    val df = Seq(
+      (1L, png(320, 200)), (2L, png(1, 1)), (3L, png(65535, 4096)),
+      (4L, "not a png at all..........".getBytes("US-ASCII"))
+    ).toDF("id", "payload")
+    val parsed = df.select(col("id"), Multimodal.isPng(col("payload")).as("ok"),
+        Multimodal.pngWidth(col("payload")).as("w"), Multimodal.pngHeight(col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) -> (r.getBoolean(1), r.getInt(2), r.getInt(3))).toMap
+    assert(parsed(1L) == ((true, 320, 200)))
+    assert(parsed(2L) == ((true, 1, 1)))
+    assert(parsed(3L) == ((true, 65535, 4096)))
+    assert(!parsed(4L)._1)
+  }
+
+  test("aspect-fit resize targets and frame-sample indices are exact") {
+    import spark.implicits._
+    val df = Seq((1920, 1080), (100, 400), (50, 50)).toDF("w", "h")
+    val fits = df.select(Multimodal.fitWithin(col("w"), col("h"), 224, 224).as("fit"))
+      .select(col("fit.w"), col("fit.h"))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // downscale keeps aspect; already-small images are not upscaled
+    assert(fits == Set((224, 126), (56, 224), (50, 50)))
+
+    val frames = Seq(10, 3).toDF("n")
+      .select(Multimodal.frameSampleIndices(col("n"), 4).as("idx"))
+      .collect().map(_.getSeq[Int](0)).toSet
+    assert(frames == Set(Seq(0, 2, 5, 7), Seq(0, 0, 1, 2)))
+  }
 }
