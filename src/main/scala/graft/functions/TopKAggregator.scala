@@ -1,0 +1,42 @@
+package graft.functions
+
+import org.apache.spark.sql.Encoder
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Bounded-heap per-group top-k: keeps only k (value, id) pairs per group
+  * through the whole partial/merge/finish cycle, ordered by value DESC with
+  * id ASC as the deterministic tiebreak.
+  *
+  * This is the SCALE alternative to window-function top-n: a window
+  * `row_number() <= k` must shuffle and SORT every row of every group,
+  * while this aggregate keeps k rows per group per partition map-side and
+  * shuffles only those — for a 100 TB table with millions of rows per hot
+  * group, that is the difference between a full sort and a near-map-only
+  * pass. Results are identical (same order, same tiebreak) and oracled
+  * against the window formulation.
+  */
+final class TopKAggregator(k: Int)
+    extends Aggregator[TopKIn, Seq[TopKIn], Seq[TopKIn]] {
+  require(k >= 1, "k must be >= 1")
+
+  // value DESC, id ASC — a total order, so results are deterministic
+  private def better(a: TopKIn, b: TopKIn): Boolean =
+    a.v > b.v || (a.v == b.v && a.id < b.id)
+
+  private def trim(xs: Seq[TopKIn]): Seq[TopKIn] =
+    xs.sortWith(better).take(k)
+
+  override def zero: Seq[TopKIn] = Nil
+  override def reduce(b: Seq[TopKIn], x: TopKIn): Seq[TopKIn] =
+    // tiny k: insert + trim beats a heap allocation per group
+    if (b.size < k || better(x, b.last)) trim(b :+ x) else b
+  override def merge(a: Seq[TopKIn], b: Seq[TopKIn]): Seq[TopKIn] = trim(a ++ b)
+  override def finish(r: Seq[TopKIn]): Seq[TopKIn] = trim(r)
+
+  override def bufferEncoder: Encoder[Seq[TopKIn]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKIn]]()
+  override def outputEncoder: Encoder[Seq[TopKIn]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[TopKIn]]()
+}
+
+final case class TopKIn(v: Double, id: Long)

@@ -106,17 +106,67 @@ object ExtraQueries {
   def qIntervalJoin(s: SparkSession, d: String): DataFrame =
     graft.streaming.EventStream.purchaseClickJoinBatch(events(s, d))
 
+  /** AS-OF join — each purchase matched to the same user's LATEST view at
+    * or before it. Spark has no asof operator; the scalable composition is
+    * union-both-sides + one window pass: tag rows, sort within user by
+    * (ts, side, event_id) — views sort before purchases at equal ts so
+    * `<=` semantics hold, latest view id wins ties — and carry the last
+    * non-null view id forward. ONE shuffle on user_id, no banding, no
+    * theta-join, state O(1) per row: this beats both the O(n^2) theta join
+    * and a custom physical operator (nothing here the built-ins can't
+    * express, per the escalation ladder). DuckDB's native ASOF JOIN agrees
+    * modulo its unspecified equal-ts tiebreak, so the oracle uses the same
+    * deterministic window formulation. */
+  def qAsofJoin(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), lit(0).as("side"),
+        col("event_id"), col("event_id").as("view_id"))
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("ms"), lit(1).as("side"),
+        col("event_id"), lit(null).cast(LongType).as("view_id"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ms"), col("side"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    views.unionAll(purchases)
+      .withColumn("matched_view", last(col("view_id"), ignoreNulls = true).over(w))
+      .filter(col("side") === 1)
+      .select(col("event_id").as("purchase_id"), col("matched_view"))
+  }
+
+  /** Per-group top-2 via the bounded-heap [[graft.functions.TopKAggregator]]
+    * — identical rows to q_window_topn (same oracle SQL), but the plan
+    * shuffles only k rows per group per partition instead of sorting every
+    * row of every group. The scale answer to per-group top-n. */
+  def qTopnAgg(s: SparkSession, d: String): DataFrame = {
+    val topk = udaf(new graft.functions.TopKAggregator(2))
+    orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("tk"))
+      .select(col("o_custkey"), posexplode(col("tk")))
+      .select(col("o_custkey"), col("col.id").as("o_orderkey"),
+        (col("pos") + 1).cast(IntegerType).as("rn"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_topn_agg" -> (qTopnAgg _),
     "q_correlated_scalar" -> (qCorrelatedScalar _),
     "q_median_disc" -> (qMedianDisc _),
     "q_regex_funcs" -> (qRegexFuncs _),
     "q_conditional_agg" -> (qConditionalAgg _),
     "q_lag_lead" -> (qLagLead _),
     "q_approx_distinct_audit" -> (qApproxDistinctAudit _),
-    "q_interval_join" -> (qIntervalJoin _)
+    "q_interval_join" -> (qIntervalJoin _),
+    "q_asof_join" -> (qAsofJoin _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_topn_agg" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         CAST(row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders
+        |) WHERE rn <= 2""".stripMargin,
     "q_correlated_scalar" ->
       """WITH a AS (
         |  SELECT c_nationkey AS nk,
@@ -154,6 +204,20 @@ object ExtraQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q_approx_distinct_audit" ->
       "SELECT count(DISTINCT l_orderkey) AS exact_keys, true AS approx_ok FROM lineitem",
+    "q_asof_join" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, 0 AS side, event_id, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts), 1, event_id, NULL
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id AS purchase_id, matched_view FROM (
+        |  SELECT side, event_id,
+        |         last_value(view_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ms, side, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_view
+        |  FROM u)
+        |WHERE side = 1""".stripMargin,
     "q_interval_join" ->
       """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
         |       epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
