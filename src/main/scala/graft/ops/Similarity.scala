@@ -157,7 +157,17 @@ object Similarity {
     * make cluster assignments — and therefore query results — flap between
     * runs). Returns driver-side centroids; k*dim is tiny at any data scale.
     */
-  private[ops] def trainIvfCentroids(s: SparkSession, d: String): Array[Array[Double]] = {
+  /** Training is a pure function of the data directory (deterministic
+    * seeds, deterministic arithmetic), so one memoized result serves every
+    * query in the session — x_ann_ivf and x_ann_ivf_recall share it
+    * instead of re-running three Lloyd jobs each. */
+  private val centroidCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+
+  private[ops] def trainIvfCentroids(s: SparkSession, d: String): Array[Array[Double]] =
+    centroidCache.computeIfAbsent(d, dir => trainIvfCentroidsUncached(s, dir))
+
+  private[ops] def trainIvfCentroidsUncached(s: SparkSession, d: String): Array[Array[Double]] = {
     // Training is eager (each Lloyd iteration collects centroid sums), so a
     // persist here genuinely caches across iterations — without it every
     // iteration re-reads the parquet and re-derives the projection.

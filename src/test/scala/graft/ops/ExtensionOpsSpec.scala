@@ -95,8 +95,10 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val hits = ivf.count { case (q, (nn, _)) => bf.get(q).exists(_._1 == nn) }
     assert(ivf.nonEmpty && hits >= ivf.size / 4, s"IVF recall too low: $hits/${ivf.size}")
     // determinism: training twice yields identical centroids
-    val c1 = Similarity.trainIvfCentroids(spark, sfDir)
-    val c2 = Similarity.trainIvfCentroids(spark, sfDir)
+    // uncached on purpose: the memoized entry point would trivially return
+    // the same array; this asserts the TRAINING is deterministic
+    val c1 = Similarity.trainIvfCentroidsUncached(spark, sfDir)
+    val c2 = Similarity.trainIvfCentroidsUncached(spark, sfDir)
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
   }
 
