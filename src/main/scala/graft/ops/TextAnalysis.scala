@@ -121,8 +121,55 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
   }
 
+  private val WIN = 50
+  private val STRIDE = 25
+
+  /** Context-length document windowing: split each document into
+    * overlapping token windows (size 50, stride 25) — the standard prep
+    * step for fixed-context training. Emits a content hash per window so
+    * the oracle verifies the actual window text, not just counts.
+    * Shape: one explode over an arithmetic window index — embarrassingly
+    * parallel, no shuffle at all until a consumer aggregates. */
+  def docWindows(s: SparkSession, d: String): DataFrame = {
+    // ceil((size-WIN)/STRIDE) in exact integer math (Column./ is double division)
+    val nWins = lit(1) +
+      floor((greatest(size(col("toks")) - WIN, lit(0)) + (STRIDE - 1)) / STRIDE).cast("int")
+    documents(s, d)
+      .filter(col("doc_id") < 200)
+      .select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), col("toks"),
+        posexplode(transform(sequence(lit(0), nWins - 1),
+          i => slice(col("toks"), i * STRIDE + 1, lit(WIN)))).as(Seq("win_idx", "win")))
+      .select(col("doc_id"), col("win_idx"),
+        size(col("win")).as("n_tokens"),
+        md5(concat_ws(" ", col("win"))).as("win_hash"))
+  }
+
+  /** Decontamination: flag corpus documents sharing 5-gram content with a
+    * "benchmark" set (here: doc_id < 10 stands in for the eval set). The
+    * benchmark gram set is tiny and broadcast; the corpus side streams —
+    * at 100 TB this is a broadcast-hash semi-ish join on gram hashes,
+    * never an all-pairs comparison. */
+  def decontam(s: SparkSession, d: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame =
+      df.select(col("doc_id"), tokensCol(lower(col("text"))).as("toks"))
+        .select(col("doc_id"),
+          explode(when(size(col("toks")) < 5, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(col("toks")) - 5),
+              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(5))))))).as("g"))
+    val bench = grams(documents(s, d).filter(col("doc_id") < 10))
+      .select(col("g")).distinct()
+    val corpus = grams(documents(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 400))
+    corpus.join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_contaminated"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_keywords" -> (keywords _),
+    "x_doc_windows" -> (docWindows _),
+    "x_decontam" -> (decontam _),
     "x_token_count" -> (tokenCount _),
     "x_quality_score" -> (qualityScore _),
     "x_lang_id" -> (langId _),
@@ -130,6 +177,32 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x_doc_windows" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS w
+        |  FROM documents WHERE doc_id < 200),
+        |win AS (
+        |  SELECT doc_id, len(w) AS n,
+        |         unnest(range(0, 1 + (greatest(len(w) - 50, 0) + 24) // 25)) AS i, w
+        |  FROM tok WHERE len(w) > 0)
+        |SELECT doc_id, CAST(i AS INTEGER) AS win_idx,
+        |       CAST(len(w[i*25+1 : least(i*25+50, n)]) AS INTEGER) AS n_tokens,
+        |       md5(array_to_string(w[i*25+1 : least(i*25+50, n)], ' ')) AS win_hash
+        |FROM win""".stripMargin,
+    "x_decontam" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
+        |           i -> md5(array_to_string(w[i+1 : i+5], ' ')))) AS g
+        |  FROM tok WHERE doc_id < 10),
+        |corpus AS (
+        |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
+        |           i -> md5(array_to_string(w[i+1 : i+5], ' ')))) AS g
+        |  FROM tok WHERE doc_id >= 100 AND doc_id < 400)
+        |SELECT doc_id, count(DISTINCT g) AS n_contaminated
+        |FROM corpus JOIN bench USING (g)
+        |GROUP BY doc_id""".stripMargin,
     "x_keywords" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
