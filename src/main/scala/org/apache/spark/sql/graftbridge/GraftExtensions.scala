@@ -15,6 +15,17 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer rule: size(regexp_extract_all(x, '\S+', 0)) -> TokenCount(x)
+    // (single byte-scan, no regex, no array). The catalog keeps the
+    // declarative idiom; sessions built with these extensions run it fast.
+    ext.injectOptimizerRule(_ => RewriteTokenCount)
+    ext.injectFunction((
+      new FunctionIdentifier("graft_token_count"),
+      new ExpressionInfo(classOf[TokenCount].getName, "graft_token_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_token_count(str) takes exactly 1 argument")
+        TokenCount(args.head)
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),

@@ -23,4 +23,11 @@ package object graftbridge {
     * (see [[graftbridge.SortedIntersectCount]]). */
   def sortedIntersectCount(a: Column, b: Column): Column =
     ExpressionUtils.column(SortedIntersectCount(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
+
+  /** Single-byte-scan whitespace-token counter (see
+    * [[graftbridge.TokenCount]]); the RewriteTokenCount optimizer rule
+    * produces it automatically from the regexp idiom in sessions built
+    * with GraftExtensions. */
+  def tokenCount(c: Column): Column =
+    ExpressionUtils.column(TokenCount(ExpressionUtils.expression(c)))
 }

@@ -14,6 +14,7 @@ object SparkTestSession {
       // events.parquet stores TIMESTAMP(NANOS); Tables.events is read-only
       // and requires this at session build.
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .withExtensions(new org.apache.spark.sql.graftbridge.GraftExtensions)
       .getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s

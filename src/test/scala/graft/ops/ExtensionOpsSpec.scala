@@ -157,6 +157,24 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(out.contains(("en", "en")) && out.contains(("de", "de")) && out.contains(("zz", "und")))
   }
 
+  test("native TokenCount equals the regexp \\S+ idiom on adversarial inputs") {
+    import spark.implicits._
+    val hand = Seq(
+      "", " ", "a", " a", "a ", "  a  b  ", "\t\n\f\r", "a\tb\nc",
+      "héllo wörld", "日本語 テスト",
+      "a b", // nbsp is NOT Java \s: stays one token
+      "x" * 1000, ("y " * 500).trim)
+    val rng = new scala.util.Random(42)
+    val alphabet = "ab \t\n\r\fé中 "
+    val fuzz = Seq.fill(200)(Seq.fill(rng.nextInt(40))(alphabet(rng.nextInt(alphabet.length))).mkString)
+    val rows = (hand ++ fuzz).toDF("s")
+      .select(
+        org.apache.spark.sql.graftbridge.tokenCount(col("s")).as("fast"),
+        size(regexp_extract_all(col("s"), lit("\\S+"), lit(0))).as("ref"))
+      .collect()
+    rows.foreach(r => assert(r.getInt(0) == r.getInt(1), r.toString))
+  }
+
   test("PNG header parse: real PNG bytes yield true dimensions via pure column expressions") {
     import spark.implicits._
     // A REAL (truncated) PNG: 8-byte signature, IHDR length, 'IHDR' tag,

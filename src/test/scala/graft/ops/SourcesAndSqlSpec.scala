@@ -61,10 +61,20 @@ class SourcesAndSqlSpec extends AnyFunSuite {
         .getOrCreate()
       val r = s2.sql(
         """SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
-          |       graft_sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS c""".stripMargin)
+          |       graft_sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS c,
+          |       graft_token_count(' one  two\tthree\nfour ') AS t""".stripMargin)
         .head()
       assert(r.getDouble(0) == 32.0)
       assert(r.getInt(1) == 2)
+      assert(r.getInt(2) == 4)
+      // the injected optimizer rule rewrites the regexp token-count idiom
+      // into the native single-pass expression (non-foldable subject, or
+      // ConstantFolding computes the whole thing before the plan is seen)
+      val q = s2.range(1)
+        .selectExpr("size(regexp_extract_all(concat(' a  b ', cast(id AS string)), '\\\\S+', 0)) AS n")
+      assert(q.queryExecution.optimizedPlan.toString.contains("graft_token_count"),
+        s"rule did not fire:\n${q.queryExecution.optimizedPlan}")
+      assert(q.head().getInt(0) == 3) // ' a  b 0' -> 3 tokens
     } finally {
       SparkSession.clearActiveSession()
       SparkSession.clearDefaultSession()
