@@ -87,6 +87,32 @@ object EventStream {
       purchaseSide(events).withWatermark("p_ts", "1 hour"),
       clickSide(events).withWatermark("c_ts", "1 hour"))
 
+  /** Streaming sink with the same per-unit atomic commit discipline as
+    * chunker.ChunkedRewrite: each micro-batch stages under a dot-prefixed
+    * scratch directory and renames into a batchId-keyed final directory.
+    * Because the directory is keyed by batchId, a REPLAYED batch (failure
+    * between sink write and offset commit — the at-least-once window of
+    * foreachBatch) re-stages and re-renames the same directory instead of
+    * appending duplicates: idempotence makes the sink effectively
+    * exactly-once. Readers listing `batch_*` never observe a partial
+    * batch. */
+  def stagedParquetSink(df: DataFrame, outDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream.foreachBatch { (batch: DataFrame, batchId: Long) =>
+      val hconf = batch.sparkSession.sparkContext.hadoopConfiguration
+      val staging = new org.apache.hadoop.fs.Path(s"$outDir/.staging_batch_$batchId")
+      val finalDir = new org.apache.hadoop.fs.Path(s"$outDir/batch_$batchId")
+      val fs = finalDir.getFileSystem(hconf)
+      batch.write.mode("overwrite").parquet(staging.toString)
+      if (fs.exists(finalDir)) fs.delete(finalDir, true)
+      if (!fs.rename(staging, finalDir))
+        throw new java.io.IOException(s"commit rename failed for $finalDir")
+      ()
+    }.start()
+
+  /** Read every committed batch back as one DataFrame (staging invisible). */
+  def readCommittedBatches(spark: SparkSession, outDir: String): DataFrame =
+    spark.read.parquet(s"$outDir/batch_*")
+
   final case class SessionInput(user_id: Long, ts: java.sql.Timestamp, event_type: String)
   final case class SessionState(nEvents: Long, firstTs: Long, lastTs: Long)
   final case class SessionOutput(user_id: Long, n_events: Long, duration_sec: Double)
