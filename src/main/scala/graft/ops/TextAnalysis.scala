@@ -166,10 +166,27 @@ object TextAnalysis {
       .agg(countDistinct(col("g")).as("n_contaminated"))
   }
 
+  /** Deterministic hash-based corpus sampling: keep documents whose salted
+    * content-id hash lands in 1/10 of the space — reproducible across runs,
+    * engines, and partitionings (`rand()`-based sampling is none of those),
+    * and embarrassingly parallel (a pure per-row predicate, no shuffle
+    * before the audit aggregate). The per-language counts audit the
+    * sampling rate. */
+  def hashSample(s: SparkSession, d: String): DataFrame = {
+    val h = conv(substring(md5(concat(lit("smp:"), col("doc_id").cast("string"))), 1, 7), 16, 10)
+      .cast("long")
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(h % 10 === 0, 1L).otherwise(0L)).as("n_sampled"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_keywords" -> (keywords _),
     "x_doc_windows" -> (docWindows _),
     "x_decontam" -> (decontam _),
+    "x_hash_sample" -> (hashSample _),
     "x_token_count" -> (tokenCount _),
     "x_quality_score" -> (qualityScore _),
     "x_lang_id" -> (langId _),
@@ -177,6 +194,11 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x_hash_sample" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(SUM(CASE WHEN CAST('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 = 0
+        |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_sampled
+        |FROM documents GROUP BY lang""".stripMargin,
     "x_doc_windows" ->
       """WITH tok AS (
         |  SELECT doc_id, regexp_extract_all(text, '\S+') AS w
