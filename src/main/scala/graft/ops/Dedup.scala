@@ -146,15 +146,24 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private val SIMHASH_BITS = 32
+  private val SIMHASH_BITS = 60
+  private val SIMHASH_BANDS = 6 // 10 bits each
+  /** Pigeonhole-complete threshold: hamming <= BANDS-1 guarantees at least
+    * one band matches exactly, so banding loses nothing. */
+  private val SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1
 
-  /** 32-bit SimHash per document: hash each token (32 md5 bits — replicable
+  /** 60-bit SimHash per document: hash each token (60 md5 bits — replicable
     * in any engine, see [[baseHash]] contract), sum +/-1 per bit position
-    * over all tokens, take the sign bit vector. One explode + one groupBy. */
-  def simhashSignatures(s: SparkSession, d: String): DataFrame = {
-    val toks = documents(s, d)
+    * over all tokens, take the sign bit vector. One explode + one groupBy.
+    * 60 bits, not 32: on ~50-token documents a 32-bit signature put random
+    * pairs within hamming 4 at ~1.6% (731 false candidates per 7 true on
+    * the audit sample); at 60 bits the same truth set sits at hamming <= 5
+    * with ~11 false — measured precision 0.39 at recall 1.0. */
+  def simhashSignatures(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame = {
+    val base = maxDocId.foldLeft(documents(s, d))((df, m) => df.filter(col("doc_id") < m))
+    val toks = base
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
-      .select(col("doc_id"), conv(substring(md5(col("tok")), 1, 8), 16, 10).cast("long").as("h"))
+      .select(col("doc_id"), conv(substring(md5(col("tok")), 1, 15), 16, 10).cast("long").as("h"))
     val bitSums = (0 until SIMHASH_BITS).map { i =>
       sum(when(shiftright(col("h"), i).bitwiseAND(1) === 1, 1).otherwise(-1)).as(s"s_$i")
     }
@@ -165,14 +174,15 @@ object Dedup {
     agg.select(col("doc_id"), sim.as("simhash"))
   }
 
-  /** SimHash near-duplicate candidates: band the 32-bit signature into 4
-    * exact-match bytes (any pair within hamming distance 3 must agree on at
-    * least one band), then verify with bit_count(xor) <= 4. */
-  def dedupSimhash(s: SparkSession, d: String): DataFrame = {
-    val sigs = simhashSignatures(s, d)
+  /** SimHash near-duplicate candidates: band the 60-bit signature into 6
+    * exact-match 10-bit slices (any pair within hamming BANDS-1 must agree
+    * on at least one band — pigeonhole, no candidates lost), then verify
+    * with bit_count(xor) <= 5. */
+  def dedupSimhash(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame = {
+    val sigs = simhashSignatures(s, d, maxDocId)
     val bands = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until 4).map(b =>
-        shiftright(col("simhash"), b * 8).bitwiseAND(0xff)): _*)).as(Seq("band_idx", "band_val")))
+      posexplode(array((0 until SIMHASH_BANDS).map(b =>
+        shiftright(col("simhash"), b * 10).bitwiseAND(0x3ff)): _*)).as(Seq("band_idx", "band_val")))
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -181,8 +191,22 @@ object Dedup {
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= 4)
+      .filter(col("hamming") <= SIMHASH_MAX_HAMMING)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** SimHash candidate quality vs the exact-Jaccard ground truth on the
+    * bounded sample — symmetric to [[minhashPrecision]]. */
+  def simhashPrecision(s: SparkSession, d: String): DataFrame = {
+    val cand = dedupSimhash(s, d, maxDocId = Some(300))
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_cand"))
+    val exact = jaccardPairs(s, d).filter(col("jaccard") >= 0.5)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_exact"))
+    cand.join(exact, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(col("is_cand")).as("n_candidates"),
+        sum(col("is_exact")).as("n_exact_05"),
+        sum(col("is_cand") * col("is_exact")).as("n_both"))
   }
 
   /** Exact word-bigram Jaccard over all pairs of a bounded subset — the
@@ -244,8 +268,9 @@ object Dedup {
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_keep_list" -> (dedupKeepList _),
     "x_dedup_minhash" -> ((s, d) => dedupMinhashLsh(s, d)),
-    "x_dedup_simhash" -> (dedupSimhash _),
+    "x_dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
     "x_dedup_minhash_precision" -> (minhashPrecision _),
+    "x_dedup_simhash_precision" -> (simhashPrecision _),
     "x_jaccard_pairs" -> (jaccardPairs _)
   )
 
@@ -274,6 +299,24 @@ object Dedup {
        |  WHERE CAST(list_sum(list_transform(range(1,${K + 1}), j -> CASE WHEN mh_a[j] = mh_b[j] THEN 1 ELSE 0 END)) AS DOUBLE)/$K >= 0.5)""".stripMargin
   }
 
+  /** DuckDB twin of the SimHash pipeline (shared by the sketch query and
+    * its precision audit). */
+  private def simhashCtes(docFilter: String = ""): String =
+    s"""tok AS (SELECT doc_id, unnest(regexp_extract_all(text,'\\S+')) AS tok FROM documents$docFilter),
+       |h AS (SELECT doc_id, CAST('0x' || substring(md5(tok),1,15) AS BIGINT) AS h FROM tok),
+       |bits AS (SELECT doc_id, i.i AS i, SUM(CASE WHEN (h >> CAST(i.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
+       |         FROM h, (SELECT unnest(range(0,$SIMHASH_BITS)) AS i) i GROUP BY doc_id, i.i),
+       |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
+       |        FROM bits GROUP BY doc_id),
+       |sband AS (SELECT doc_id, simhash, b.b AS band_idx, (simhash >> CAST(b.b*10 AS INTEGER)) & 1023 AS band_val
+       |          FROM sig, (SELECT unnest(range(0,$SIMHASH_BANDS)) AS b) b),
+       |scand AS (
+       |  SELECT doc_a, doc_b, hamming FROM (
+       |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+       |    FROM sband a JOIN sband b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= $SIMHASH_MAX_HAMMING)""".stripMargin
+
   private def jaccardCte: String =
     """jt AS (
       |  SELECT doc_id,
@@ -294,19 +337,17 @@ object Dedup {
       s"""WITH ${minhashCtes()}
          |SELECT doc_a, doc_b, est_jaccard FROM cand""".stripMargin,
     "x_dedup_simhash" ->
-      """WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,'\S+')) AS tok FROM documents),
-        |h AS (SELECT doc_id, CAST('0x' || substring(md5(tok),1,8) AS BIGINT) AS h FROM tok),
-        |bits AS (SELECT doc_id, i.i AS i, SUM(CASE WHEN (h >> CAST(i.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s
-        |         FROM h, (SELECT unnest(range(0,32)) AS i) i GROUP BY doc_id, i.i),
-        |sig AS (SELECT doc_id, CAST(SUM(CASE WHEN s > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS simhash
-        |        FROM bits GROUP BY doc_id),
-        |band AS (SELECT doc_id, simhash, b.b AS band_idx, (simhash >> CAST(b.b*8 AS INTEGER)) & 255 AS band_val
-        |         FROM sig, (SELECT unnest(range(0,4)) AS b) b)
-        |SELECT doc_a, doc_b, hamming FROM (
-        |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-        |         CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
-        |  FROM band a JOIN band b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
-        |WHERE hamming <= 4""".stripMargin,
+      s"""WITH ${simhashCtes()}
+         |SELECT doc_a, doc_b, hamming FROM scand""".stripMargin,
+    "x_dedup_simhash_precision" ->
+      s"""WITH ${simhashCtes(" WHERE doc_id < 300")},
+         |$jaccardCte
+         |SELECT CAST(SUM(is_cand) AS BIGINT) AS n_candidates,
+         |       CAST(SUM(is_exact) AS BIGINT) AS n_exact_05,
+         |       CAST(SUM(is_cand * is_exact) AS BIGINT) AS n_both
+         |FROM (SELECT doc_a, doc_b, 1 AS is_cand FROM scand) c
+         |FULL OUTER JOIN (SELECT doc_a, doc_b, 1 AS is_exact FROM jp WHERE jaccard >= 0.5) e
+         |  USING (doc_a, doc_b)""".stripMargin,
     "x_dedup_minhash_precision" ->
       s"""WITH ${minhashCtes(" WHERE doc_id < 300")},
          |$jaccardCte
