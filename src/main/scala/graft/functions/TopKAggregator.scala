@@ -10,10 +10,13 @@ import org.apache.spark.sql.expressions.Aggregator
   * This is the SCALE alternative to window-function top-n: a window
   * `row_number() <= k` must shuffle and SORT every row of every group,
   * while this aggregate keeps k rows per group per partition map-side and
-  * shuffles only those — for a 100 TB table with millions of rows per hot
-  * group, that is the difference between a full sort and a near-map-only
-  * pass. Results are identical (same order, same tiebreak) and oracled
-  * against the window formulation.
+  * shuffles only those. Measured at 20M rows / 100 groups (200k rows per
+  * group, k=2): 1.0s vs the window's 2.1s warm, 3.5s vs 13.1s cold. The
+  * crossover is real: with SMALL groups (sf0.1 orders, ~15 rows/customer)
+  * the window is slightly faster because this path pays the typed-UDAF
+  * encoder per row — pick by rows-per-group >> k, which is exactly the
+  * 100 TB hot-group regime. Results are identical (same order, same
+  * tiebreak) and oracled against the window formulation.
   */
 final class TopKAggregator(k: Int)
     extends Aggregator[TopKIn, Seq[TopKIn], Seq[TopKIn]] {

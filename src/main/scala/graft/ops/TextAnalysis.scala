@@ -146,18 +146,20 @@ object TextAnalysis {
         md5(concat_ws(" ", col("win"))).as("win_hash"))
   }
 
-  /** Decontamination: flag corpus documents sharing 5-gram content with a
-    * "benchmark" set (here: doc_id < 10 stands in for the eval set). The
-    * benchmark gram set is tiny and broadcast; the corpus side streams —
-    * at 100 TB this is a broadcast-hash semi-ish join on gram hashes,
-    * never an all-pairs comparison. */
+  /** Decontamination: flag corpus documents sharing 4-gram content with a
+    * "benchmark" set (here: doc_id < 10 stands in for the eval set). Gram
+    * size is the sensitivity knob — on this corpus 3-grams flag ~60% of
+    * documents (generic phrases), 5-grams nearly none; 4-grams isolate the
+    * handful with genuinely shared content. The benchmark gram set is tiny
+    * and broadcast; the corpus side streams — at 100 TB this is a
+    * broadcast-hash join on gram hashes, never an all-pairs comparison. */
   def decontam(s: SparkSession, d: String): DataFrame = {
     def grams(df: DataFrame): DataFrame =
       df.select(col("doc_id"), tokensCol(lower(col("text"))).as("toks"))
         .select(col("doc_id"),
-          explode(when(size(col("toks")) < 5, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(0), size(col("toks")) - 5),
-              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(5))))))).as("g"))
+          explode(when(size(col("toks")) < 4, array().cast("array<string>"))
+            .otherwise(transform(sequence(lit(0), size(col("toks")) - 4),
+              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(4))))))).as("g"))
     val bench = grams(documents(s, d).filter(col("doc_id") < 10))
       .select(col("g")).distinct()
     val corpus = grams(documents(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 400))
@@ -215,12 +217,12 @@ object TextAnalysis {
       """WITH tok AS (
         |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
         |bench AS (
-        |  SELECT DISTINCT unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
-        |           i -> md5(array_to_string(w[i+1 : i+5], ' ')))) AS g
+        |  SELECT DISTINCT unnest(list_transform(range(0, greatest(len(w) - 3, 0)),
+        |           i -> md5(array_to_string(w[i+1 : i+4], ' ')))) AS g
         |  FROM tok WHERE doc_id < 10),
         |corpus AS (
-        |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 4, 0)),
-        |           i -> md5(array_to_string(w[i+1 : i+5], ' ')))) AS g
+        |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 3, 0)),
+        |           i -> md5(array_to_string(w[i+1 : i+4], ' ')))) AS g
         |  FROM tok WHERE doc_id >= 100 AND doc_id < 400)
         |SELECT doc_id, count(DISTINCT g) AS n_contaminated
         |FROM corpus JOIN bench USING (g)
