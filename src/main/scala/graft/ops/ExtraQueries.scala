@@ -148,7 +148,45 @@ object ExtraQueries {
         (col("pos") + 1).cast(IntegerType).as("rn"))
   }
 
+  /** Map-type scalar functions: per-order line->quantity map built from
+    * entries, then size/lookup. The ORACLE verifies the extracted VALUES
+    * (map semantics), not the container encoding — DuckDB's MAP parquet
+    * representation differs from Spark's, so the query emits flat columns. */
+  def qMapFuncs(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_orderkey") <= 300)
+      // line numbers repeat in this data: aggregate per key first (map
+      // keys must be unique), summing quantities decimal-exactly
+      .groupBy(col("l_orderkey"), col("l_linenumber"))
+      .agg(sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"))
+      .groupBy(col("l_orderkey"))
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("l_linenumber"), col("qty"))))).as("m"))
+      .select(
+        col("l_orderkey"),
+        size(col("m")).as("n_lines"),
+        element_at(col("m"), 1).as("qty_line1"),
+        array_contains(map_keys(col("m")), 3).as("has_line3"))
+
+  /** Raw SQL-text surface: the reference's users write SQL strings (stmt
+    * mode); this entry runs a multi-table SELECT through spark.sql over
+    * registered views — parser, analyzer, and catalog resolution
+    * end-to-end (runSql covers the DML side). */
+  def qSqlText(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("g_orders")
+    customer(s, d).createOrReplaceTempView("g_customer")
+    s.sql(
+      """SELECT c_mktsegment,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM g_orders JOIN g_customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY c_mktsegment""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_map_funcs" -> (qMapFuncs _),
+    "q_sql_text" -> (qSqlText _),
     "q_topn_agg" -> (qTopnAgg _),
     "q_correlated_scalar" -> (qCorrelatedScalar _),
     "q_median_disc" -> (qMedianDisc _),
@@ -161,6 +199,24 @@ object ExtraQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_map_funcs" ->
+      """WITH per_line AS (
+        |  SELECT l_orderkey, l_linenumber,
+        |         CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty
+        |  FROM lineitem WHERE l_orderkey <= 300
+        |  GROUP BY l_orderkey, l_linenumber)
+        |SELECT l_orderkey,
+        |       CAST(count(*) AS INTEGER) AS n_lines,
+        |       max(CASE WHEN l_linenumber = 1 THEN qty END) AS qty_line1,
+        |       bool_or(l_linenumber = 3) AS has_line3
+        |FROM per_line GROUP BY l_orderkey""".stripMargin,
+    "q_sql_text" ->
+      """SELECT c_mktsegment,
+        |       count(*) AS n_orders,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE o_orderstatus <> 'F'
+        |GROUP BY c_mktsegment""".stripMargin,
     "q_topn_agg" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
         |  SELECT o_custkey, o_orderkey,
