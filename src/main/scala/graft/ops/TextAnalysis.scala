@@ -184,7 +184,33 @@ object TextAnalysis {
         sum(when(h % 10 === 0, 1L).otherwise(0L)).as("n_sampled"))
   }
 
+  /** End-to-end pipeline composition — the actual usage story: quality
+    * pre-filter -> exact dedup (canonical survivor per fingerprint) ->
+    * context-window accounting, as ONE declarative plan. Catalyst fuses
+    * the filter into the scan, the dedup is one hash aggregate, and the
+    * window math is arithmetic — no explode needed to COUNT windows. */
+  def pipelineE2e(s: SparkSession, d: String): DataFrame = {
+    val txt = col("text")
+    val nTokens = tokenCountCol(txt)
+    val nAlpha = length(txt) - length(regexp_replace(txt, "[a-z]", ""))
+    val ok = documents(s, d)
+      .filter(nTokens >= 10 && nAlpha.cast("double") / length(txt) >= 0.5)
+    val keep = ok
+      .groupBy(fingerprintCol(txt).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val nWins = lit(1) +
+      floor((greatest(nTokens - WIN, lit(0)) + (STRIDE - 1)) / STRIDE).cast("long")
+    ok.join(keep, "doc_id")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(nTokens).as("total_tokens"),
+        sum(nWins).as("total_windows"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pipeline_e2e" -> (pipelineE2e _),
     "x_keywords" -> (keywords _),
     "x_doc_windows" -> (docWindows _),
     "x_decontam" -> (decontam _),
@@ -196,6 +222,21 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x_pipeline_e2e" ->
+      """WITH ok AS (
+        |  SELECT doc_id, lang, text,
+        |         len(regexp_extract_all(text, '\S+')) AS n_tokens
+        |  FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) >= 10
+        |    AND CAST(length(text) - length(regexp_replace(text, '[a-z]', '', 'g')) AS DOUBLE) / length(text) >= 0.5),
+        |keep AS (
+        |  SELECT min(doc_id) AS doc_id
+        |  FROM ok GROUP BY md5(lower(regexp_replace(text, '\s+', ' ', 'g'))))
+        |SELECT lang, count(*) AS n_docs,
+        |       CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+        |       CAST(SUM(1 + (greatest(n_tokens - 50, 0) + 24) // 25) AS BIGINT) AS total_windows
+        |FROM ok JOIN keep USING (doc_id)
+        |GROUP BY lang""".stripMargin,
     "x_hash_sample" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(SUM(CASE WHEN CAST('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 = 0
