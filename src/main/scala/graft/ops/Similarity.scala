@@ -260,6 +260,58 @@ object Similarity {
         sum(when(col("rnk") === 1, 1L).otherwise(0L)).as("n_top1"),
         sum(when(col("rnk").isNotNull, 1L).otherwise(0L)).as("n_top3"))
 
+  /** Embedding-cosine near-duplicate pairs (the dedup flavor of ANN):
+    * multi-table LSH candidates, exact cosine-threshold verification —
+    * never the O(n^2) pair space. On real near-duplicates (cos >= 0.95)
+    * a pair collides in at least one of the 16 tables with probability
+    * > 0.9999; THIS corpus is random with max pair cosine ~0.5-0.6, so the
+    * demo threshold is 0.5 (top of the distribution), where multi-table
+    * recall is ~0.78 — the threshold/recall trade-off is the documented
+    * knob. The oracle mirrors the same candidate generation, so the result
+    * is exactly verifiable either way. */
+  def dedupEmbedding(s: SparkSession, d: String): DataFrame = {
+    val bk = lshBuckets(s, d)
+    val cand = bk.as("a")
+      .join(bk.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bucket") === col("b.bucket") &&
+          col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("id_a"), col("b.vec_id").as("id_b"))
+      .distinct()
+    val n = vectors(s, d)
+    cand
+      .join(n.as("qa"), col("id_a") === col("qa.vec_id"))
+      .join(n.as("qb"), col("id_b") === col("qb.vec_id"))
+      .select(col("id_a"), col("id_b"),
+        (dot(col("qa.v"), col("qb.v")) / (col("qa.nrm") * col("qb.nrm"))).as("cos"))
+      .filter(col("cos") >= 0.5)
+  }
+
+  /** 5-NN majority-vote label prediction audited against the true labels —
+    * the standard embedding-quality eval, as a confusion summary. Votes
+    * tie-break to the smallest label; all counts exact. */
+  def knnLabelVote(s: SparkSession, d: String): DataFrame = {
+    val all = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = all.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("label").as("true_label"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+    val top5 = broadcast(q).join(all, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("true_label"), col("vec_id").as("nn_id"), col("label"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+    val wv = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label"))
+    top5
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .groupBy(col("true_label"), col("label").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def annLshRecall(s: SparkSession, d: String): DataFrame =
     recallAgainstExact(annLsh(s, d), exactTop3(s, d, 200))
 
@@ -271,7 +323,9 @@ object Similarity {
     "x_ann_lsh" -> (annLsh _),
     "x_ann_ivf" -> (annIvf _),
     "x_ann_lsh_recall" -> (annLshRecall _),
-    "x_ann_ivf_recall" -> (annIvfRecall _)
+    "x_ann_ivf_recall" -> (annIvfRecall _),
+    "x_dedup_embedding" -> (dedupEmbedding _),
+    "x_knn_label_vote" -> (knnLabelVote _)
   )
 
   // ---- DuckDB oracle twins -------------------------------------------------
@@ -392,6 +446,37 @@ object Similarity {
     "x_ann_ivf" ->
       s"""WITH $ivfCtes
          |SELECT q_id, nn_id, sim FROM ivf""".stripMargin,
+    "x_dedup_embedding" ->
+      s"""WITH $lshCtes,
+         |ecand AS (SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+         |          FROM bk a JOIN bk b
+         |            ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id)
+         |SELECT id_a, id_b,
+         |       list_dot_product(qa.v, qb.v) / (qa.nrm * qb.nrm) AS cos
+         |FROM ecand c JOIN n qa ON qa.vec_id = c.id_a JOIN n qb ON qb.vec_id = c.id_b
+         |WHERE list_dot_product(qa.v, qb.v) / (qa.nrm * qb.nrm) >= 0.5""".stripMargin,
+    "x_knn_label_vote" ->
+      s"""WITH $baseCtes,
+         |l AS (SELECT n.vec_id, n.v, n.nrm, e.label
+         |      FROM n JOIN embeddings e ON e.vec_id = n.vec_id),
+         |top5 AS (
+         |  SELECT q_id, true_label, label FROM (
+         |    SELECT a.vec_id AS q_id, a.label AS true_label, b.label,
+         |           row_number() OVER (PARTITION BY a.vec_id
+         |             ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk
+         |    FROM l a, l b WHERE a.vec_id < 200 AND b.vec_id <> a.vec_id)
+         |  WHERE rnk <= 5),
+         |votes AS (
+         |  SELECT q_id, true_label, label, count(*) AS votes
+         |  FROM top5 GROUP BY q_id, true_label, label),
+         |winner AS (
+         |  SELECT q_id, true_label, label FROM (
+         |    SELECT q_id, true_label, label,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS vr
+         |    FROM votes)
+         |  WHERE vr = 1)
+         |SELECT true_label, label AS predicted, count(*) AS n
+         |FROM winner GROUP BY true_label, label""".stripMargin,
     "x_ann_lsh_recall" ->
       s"""WITH $lshCtes,
          |$exactTop3Cte
