@@ -7,20 +7,23 @@ import org.apache.spark.sql.types.DecimalType
 import Tables._
 
 /** Similarity search over the embeddings table (`Array[Float]`, dim 64):
-  * brute-force cosine top-k as the exact baseline, and a random-hyperplane
-  * LSH-bucketed variant as the scale path.
+  * brute-force cosine top-k as the exact baseline, multi-table
+  * hyperplane-LSH and IVF (deterministic k-means-lite + nprobe) as the
+  * scale paths, embedding-cosine near-dup pairs, a 5-NN label-vote eval,
+  * and exact recall audits of every sketch against the brute-force truth.
   *
   * Numeric discipline: floats are cast to double BEFORE any arithmetic and
-  * every reduction is an explicit left fold (`aggregate(zip_with(...))`), so
-  * the result is bit-identical to any engine that folds left in float64 —
-  * which is what makes the DuckDB `list_dot_product` oracle exact, not
-  * approximate.
+  * every reduction is an explicit left fold (the native DotProduct
+  * expression ≡ `aggregate(zip_with(...))`), so results are bit-identical
+  * to any engine that folds left in float64 — which is what makes the
+  * DuckDB `list_dot_product` oracles exact (including the fully unrolled
+  * Lloyd training loop), not approximate.
   *
   * At 100 TB: brute force is O(Q*N*dim) — correct but only for reranking;
-  * the LSH variant buckets vectors once (one narrow shuffle on bucket id)
-  * and joins within buckets, trading recall for a ~2^bits candidate
-  * reduction. An IVF variant would swap the bucket function for k-means
-  * centroid assignment; the join shape is identical.
+  * LSH hashes each vector once (no shuffle wider than (id, table, bits))
+  * and joins within buckets; IVF swaps the bucket function for data-
+  * adaptive centroid assignment — candidate count ~ nprobe/k of the
+  * corpus, same equi-join shape.
   */
 object Similarity {
 
