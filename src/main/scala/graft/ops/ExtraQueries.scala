@@ -100,6 +100,37 @@ object ExtraQueries {
         (abs(col("approx_keys") - col("exact_keys")).cast(DoubleType) /
           col("exact_keys") <= 0.05).as("approx_ok"))
 
+  /** approx_percentile (t-digest-style sketch) audited against the exact
+    * discrete median: the oracle pins the exact value and `approx_ok =
+    * true`; sketch drift past the bound flips the boolean and fails the
+    * hash check — the same harness pattern as q_approx_distinct_audit. */
+  def qApproxPercentileAudit(s: SparkSession, d: String): DataFrame = {
+    val exact = qMedianDisc(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(max(col("median_price")).as("exact_median"))
+    val approx = orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(percentile_approx(col("o_totalprice"), lit(0.5), lit(1000)).as("apx"))
+    exact.join(approx, "o_orderstatus")
+      .select(col("o_orderstatus"), col("exact_median"),
+        (abs(col("apx") - col("exact_median")) / col("exact_median") <= 0.05).as("approx_ok"))
+  }
+
+  /** Built-in session_window sessionization — the "let Catalyst do it"
+    * counterpart to the hand-rolled flatMapGroupsWithState operator and
+    * the lag/cumsum batch formulation (q_sessionize_batch): same 30-minute
+    * gap semantics, one groupBy. Output: per-user session count and total
+    * evented time, verified against the window-function formulation. */
+  def qSessionWindow(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(count(lit(1)).as("n_events"),
+        (unix_millis(max(col("ts"))) - unix_millis(min(col("ts")))).as("duration_ms"))
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("n_events")).as("n_events"),
+        sum(col("duration_ms")).as("total_duration_ms"))
+
   /** Batch twin of the stream-stream interval join (purchases to the same
     * user's clicks in the preceding 10 minutes) — the identical join body
     * runs under two watermarked readStreams in graft.streaming. */
@@ -194,6 +225,8 @@ object ExtraQueries {
     "q_conditional_agg" -> (qConditionalAgg _),
     "q_lag_lead" -> (qLagLead _),
     "q_approx_distinct_audit" -> (qApproxDistinctAudit _),
+    "q_approx_percentile_audit" -> (qApproxPercentileAudit _),
+    "q_session_window" -> (qSessionWindow _),
     "q_interval_join" -> (qIntervalJoin _),
     "q_asof_join" -> (qAsofJoin _)
   )
@@ -260,6 +293,34 @@ object ExtraQueries {
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)""".stripMargin,
     "q_approx_distinct_audit" ->
       "SELECT count(DISTINCT l_orderkey) AS exact_keys, true AS approx_ok FROM lineitem",
+    "q_approx_percentile_audit" ->
+      """SELECT o_orderstatus, o_totalprice AS exact_median, true AS approx_ok FROM (
+        |  SELECT o_orderstatus, o_totalprice,
+        |         row_number() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey) AS rn,
+        |         count(*) OVER (PARTITION BY o_orderstatus) AS cnt
+        |  FROM orders)
+        |WHERE rn = (cnt + 1) // 2""".stripMargin,
+    "q_session_window" ->
+      """WITH g AS (
+        |  SELECT user_id, event_id, epoch_ms(ts) AS tms,
+        |         CASE WHEN lag(epoch_ms(ts)) OVER w IS NULL
+        |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER w >= 1800000
+        |              THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id)),
+        |s AS (
+        |  SELECT user_id, tms,
+        |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+        |  FROM g),
+        |per_sess AS (
+        |  SELECT user_id, sess_idx, count(*) AS n_events,
+        |         max(tms) - min(tms) AS duration_ms
+        |  FROM s GROUP BY user_id, sess_idx)
+        |SELECT user_id, count(*) AS n_sessions,
+        |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+        |       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
+        |FROM per_sess GROUP BY user_id""".stripMargin,
     "q_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, epoch_ms(ts) AS ms, 0 AS side, event_id, event_id AS view_id
