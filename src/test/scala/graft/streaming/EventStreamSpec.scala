@@ -161,6 +161,27 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
   }
 
+  test("file-based event stream picks up newly landed parquet files per micro-batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("evt-drop").toString
+    def land(rows: Seq[(Long, java.sql.Timestamp, Long, String, Double)]): Unit =
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+        .coalesce(1).write.mode("append").parquet(dir)
+
+    land(Seq((1L, ts(5), 1L, "click", 1.0), (2L, ts(10), 2L, "view", 2.0)))
+    val q = EventStream.hourlyAgg(EventStream.readEventStream(spark, dir))
+      .writeStream.format("memory").queryName("drop_test").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table("drop_test").select(sum(col("n"))).head().getLong(0)
+      assert(first == 2)
+      land(Seq((3L, ts(20), 1L, "click", 3.0))) // a new file lands
+      q.processAllAvailable()
+      val second = spark.table("drop_test").select(sum(col("n"))).head().getLong(0)
+      assert(second == 3, "newly landed file not picked up")
+    } finally q.stop()
+  }
+
   test("staged streaming sink commits batches atomically and replays idempotently") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
