@@ -157,6 +157,36 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(out.contains(("en", "en")) && out.contains(("de", "de")) && out.contains(("zz", "und")))
   }
 
+  test("native expressions agree between codegen and interpreted evaluation") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.{dotProduct, sortedIntersectCount, tokenCount}
+    val df = Seq(
+      (Seq(1.0, 2.5, -3.0), Seq(0.5, -1.0, 4.0), Seq("a", "c", "x"), Seq("b", "c", "x"), " a  b\tc "),
+      (Seq.empty[Double], Seq(1.0), Seq.empty[String], Seq("z"), ""))
+      .toDF("va", "vb", "sa", "sb", "txt")
+    def run(): Seq[(Double, Int, Int)] = df.select(
+      dotProduct(col("va"), col("vb")).as("d"),
+      sortedIntersectCount(col("sa"), col("sb")).as("i"),
+      tokenCount(col("txt")).as("t"))
+      .collect().toSeq.map(r => (r.getDouble(0), r.getInt(1), r.getInt(2)))
+    val codegen = run()
+    val saved = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      val interpreted = run()
+      assert(codegen == interpreted, s"$codegen vs $interpreted")
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    assert(codegen.head == (((1.0 * 0.5) + (2.5 * -1.0) + (-3.0 * 4.0), 2, 3)))
+    assert(codegen(1) == ((0.0, 0, 0)))
+  }
+
   test("native TokenCount equals the regexp \\S+ idiom on adversarial inputs") {
     import spark.implicits._
     val hand = Seq(
