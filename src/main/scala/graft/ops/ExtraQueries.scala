@@ -199,6 +199,27 @@ object ExtraQueries {
         element_at(col("m"), 1).as("qty_line1"),
         array_contains(map_keys(col("m")), 3).as("has_line3"))
 
+  /** Keyset-stable pagination: ORDER BY + OFFSET + LIMIT (total order with
+    * unique tiebreak, or pages are nondeterministic). */
+  def qOffsetPage(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .select(col("o_orderkey"), col("o_totalprice"))
+      .offset(10)
+      .limit(10)
+
+  /** Explicit GROUPING SETS with grouping_id — finer than ROLLUP/CUBE:
+    * exactly the (status), (priority), and () aggregates, nothing else. */
+  def qGroupingSets(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("g_orders_gs")
+    s.sql(
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid,
+        |       count(*) AS n
+        |FROM g_orders_gs
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin)
+  }
+
   /** Raw SQL-text surface: the reference's users write SQL strings (stmt
     * mode); this entry runs a multi-table SELECT through spark.sql over
     * registered views — parser, analyzer, and catalog resolution
@@ -218,6 +239,8 @@ object ExtraQueries {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_map_funcs" -> (qMapFuncs _),
     "q_sql_text" -> (qSqlText _),
+    "q_offset_page" -> (qOffsetPage _),
+    "q_grouping_sets" -> (qGroupingSets _),
     "q_topn_agg" -> (qTopnAgg _),
     "q_correlated_scalar" -> (qCorrelatedScalar _),
     "q_median_disc" -> (qMedianDisc _),
@@ -243,6 +266,15 @@ object ExtraQueries {
         |       max(CASE WHEN l_linenumber = 1 THEN qty END) AS qty_line1,
         |       bool_or(l_linenumber = 3) AS has_line3
         |FROM per_line GROUP BY l_orderkey""".stripMargin,
+    "q_offset_page" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |ORDER BY o_totalprice DESC, o_orderkey
+        |LIMIT 10 OFFSET 10""".stripMargin,
+    "q_grouping_sets" ->
+      """SELECT o_orderstatus, o_orderpriority,
+        |       CAST(grouping_id(o_orderstatus, o_orderpriority) AS BIGINT) AS gid, count(*) AS n
+        |FROM orders
+        |GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""".stripMargin,
     "q_sql_text" ->
       """SELECT c_mktsegment,
         |       count(*) AS n_orders,
