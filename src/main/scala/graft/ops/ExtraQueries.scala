@@ -236,7 +236,23 @@ object ExtraQueries {
         |GROUP BY c_mktsegment""".stripMargin)
   }
 
+  /** The SQL-registered native expressions (GraftExtensions) inside the
+    * verified catalog: graft_dot and graft_token_count called from SQL
+    * TEXT, oracled against DuckDB's list_dot_product / token idiom. Only
+    * runs in sessions built with the extensions (Verify/Bench are). */
+  def qNativeFuncSql(s: SparkSession, d: String): DataFrame = {
+    embeddings(s, d).createOrReplaceTempView("g_emb")
+    documents(s, d).createOrReplaceTempView("g_docs")
+    s.sql(
+      """SELECT e.vec_id,
+        |       graft_dot(CAST(e.embedding AS ARRAY<DOUBLE>), CAST(e.embedding AS ARRAY<DOUBLE>)) AS nrm2,
+        |       graft_token_count(d.text) AS n_tokens
+        |FROM g_emb e JOIN g_docs d ON d.doc_id = e.vec_id
+        |WHERE e.vec_id < 100""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_native_func_sql" -> (qNativeFuncSql _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_sql_text" -> (qSqlText _),
     "q_offset_page" -> (qOffsetPage _),
@@ -266,6 +282,12 @@ object ExtraQueries {
         |       max(CASE WHEN l_linenumber = 1 THEN qty END) AS qty_line1,
         |       bool_or(l_linenumber = 3) AS has_line3
         |FROM per_line GROUP BY l_orderkey""".stripMargin,
+    "q_native_func_sql" ->
+      """SELECT e.vec_id,
+        |       list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) AS nrm2,
+        |       CAST(len(regexp_extract_all(d.text, '\S+')) AS INTEGER) AS n_tokens
+        |FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
+        |WHERE e.vec_id < 100""".stripMargin,
     "q_offset_page" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
