@@ -17,6 +17,16 @@ object TextAnalysis {
   def tokensCol(text: Column): Column = regexp_extract_all(text, lit("\\S+"), lit(0))
   def tokenCountCol(text: Column): Column = size(tokensCol(text))
 
+  /** BPE-style PRE-tokenization (GPT-2-family shape, minus the lookahead —
+    * RE2 engines don't support lookahead, and cross-engine agreement is
+    * part of the contract here): runs of letters, runs of digits, runs of
+    * other non-space symbols, each optionally absorbing one leading space.
+    * This is the unit an actual BPE vocabulary would subdivide; counting
+    * these approximates LLM token counts far better than whitespace
+    * splitting (punctuation and digit runs count separately). */
+  def bpeTokensCol(text: Column): Column =
+    regexp_extract_all(text, lit(" ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"), lit(0))
+
   /** Occurrences of `marker` in `text` via the replace-length trick — exact,
     * codegen-friendly, and expressible identically in any SQL dialect.
     * Plain (non-regex) replace: markers are literals. */
@@ -30,6 +40,16 @@ object TextAnalysis {
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCountCol(col("text"))).as("total_tokens"))
+
+  /** Whitespace vs BPE-ish token accounting per language — the budget
+    * numbers a training pipeline actually plans with. */
+  def bpeTokenCount(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(tokenCountCol(col("text"))).as("ws_tokens"),
+        sum(size(bpeTokensCol(col("text")))).as("bpe_tokens"))
 
   /** Per-document quality metrics: length, alphabetic ratio, stopword ratio,
     * and a bucketed verdict — the standard cheap pre-filter before expensive
@@ -215,6 +235,7 @@ object TextAnalysis {
     "x_doc_windows" -> (docWindows _),
     "x_decontam" -> (decontam _),
     "x_hash_sample" -> (hashSample _),
+    "x_bpe_token_count" -> (bpeTokenCount _),
     "x_token_count" -> (tokenCount _),
     "x_quality_score" -> (qualityScore _),
     "x_lang_id" -> (langId _),
@@ -237,6 +258,11 @@ object TextAnalysis {
         |       CAST(SUM(1 + (greatest(n_tokens - 50, 0) + 24) // 25) AS BIGINT) AS total_windows
         |FROM ok JOIN keep USING (doc_id)
         |GROUP BY lang""".stripMargin,
+    "x_bpe_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
+        |       CAST(SUM(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpe_tokens
+        |FROM documents GROUP BY lang""".stripMargin,
     "x_hash_sample" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(SUM(CASE WHEN CAST('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 = 0
