@@ -19,6 +19,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (single byte-scan, no regex, no array). The catalog keeps the
     // declarative idiom; sessions built with these extensions run it fast.
     ext.injectOptimizerRule(_ => RewriteTokenCount)
+    // Whole-operator extension (ladder rung c): the AS-OF join planner
+    // strategy — see AsOfJoinPlan/AsOfJoinExec.
+    ext.injectPlannerStrategy(_ => AsOfJoinStrategy)
     ext.injectFunction((
       new FunctionIdentifier("graft_token_count"),
       new ExpressionInfo(classOf[TokenCount].getName, "graft_token_count"),
