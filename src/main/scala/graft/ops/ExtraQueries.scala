@@ -251,7 +251,24 @@ object ExtraQueries {
         |WHERE e.vec_id < 100""".stripMargin)
   }
 
+  /** The CUSTOM as-of physical operator (AsOfJoinPlan/AsOfJoinExec via the
+    * injected planner strategy) producing the same rows as [[qAsofJoin]] —
+    * both run under the same DuckDB oracle, so the custom operator's
+    * output is hash-verified, not just spec-compared. */
+  def qAsofCustom(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val purchases = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), unix_millis(col("ts")).as("p_ms"), col("event_id").as("purchase_id"))
+    val views = e.filter(col("event_type") === "view")
+      .select(col("user_id"), unix_millis(col("ts")).as("v_ms"), col("event_id").as("view_id"))
+    org.apache.spark.sql.graftbridge.AsOf
+      .join(purchases, views, "user_id", "p_ms", "v_ms", "view_id")
+      .toDF("u1", "p_ms", "purchase_id", "u2", "v_ms", "matched_view")
+      .select(col("purchase_id"), col("matched_view"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_asof_custom" -> (qAsofCustom _),
     "q_native_func_sql" -> (qNativeFuncSql _),
     "q_map_funcs" -> (qMapFuncs _),
     "q_sql_text" -> (qSqlText _),
@@ -375,6 +392,20 @@ object ExtraQueries {
         |       CAST(SUM(n_events) AS BIGINT) AS n_events,
         |       CAST(SUM(duration_ms) AS BIGINT) AS total_duration_ms
         |FROM per_sess GROUP BY user_id""".stripMargin,
+    "q_asof_custom" ->
+      """WITH u AS (
+        |  SELECT user_id, epoch_ms(ts) AS ms, 0 AS side, event_id, event_id AS view_id
+        |  FROM events WHERE event_type = 'view'
+        |  UNION ALL
+        |  SELECT user_id, epoch_ms(ts), 1, event_id, NULL
+        |  FROM events WHERE event_type = 'purchase')
+        |SELECT event_id AS purchase_id, matched_view FROM (
+        |  SELECT side, event_id,
+        |         last_value(view_id IGNORE NULLS) OVER (
+        |           PARTITION BY user_id ORDER BY ms, side, event_id
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS matched_view
+        |  FROM u)
+        |WHERE side = 1""".stripMargin,
     "q_asof_join" ->
       """WITH u AS (
         |  SELECT user_id, epoch_ms(ts) AS ms, 0 AS side, event_id, event_id AS view_id
