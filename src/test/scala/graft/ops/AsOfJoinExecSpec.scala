@@ -56,4 +56,18 @@ class AsOfJoinExecSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
     assert(out == Map(10L -> Some(21L), 11L -> Some(22L), 12L -> None), out.toString)
   }
+
+  test("empty right side yields all-null matches; empty left yields no rows") {
+    import spark.implicits._
+    val purchases = Seq((1L, 100L, 10L)).toDF("user_id", "p_ms", "purchase_id")
+    val noViews = Seq.empty[(Long, Long, Long)].toDF("user_id", "v_ms", "view_id")
+    val a = AsOf.join(purchases, noViews, "user_id", "p_ms", "v_ms", "view_id")
+      .toDF("u1", "p_ms", "purchase_id", "u2", "v_ms", "view_id").collect()
+    assert(a.length == 1 && a.head.isNullAt(5))
+
+    val noPurchases = Seq.empty[(Long, Long, Long)].toDF("user_id", "p_ms", "purchase_id")
+    val views = Seq((1L, 50L, 20L)).toDF("user_id", "v_ms", "view_id")
+    val b = AsOf.join(noPurchases, views, "user_id", "p_ms", "v_ms", "view_id").collect()
+    assert(b.isEmpty)
+  }
 }
