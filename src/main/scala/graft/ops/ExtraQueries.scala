@@ -199,6 +199,39 @@ object ExtraQueries {
         element_at(col("m"), 1).as("qty_line1"),
         array_contains(map_keys(col("m")), 3).as("has_line3"))
 
+  /** UNPIVOT (melt) — the inverse of q_pivot: wide per-status counts back
+    * to (status, flag, n) long form. Spark's unpivot == ANSI/DuckDB
+    * UNPIVOT; values kept exact by unpivoting the counts. */
+  def qUnpivot(s: SparkSession, d: String): DataFrame = {
+    val wide = lineitem(s, d)
+      .groupBy(col("l_linestatus"))
+      .agg(
+        sum(when(col("l_returnflag") === "A", 1L).otherwise(0L)).as("A"),
+        sum(when(col("l_returnflag") === "N", 1L).otherwise(0L)).as("N"),
+        sum(when(col("l_returnflag") === "R", 1L).otherwise(0L)).as("R"))
+    wide.unpivot(
+      ids = Array(col("l_linestatus")),
+      values = Array(col("A"), col("N"), col("R")),
+      variableColumnName = "flag",
+      valueColumnName = "n")
+  }
+
+  /** unionByName with allowMissingColumns: schema-evolution-tolerant
+    * append — the newer slice carries an extra column the older lacks,
+    * which nulls in. The everyday operation when a 100 TB table's schema
+    * grew mid-history. */
+  def qUnionByName(s: SparkSession, d: String): DataFrame = {
+    val old = orders(s, d).filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val newer = orders(s, d).filter(col("o_orderkey") >= 1000 && col("o_orderkey") < 2000)
+      .select(col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    // columns in different order on purpose: unionByName matches by NAME
+    old.unionByName(newer, allowMissingColumns = true)
+      .groupBy(coalesce(col("o_orderstatus"), lit("legacy")).as("status"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+  }
+
   /** Keyset-stable pagination: ORDER BY + OFFSET + LIMIT (total order with
     * unique tiebreak, or pages are nondeterministic). */
   def qOffsetPage(s: SparkSession, d: String): DataFrame =
@@ -274,6 +307,8 @@ object ExtraQueries {
     "q_sql_text" -> (qSqlText _),
     "q_offset_page" -> (qOffsetPage _),
     "q_grouping_sets" -> (qGroupingSets _),
+    "q_unpivot" -> (qUnpivot _),
+    "q_union_by_name" -> (qUnionByName _),
     "q_topn_agg" -> (qTopnAgg _),
     "q_correlated_scalar" -> (qCorrelatedScalar _),
     "q_median_disc" -> (qMedianDisc _),
@@ -305,6 +340,25 @@ object ExtraQueries {
         |       CAST(len(regexp_extract_all(d.text, '\S+')) AS INTEGER) AS n_tokens
         |FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
         |WHERE e.vec_id < 100""".stripMargin,
+    "q_unpivot" ->
+      """WITH wide AS (
+        |  SELECT l_linestatus,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'A' THEN 1 ELSE 0 END) AS BIGINT) AS A,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'N' THEN 1 ELSE 0 END) AS BIGINT) AS N,
+        |         CAST(SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS R
+        |  FROM lineitem GROUP BY l_linestatus)
+        |SELECT l_linestatus, flag, n FROM wide
+        |UNPIVOT (n FOR flag IN (A, N, R))""".stripMargin,
+    "q_union_by_name" ->
+      """SELECT coalesce(o_orderstatus, 'legacy') AS status, count(*) AS n,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM (
+        |  SELECT o_orderkey, o_totalprice, NULL AS o_orderstatus
+        |  FROM orders WHERE o_orderkey < 1000
+        |  UNION ALL
+        |  SELECT o_orderkey, o_totalprice, o_orderstatus
+        |  FROM orders WHERE o_orderkey >= 1000 AND o_orderkey < 2000)
+        |GROUP BY 1""".stripMargin,
     "q_offset_page" ->
       """SELECT o_orderkey, o_totalprice FROM orders
         |ORDER BY o_totalprice DESC, o_orderkey
