@@ -199,6 +199,23 @@ object ExtraQueries {
         element_at(col("m"), 1).as("qty_line1"),
         array_contains(map_keys(col("m")), 3).as("has_line3"))
 
+  /** RANGE window frame — value-based, not row-based: each event sums the
+    * VALUE of all same-user events in the trailing hour of EVENT TIME,
+    * however many rows that is (a ROWS frame cannot express this). Frame
+    * bounds on exact epoch-second longs; sum decimal-exact. */
+  def qWindowRangeFrame(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("tsec"))
+      .rangeBetween(-3600L, 0L)
+    events(s, d)
+      .filter(col("user_id") <= 50)
+      .select(col("user_id"), col("event_id"),
+        expr("unix_millis(ts) div 1000").as("tsec"), // integer div: Column./ is double division
+        col("value"))
+      .withColumn("hour_sum",
+        sum(col("value").cast(DecimalType(18, 4))).over(w).cast(DoubleType))
+      .select(col("user_id"), col("event_id"), col("hour_sum"))
+  }
+
   /** UNPIVOT (melt) — the inverse of q_pivot: wide per-status counts back
     * to (status, flag, n) long form. Spark's unpivot == ANSI/DuckDB
     * UNPIVOT; values kept exact by unpivoting the counts. */
@@ -309,6 +326,7 @@ object ExtraQueries {
     "q_grouping_sets" -> (qGroupingSets _),
     "q_unpivot" -> (qUnpivot _),
     "q_union_by_name" -> (qUnionByName _),
+    "q_window_range_frame" -> (qWindowRangeFrame _),
     "q_topn_agg" -> (qTopnAgg _),
     "q_correlated_scalar" -> (qCorrelatedScalar _),
     "q_median_disc" -> (qMedianDisc _),
@@ -340,6 +358,12 @@ object ExtraQueries {
         |       CAST(len(regexp_extract_all(d.text, '\S+')) AS INTEGER) AS n_tokens
         |FROM embeddings e JOIN documents d ON d.doc_id = e.vec_id
         |WHERE e.vec_id < 100""".stripMargin,
+    "q_window_range_frame" ->
+      """SELECT user_id, event_id,
+        |       CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+        |         PARTITION BY user_id ORDER BY epoch_ms(ts) // 1000
+        |         RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW) AS DOUBLE) AS hour_sum
+        |FROM events WHERE user_id <= 50""".stripMargin,
     "q_unpivot" ->
       """WITH wide AS (
         |  SELECT l_linestatus,
