@@ -28,11 +28,17 @@ object Bench {
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
     // stdout goes through sbt's logger, which can mangle the line past
     // recognition for the driver's JSON parse — always ALSO write the bare
-    // line to a file (env-provided path, or a fixed /tmp fallback).
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "/tmp/graft_bench.json")
+    // line to a file (env-provided path, or a pid-suffixed /tmp fallback so
+    // concurrent runs don't clobber each other).
+    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+      s"/tmp/graft_bench_${ProcessHandle.current().pid()}.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
     catch { case _: Throwable => () }
     println(line)
+    // Belt-and-suspenders for log-scraping consumers: the same JSON on its
+    // own line behind a unique sentinel, recoverable even if the bare line
+    // is mangled by a log framework or the file path isn't picked up.
+    println(s"GRAFT_BENCH_JSON\t$line")
     spark.stop()
   }
 }

@@ -265,7 +265,10 @@ object CoreQueries {
     * source) proves the chunk loop covered every key exactly once — no
     * gaps, no double-writes. */
   def dmlChunkedInsert(s: SparkSession, d: String): DataFrame = {
-    val loc = "/tmp/graft_dml_chunked_insert"
+    // Per-run temp sink (env-overridable): a fixed world-writable path would
+    // collide across concurrent runs / users on one machine.
+    val loc = sys.env.getOrElse("GRAFT_DML_SINK_DIR",
+      java.nio.file.Files.createTempDirectory("graft_dml_chunked_insert").toString)
     val p = new org.apache.hadoop.fs.Path(loc)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)

@@ -81,11 +81,23 @@ object EventStream {
   /** Streaming mode: both sides carry watermarks and the join predicate
     * carries the event-time interval, so Spark can age out buffered rows —
     * state is O(events per watermark window), the ONLY way a stream-stream
-    * join survives an unbounded stream. */
+    * join survives an unbounded stream.
+    *
+    * The interval is expressed on the WATERMARKED timestamp columns
+    * (`c_ts`/`p_ts`), not the derived epoch-millis longs: a range condition
+    * on a derived column carries no watermark metadata, so the symmetric
+    * hash join could not compute a state watermark and would buffer both
+    * sides forever (correct output, unbounded state). The millis columns
+    * exist only for the exact integer gap output. Semantically identical to
+    * [[purchaseClickJoinBody]]: `unix_millis` is an exact per-row map, so
+    * `click_ms <= p_ms  ⇔  c_ts <= p_ts` — a spec asserts row parity. */
   def purchaseClickJoinStream(events: DataFrame): DataFrame =
-    purchaseClickJoinBody(
-      purchaseSide(events).withWatermark("p_ts", "1 hour"),
-      clickSide(events).withWatermark("c_ts", "1 hour"))
+    purchaseSide(events).withWatermark("p_ts", "1 hour")
+      .join(clickSide(events).withWatermark("c_ts", "1 hour"),
+        col("p_user") === col("c_user") &&
+          col("c_ts") <= col("p_ts") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
+      .select(col("purchase_id"), col("click_id"), (col("p_ms") - col("click_ms")).as("gap_ms"))
 
   /** Streaming sink with the same per-unit atomic commit discipline as
     * chunker.ChunkedRewrite: each micro-batch stages under a dot-prefixed

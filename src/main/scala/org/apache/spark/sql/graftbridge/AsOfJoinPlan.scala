@@ -4,7 +4,7 @@ import org.apache.spark.rdd.RDD
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.SparkStrategy
 import org.apache.spark.sql.catalyst.InternalRow
-import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection, UnsafeRow}
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
 import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
 import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan}
@@ -125,7 +125,7 @@ case class AsOfJoinExec(
       val joined = new JoinedRow
       val nullRight = new GenericInternalRow(rightWidth)
       val project = UnsafeProjection.create(outputAttrs.map(_.dataType).toArray)
-      var candidate: UnsafeRow = null
+      var candidate: InternalRow = null
       var candidateKey = 0L
       var rHead: InternalRow = null
 
@@ -142,8 +142,11 @@ case class AsOfJoinExec(
             val rt = rHead.getLong(rTimeIdx)
             if (rk < lk || (rk == lk && rt <= lt)) {
               if (rk == lk) {
-                // rows from sorted iterators are reused buffers: copy
-                candidate = rHead.asInstanceOf[UnsafeRow].copy()
+                // rows from sorted iterators are reused buffers: copy.
+                // InternalRow.copy (not an UnsafeRow cast) — a child that
+                // already satisfies the required ordering (e.g. a cached
+                // in-memory relation) can emit non-Unsafe row classes.
+                candidate = rHead.copy()
                 candidateKey = rk
               }
               rHead = null // consumed

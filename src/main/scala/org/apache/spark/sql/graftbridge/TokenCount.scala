@@ -18,6 +18,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * token starts exactly where a non-whitespace byte follows a whitespace
   * byte (or the string start). A property test asserts equivalence with
   * `size(regexp_extract_all(x, "\\S+", 0))` on adversarial inputs.
+  *
+  * Cross-engine caveat: exactness is relative to JAVA regex `\s`, which
+  * includes vertical tab 0x0B. RE2-based engines (DuckDB, Go) EXCLUDE 0x0B
+  * from `\s`, so counts diverge on text containing vertical tabs; use an
+  * explicit class like `[ \t\n\f\r]` on both sides when that matters.
   */
 case class TokenCount(child: Expression)
     extends UnaryExpression with ExpectsInputTypes {
