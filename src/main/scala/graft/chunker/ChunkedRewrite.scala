@@ -52,16 +52,47 @@ object ChunkedRewrite {
         s"$outDir/chunk_${chunk.start}_${chunk.end}")
       val fs = finalDir.getFileSystem(hconf)
       transform(chunkDf).write.mode("overwrite").parquet(staging.toString)
-      // Commit = swap the fully-written staging dir in. The only
-      // non-atomic instant is between delete and rename, during which the
-      // chunk is ABSENT (a reader skips it), never partial.
+      // Commit = swap the fully-written staging dir in. On HDFS/local the
+      // rename is atomic and the only non-atomic instant is between delete
+      // and rename, during which the chunk is ABSENT (a reader skips it),
+      // never partial. On OBJECT STORES (S3A and friends) directory rename
+      // is copy-object-by-object + delete — NOT atomic — so a crash mid-
+      // rename can leave a chunk dir with some of its files. That is why
+      // commit finishes by writing the marker file LAST: a chunk is
+      // committed iff `_GRAFT_COMMITTED` exists, and [[readBackCommitted]]
+      // gates on it. (Spark's own `_SUCCESS` can't serve: the committer
+      // writes it into STAGING, so a torn rename may copy it before the
+      // data files.)
       if (fs.exists(finalDir)) fs.delete(finalDir, true)
       if (!fs.rename(staging, finalDir))
         throw new java.io.IOException(s"commit rename failed for $finalDir")
+      fs.create(new org.apache.hadoop.fs.Path(finalDir, CommitMarker), true).close()
     }
   }
 
-  /** Read the rewritten table back as one DataFrame. */
+  /** Name of the per-chunk commit marker, written strictly after every data
+    * file of the chunk is in place. Underscore-prefixed, so Spark's file
+    * index ignores it when the chunk is read as parquet. */
+  val CommitMarker = "_GRAFT_COMMITTED"
+
+  /** Read the rewritten table back as one DataFrame. Sufficient on
+    * filesystems with atomic directory rename (HDFS, local); on object
+    * stores use [[readBackCommitted]], which skips torn-rename leftovers. */
   def readBack(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/chunk_*")
+
+  /** Read back ONLY chunks whose commit marker exists — the object-store-
+    * safe reader: a chunk dir abandoned halfway through a non-atomic
+    * copy+delete "rename" has no marker (it is written last) and is
+    * skipped. */
+  def readBackCommitted(spark: SparkSession, outDir: String): DataFrame = {
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val committed = fs.listStatus(root)
+      .filter(st => st.isDirectory && st.getPath.getName.startsWith("chunk_"))
+      .filter(st => fs.exists(new org.apache.hadoop.fs.Path(st.getPath, CommitMarker)))
+      .map(_.getPath.toString)
+    if (committed.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(committed.toIndexedSeq: _*)
+  }
 }

@@ -293,6 +293,61 @@ object CoreQueries {
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
   }
 
+  /** Chunked UPDATE-with-JOIN driven through the ADAPTIVE chunk loop — the
+    * reference's canonical documented workload (`UPDATE accounts ... JOIN
+    * customers ... WHERE account_id BETWEEN ? AND ?` in chunks,
+    * lib/DBIx/BatchChunker.pm:121-130), as per-chunk copy-on-write: each
+    * chunk joins its slice to the (broadcast) dimension, rewrites the
+    * priced column, and commits atomically via ChunkedRewrite's staged
+    * rename + marker. The count-probe ladder is LIVE here (minChunkPercent
+    * = 0.5 over a ~25%-dense keyspace), so chunks genuinely resize
+    * mid-run. The audit aggregates the REWRITTEN table: matching row
+    * counts, DISTINCT key counts, and exact sums against the oracle (the
+    * same update expressed over the source) prove every key was rewritten
+    * exactly once — no gaps, no double-applied discounts. */
+  def dmlChunkedUpdate(s: SparkSession, d: String): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_update").toString
+    val o = orders(s, d)
+    val bldg = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val cfg = ChunkerConfig(chunkSize = BigInt(32768), targetTime = 0, sleep = 0,
+      minChunkPercent = 0.5, retryAttempts = 3, log = quiet)
+    graft.chunker.ChunkedRewrite.rewrite(o, "o_orderkey", cfg, outDir) { chunk =>
+      chunk.join(broadcast(bldg), chunk("o_custkey") === bldg("c_custkey"), "left")
+        .withColumn("o_totalprice",
+          when(col("c_custkey").isNotNull && col("o_orderstatus") === "O",
+            col("o_totalprice") * 0.9)
+            .otherwise(col("o_totalprice")))
+        .drop("c_custkey")
+    }
+    graft.chunker.ChunkedRewrite.readBackCommitted(s, outDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+  }
+
+  /** Chunked DELETE through the adaptive loop (`examples/basic.pl:27` is a
+    * chunked delete): each chunk writes only its surviving rows. Audited on
+    * the composite (orderkey, linenumber) key to prove per-row
+    * exactly-once coverage through the copy-on-write. */
+  def dmlChunkedDelete(s: SparkSession, d: String): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_delete").toString
+    val li = lineitem(s, d)
+    val cfg = ChunkerConfig(chunkSize = BigInt(32768), targetTime = 0, sleep = 0,
+      minChunkPercent = 0.5, retryAttempts = 3, log = quiet)
+    graft.chunker.ChunkedRewrite.rewrite(li, "l_orderkey", cfg, outDir) { chunk =>
+      chunk.filter(!(col("l_shipdate") < lit("1994-06-01").cast(TimestampType)))
+    }
+    graft.chunker.ChunkedRewrite.readBackCommitted(s, outDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_remaining"),
+        countDistinct(concat_ws("#", col("l_orderkey"), col("l_linenumber"))).as("n_keys"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty_remaining"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_range_minmax" -> n1RangeMinmax _,
     "n2_chunk_stats" -> n2ChunkStats _,
@@ -317,7 +372,9 @@ object CoreQueries {
     "q_events_hourly" -> (qEventsHourly _),
     "dml_delete_antifilter" -> (dmlDeleteAntifilter _),
     "dml_update_rewrite" -> (dmlUpdateRewrite _),
-    "dml_chunked_insert" -> (dmlChunkedInsert _)
+    "dml_chunked_insert" -> (dmlChunkedInsert _),
+    "dml_chunked_update" -> (dmlChunkedUpdate _),
+    "dml_chunked_delete" -> (dmlChunkedDelete _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -423,6 +480,23 @@ object CoreQueries {
         |       count(DISTINCT o_orderkey) AS n_keys,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "dml_chunked_update" ->
+      """SELECT o_orderstatus, count(*) AS n_rows,
+        |       count(DISTINCT o_orderkey) AS n_keys,
+        |       CAST(SUM(CAST(CASE WHEN c.c_custkey IS NOT NULL AND o_orderstatus = 'O'
+        |                          THEN o_totalprice * 0.9
+        |                          ELSE o_totalprice END AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM orders
+        |LEFT JOIN (SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING') c
+        |  ON o_custkey = c.c_custkey
+        |GROUP BY o_orderstatus""".stripMargin,
+    "dml_chunked_delete" ->
+      """SELECT l_returnflag, count(*) AS n_remaining,
+        |       count(DISTINCT CAST(l_orderkey AS VARCHAR) || '#' || CAST(l_linenumber AS VARCHAR)) AS n_keys,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_remaining
+        |FROM lineitem
+        |WHERE NOT (l_shipdate < TIMESTAMP '1994-06-01 00:00:00')
+        |GROUP BY l_returnflag""".stripMargin,
     "dml_update_rewrite" ->
       """SELECT l_linestatus,
         |       CAST(SUM(CASE WHEN l_returnflag = 'R'

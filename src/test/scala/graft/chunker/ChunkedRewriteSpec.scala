@@ -105,4 +105,60 @@ class ChunkedRewriteSpec extends AnyFunSuite {
     val leftovers = new java.io.File(s"$dir/out").listFiles().map(_.getName).filter(_.startsWith(".staging"))
     assert(leftovers.isEmpty, s"staging dirs not cleaned: ${leftovers.toSeq}")
   }
+
+  test("crash mid-chunk during an UPDATE: committed chunks carry the update, resume equals the batch rewrite") {
+    val dir = java.nio.file.Files.createTempDirectory("cow-upd-crash").toString
+    val src = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "price")
+    src.write.mode("overwrite").parquet(s"$dir/src")
+    val table = spark.read.parquet(s"$dir/src")
+
+    def update(chunk: org.apache.spark.sql.DataFrame) =
+      chunk.withColumn("price",
+        when(col("id") % 2 === 0, col("price") * 2).otherwise(col("price")))
+
+    val cfg = cfg0.copy(retryAttempts = 1)
+    intercept[RuntimeException] {
+      ChunkedRewrite.rewrite(table, "id", cfg, s"$dir/out") { chunk =>
+        if (chunk.filter(col("id") === 60).count() > 0)
+          throw new RuntimeException("killed mid-update")
+        update(chunk)
+      }
+    }
+    // Committed chunks are fully UPDATED, uncommitted ids absent — never a
+    // chunk with half-original half-updated rows.
+    val afterCrash = ChunkedRewrite.readBackCommitted(spark, s"$dir/out")
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    assert(afterCrash.keySet.forall(_ <= 50))
+    afterCrash.foreach { case (id, price) =>
+      assert(price == (if (id % 2 == 0) id * 2.0 else id.toDouble),
+        s"committed chunk holds a non-updated row: $id -> $price")
+    }
+
+    // Resume idempotently; the final table equals the one-shot batch update.
+    ChunkedRewrite.rewrite(table, "id", cfg, s"$dir/out")(update)
+    val resumed = ChunkedRewrite.readBackCommitted(spark, s"$dir/out")
+    assert(resumed.count() == 100)
+    val expectedSum = (1L to 100L).map(i => if (i % 2 == 0) i * 2.0 else i.toDouble).sum
+    assert(resumed.select(sum(col("price"))).head().getDouble(0) == expectedSum)
+  }
+
+  test("readBackCommitted skips a torn non-atomic rename (data present, marker absent)") {
+    val dir = java.nio.file.Files.createTempDirectory("cow-torn").toString
+    val src = (1L to 100L).toDF("id")
+    src.write.mode("overwrite").parquet(s"$dir/src")
+    val table = spark.read.parquet(s"$dir/src")
+    ChunkedRewrite.rewrite(table, "id", cfg0, s"$dir/out")(chunk => chunk)
+
+    // Simulate an object-store crash mid-"rename": the chunk dir exists with
+    // readable data files (copy+delete got partway) but the marker — written
+    // strictly last — never landed.
+    (101L to 125L).toDF("id").write.parquet(s"$dir/out/chunk_101_125")
+
+    // The glob reader would happily ingest the torn chunk...
+    assert(ChunkedRewrite.readBack(spark, s"$dir/out").count() == 125)
+    // ...the committed reader skips it.
+    val committed = ChunkedRewrite.readBackCommitted(spark, s"$dir/out")
+    assert(committed.count() == 100)
+    assert(committed.select(max(col("id"))).head().getLong(0) == 100)
+  }
 }
