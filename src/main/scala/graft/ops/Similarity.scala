@@ -81,21 +81,33 @@ object Similarity {
     }
 
   /** (vec_id, tbl, bucket) hash-table entries: LSH_TABLES independent
-    * LSH_BITS-bit sign hashes per vector. All plane dot products ride ONE
-    * 2D literal through an inline-generated posexplode (separate literals
-    * per plane cost seconds of codegen; a post-hoc projection would re-run
-    * the transform per element), then one partial-agg'd groupBy assembles
-    * the bit patterns — no shuffle wider than (vec_id, tbl, bits). */
-  private def lshBuckets(s: SparkSession, d: String): DataFrame = {
-    val planesLit = typedLit(planeWeights(64).map(_.toSeq).toSeq)
+    * LSH_BITS-bit sign hashes per vector, computed by the native
+    * [[org.apache.spark.sql.graftbridge.LshBuckets]] expression — one
+    * codegen'd pass per vector, NO shuffle (the previous declarative shape
+    * exploded 96 plane-sims per row and re-assembled them with a groupBy;
+    * the expression also widens the float embedding to double once instead
+    * of once per plane). Bucket ids are bit-identical, so the DuckDB
+    * oracle is unchanged. */
+  private def lshBucketsPlan(s: SparkSession, d: String): DataFrame =
     embeddings(s, d)
       .select(col("vec_id"),
-        posexplode(transform(planesLit, w => dot(asDouble(col("embedding")), w)))
-          .as(Seq("pidx", "psim")))
-      .groupBy(col("vec_id"), (col("pidx") / lit(LSH_BITS)).cast("int").as("tbl"))
-      .agg(sum(when(col("psim") > 0, expr(s"shiftleft(1L, pidx % $LSH_BITS)"))
-        .otherwise(lit(0L))).as("bucket"))
-  }
+        posexplode(org.apache.spark.sql.graftbridge.lshBuckets(
+          col("embedding"), planeWeights(64), LSH_BITS))
+          .as(Seq("tbl", "bucket")))
+
+  /** The bucket table is a pure function of the data directory and is
+    * consumed by three catalog queries (x_ann_lsh, its recall audit,
+    * x_dedup_embedding) — persist one copy per directory for the session,
+    * the same amortization pattern as [[centroidCache]]. (vec_id, tbl,
+    * bucket) is ~20 bytes/row × 16 tables: at 100 TB this is the bucket
+    * INDEX a production pipeline would materialize to storage once and
+    * reuse; MEMORY_AND_DISK spills gracefully if it outgrows executors. */
+  private val lshBucketCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def lshBuckets(s: SparkSession, d: String): DataFrame =
+    lshBucketCache.computeIfAbsent(d, dir =>
+      lshBucketsPlan(s, dir).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
 
   /** Multi-table LSH approximate top-1 neighbor: candidates = union over
     * LSH_TABLES hash tables of same-bucket ids, dedup'd, then exact-cosine

@@ -30,4 +30,9 @@ package object graftbridge {
     * with GraftExtensions. */
   def tokenCount(c: Column): Column =
     ExpressionUtils.column(TokenCount(ExpressionUtils.expression(c)))
+
+  /** All hyperplane-LSH bucket ids of an embedding column in one codegen'd
+    * pass (see [[graftbridge.LshBuckets]]). */
+  def lshBuckets(c: Column, planes: Array[Array[Double]], bits: Int): Column =
+    ExpressionUtils.column(LshBuckets(ExpressionUtils.expression(c), planes, bits))
 }

@@ -187,6 +187,42 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(codegen(1) == ((0.0, 0, 0)))
   }
 
+  test("LshBuckets equals the per-plane sign-bit formulation, codegen and interpreted") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.lshBuckets
+    // 2 tables × 2 bits over dim-2 vectors; float input like the embeddings table
+    val planes = Array(Array(1.0, -0.5), Array(-1.0, 0.25), Array(0.5, 0.5), Array(-0.25, 1.0))
+    val df = Seq((1L, Seq(0.5f, 1.0f)), (2L, Seq(-1.0f, 0.25f)), (3L, Seq(0.0f, 0.0f)))
+      .toDF("id", "emb")
+    def run(): Map[Long, Seq[Long]] =
+      df.select(col("id"), lshBuckets(col("emb"), planes, 2).as("b"))
+        .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val codegen = run()
+    val expected = df.collect().map { r =>
+      val v = r.getSeq[Float](1).map(_.toDouble)
+      r.getLong(0) -> (0 until 2).map { t =>
+        (0 until 2).map { j =>
+          val acc = v.zip(planes(t * 2 + j)).map { case (x, y) => x * y }.sum
+          if (acc > 0) 1L << j else 0L
+        }.sum
+      }
+    }.toMap
+    assert(codegen == expected, s"$codegen vs $expected")
+    assert(codegen(3L) == Seq(0L, 0L)) // zero vector: no positive sims
+    val saved = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(run() == codegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+  }
+
   test("native TokenCount equals the regexp \\S+ idiom on adversarial inputs") {
     import spark.implicits._
     val hand = Seq(
