@@ -20,17 +20,23 @@ object SparkEntry {
       ChunkerConfig(chunkSize = BigInt(256), targetTime = 0, sleep = 0,
         minChunkPercent = 0.5, log = _ => ()))
     bc.calculateRanges()
-    val perChunk = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long, Double)]
+    // Each chunk's one-row audit aggregate goes straight to a parquet sink —
+    // the driver never accumulates per-chunk rows (with chunkSize=256 over a
+    // 100× keyspace a driver-side buffer would grow without bound; the sink
+    // holds one tiny file per chunk instead, and the readback is itself a
+    // distributed scan).
+    val auditDir = java.nio.file.Files.createTempDirectory("graft_entry_audit").toString
     bc.foreachChunk { chunk =>
-      val r = chunk.agg(
-        min(col("l_orderkey")), max(col("l_orderkey")), count(lit(1)),
-        sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
-          .cast(DoubleType)).head()
-      if (!r.isNullAt(0))
-        perChunk += ((r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      chunk.agg(
+          min(col("l_orderkey")).as("first_key"),
+          max(col("l_orderkey")).as("last_key"),
+          count(lit(1)).as("n_rows"),
+          sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
+            .cast(DoubleType).as("revenue"))
+        .filter(col("n_rows") > 0) // empty chunks audit nothing (schema still lands)
+        .write.mode("append").parquet(auditDir)
     }
-    import spark.implicits._
-    perChunk.toSeq.toDF("first_key", "last_key", "n_rows", "revenue")
+    spark.read.parquet(auditDir)
   }
 
   /** One entry per implemented operator from SURVEY.md §2, plus the

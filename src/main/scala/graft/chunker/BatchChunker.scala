@@ -34,6 +34,16 @@ import org.apache.spark.sql.types._
   *                 like reference lib/DBIx/BatchChunker.pm:1756-1770)
   * @param countDf  optional separate counting keyspace (`count_rs`,
   *                 lib/DBIx/BatchChunker.pm:230-234); defaults to `df`
+  * @param rangeDf  optional separate RANGE-DISCOVERY keyspace — the
+  *                 analogue of `min_stmt`/`max_stmt`/`min_max_rsc`
+  *                 (lib/DBIx/BatchChunker.pm:339-402, 1034-1073), which let
+  *                 range discovery run against a different statement than
+  *                 the work query (e.g. an unfiltered index-only scan when
+  *                 the work df carries selective filters that would make
+  *                 MIN/MAX expensive, or a driving parent table). Must
+  *                 expose `idColumn`. Defaults to `df`. Also consulted by
+  *                 the processPastMax re-check (N10), matching the
+  *                 reference's use of the same statement there.
   */
 final class BatchChunker(
     df: DataFrame,
@@ -41,7 +51,8 @@ final class BatchChunker(
     cfg: ChunkerConfig = ChunkerConfig(),
     countDf: Option[DataFrame] = None,
     clock: Clock = SystemClock,
-    enableCountProbe: Boolean = true
+    enableCountProbe: Boolean = true,
+    rangeDf: Option[DataFrame] = None
 ) {
   private val idField: StructField = df.schema.find(_.name.equalsIgnoreCase(idColumn))
     .getOrElse(throw new IllegalArgumentException(
@@ -83,7 +94,12 @@ final class BatchChunker(
   def chunkDf(c: Chunk): DataFrame = df.filter(betweenFilter(c.start, c.end))
 
   private def aggToBigInt(d: DataFrame, f: Column => Column): Option[BigInt] = {
-    val idNumeric = idField.dataType match {
+    // Resolve the id column against THIS DataFrame's schema: a rangeDf may
+    // carry the key under a different (string-vs-numeric) type than df.
+    val fld = d.schema.find(_.name.equalsIgnoreCase(idColumn)).getOrElse(
+      throw new IllegalArgumentException(
+        s"id column '$idColumn' not found in range/count schema ${d.schema.fieldNames.mkString(", ")}"))
+    val idNumeric = fld.dataType match {
       case StringType => col(idColumn).cast(DecimalType(38, 0))
       case _          => col(idColumn)
     }
@@ -91,9 +107,11 @@ final class BatchChunker(
     if (row.isNullAt(0)) None else Some(BigInt(row.getDecimal(0).toBigInteger))
   }
 
+  private val rangeTarget: DataFrame = rangeDf.getOrElse(df)
+
   private val source: RangeSource = new RangeSource {
-    override def minId(): Option[BigInt] = aggToBigInt(df, min)
-    override def maxId(): Option[BigInt] = aggToBigInt(df, max)
+    override def minId(): Option[BigInt] = aggToBigInt(rangeTarget, min)
+    override def maxId(): Option[BigInt] = aggToBigInt(rangeTarget, max)
   }
 
   private val probeTarget: DataFrame = countDf.getOrElse(df)

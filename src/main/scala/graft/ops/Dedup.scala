@@ -124,12 +124,17 @@ object Dedup {
     // shingle aggregation; caching is useless in a lazily-returned plan), and
     // the self-join's two sides reuse one shuffle exchange.
     val sigs = minhashSignatures(s, d, maxDocId)
-    // Band key = the 4 minhash values joined as a string — engine-portable
-    // and collision-free. (At 100 TB a 64-bit fingerprint of the slice would
-    // shrink the shuffle key; the join shape is identical.)
+    // Band key = a fixed-width 60-bit fingerprint (md5 of the slice's
+    // comma-joined rendering, first 15 hex digits as a BIGINT — the
+    // engine-portable hash contract, see [[baseHash]]): an 8-byte shuffle
+    // key instead of a ~40-byte string in the widest exchange. Collisions
+    // are ~n²/2⁶⁰ — nonexistent in practice, and any would only ADD a
+    // candidate pair that the est-Jaccard filter re-checks anyway.
     val bands = sigs.select(col("doc_id"), col("mh"),
       posexplode(array((0 until BANDS).map { b =>
-        concat_ws(",", (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)): _*)
+        conv(substring(md5(
+          concat_ws(",", (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)): _*)
+        ), 1, 15), 16, 10).cast("long")
       }: _*)).as(Seq("band_idx", "band_hash")))
     val est = size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => (x === y).cast("int")),
       v => v === 1)).cast("double") / K
@@ -288,7 +293,7 @@ object Dedup {
        |       FROM h, (VALUES $perm) p(i,a,b) GROUP BY doc_id, p.i),
        |sig AS (SELECT doc_id, list(mh ORDER BY i) AS mh FROM mh GROUP BY doc_id),
        |band AS (SELECT doc_id, mh, b.b AS band_idx,
-       |                array_to_string(mh[b.b*4+1 : b.b*4+4], ',') AS band_key
+       |                CAST('0x' || substring(md5(array_to_string(mh[b.b*4+1 : b.b*4+4], ',')), 1, 15) AS BIGINT) AS band_key
        |         FROM sig, (SELECT unnest(range(0, $BANDS)) AS b) b),
        |cand AS (
        |  SELECT doc_a, doc_b,

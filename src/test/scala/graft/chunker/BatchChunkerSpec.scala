@@ -38,6 +38,28 @@ class BatchChunkerSpec extends AnyFunSuite {
     assert(!bc.calculateRanges())
   }
 
+  test("rangeDf injects a separate range-discovery keyspace (min_stmt/max_stmt, BatchChunker.pm:339-402)") {
+    // Work query: a filtered slice whose own MIN/MAX would be 35..40; the
+    // injected range keyspace is the unfiltered parent — ranges must come
+    // from the parent, the reference's min_stmt/max_stmt contract.
+    val work = gappyDf.filter(col("id").between(35, 40))
+    val bc = new BatchChunker(work, "id", cfg0.copy(chunkSize = 50, minChunkPercent = 0),
+      rangeDf = Some(gappyDf))
+    assert(bc.calculateRanges())
+    assert(bc.minId.contains(BigInt(0)) && bc.maxId.contains(BigInt(120)),
+      s"range should come from rangeDf: ${bc.minId} .. ${bc.maxId}")
+    // The loop still walks the FULL injected range but only dispatches the
+    // work df's rows.
+    var rows = 0L
+    val rpt = bc.foreachChunk(chunk => rows += chunk.count())
+    assert(rows == 6)
+    assert(rpt.outcomes.head.chunk.start == 0 && rpt.outcomes.last.chunk.end == 120)
+    // A rangeDf missing the id column is rejected eagerly.
+    val bad = new BatchChunker(work, "id", cfg0.copy(chunkSize = 50, minChunkPercent = 0),
+      rangeDf = Some(gappyDf.withColumnRenamed("id", "other")))
+    intercept[IllegalArgumentException](bad.calculateRanges())
+  }
+
   test("foreachChunk covers every row exactly once over gappy ids (coverage invariant)") {
     val bc = new BatchChunker(gappyDf, "id", cfg0.copy(chunkSize = 10, minChunkPercent = 0.5))
     bc.calculateRanges()
