@@ -40,9 +40,10 @@ object ChunkedRewrite {
       df: DataFrame,
       idColumn: String,
       cfg: ChunkerConfig,
-      outDir: String
+      outDir: String,
+      countProbe: Boolean = true
   )(transform: DataFrame => DataFrame): ExecutionReport = {
-    val bc = new BatchChunker(df, idColumn, cfg)
+    val bc = new BatchChunker(df, idColumn, cfg, enableCountProbe = countProbe)
     bc.calculateRanges()
     val hconf = df.sparkSession.sparkContext.hadoopConfiguration
     bc.foreachChunkWithRange { (chunk, chunkDf) =>

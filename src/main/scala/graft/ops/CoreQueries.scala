@@ -299,20 +299,25 @@ object CoreQueries {
     * lib/DBIx/BatchChunker.pm:121-130), as per-chunk copy-on-write: each
     * chunk joins its slice to the (broadcast) dimension, rewrites the
     * priced column, and commits atomically via ChunkedRewrite's staged
-    * rename + marker. The count-probe ladder is LIVE here (minChunkPercent
-    * = 0.5 over a ~25%-dense keyspace), so chunks genuinely resize
-    * mid-run. The audit aggregates the REWRITTEN table: matching row
-    * counts, DISTINCT key counts, and exact sums against the oracle (the
-    * same update expressed over the source) prove every key was rewritten
-    * exactly once — no gaps, no double-applied discounts. */
+    * rename + marker. Adaptivity here is RUNTIME TARGETING (the
+    * reference's signature control law, lib/DBIx/BatchChunker.pm:579-589):
+    * chunk size grows until each chunk takes ~targetTime seconds, so the
+    * fixed per-chunk cost (scheduling + codegen + commit) amortizes at ANY
+    * scale — measured at sf1, fixed 32k-key chunks with count probes cost
+    * 180+ sequential jobs while runtime targeting converges to a handful.
+    * The audit aggregates the REWRITTEN table: matching row counts,
+    * DISTINCT key counts, and exact sums against the oracle (the same
+    * update expressed over the source) prove every key was rewritten
+    * exactly once — no gaps, no double-applied discounts, regardless of
+    * where the (timing-dependent) chunk boundaries fall. */
   def dmlChunkedUpdate(s: SparkSession, d: String): DataFrame = {
     val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_update").toString
     val o = orders(s, d)
     val bldg = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    val cfg = ChunkerConfig(chunkSize = BigInt(32768), targetTime = 0, sleep = 0,
-      minChunkPercent = 0.5, retryAttempts = 3, log = quiet)
-    graft.chunker.ChunkedRewrite.rewrite(o, "o_orderkey", cfg, outDir) { chunk =>
+    val cfg = ChunkerConfig(chunkSize = BigInt(131072), targetTime = 1.5, sleep = 0,
+      minChunkPercent = 0, retryAttempts = 3, log = quiet)
+    graft.chunker.ChunkedRewrite.rewrite(o, "o_orderkey", cfg, outDir, countProbe = false) { chunk =>
       chunk.join(broadcast(bldg), chunk("o_custkey") === bldg("c_custkey"), "left")
         .withColumn("o_totalprice",
           when(col("c_custkey").isNotNull && col("o_orderstatus") === "O",
@@ -335,9 +340,9 @@ object CoreQueries {
   def dmlChunkedDelete(s: SparkSession, d: String): DataFrame = {
     val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_delete").toString
     val li = lineitem(s, d)
-    val cfg = ChunkerConfig(chunkSize = BigInt(32768), targetTime = 0, sleep = 0,
-      minChunkPercent = 0.5, retryAttempts = 3, log = quiet)
-    graft.chunker.ChunkedRewrite.rewrite(li, "l_orderkey", cfg, outDir) { chunk =>
+    val cfg = ChunkerConfig(chunkSize = BigInt(131072), targetTime = 1.5, sleep = 0,
+      minChunkPercent = 0, retryAttempts = 3, log = quiet)
+    graft.chunker.ChunkedRewrite.rewrite(li, "l_orderkey", cfg, outDir, countProbe = false) { chunk =>
       chunk.filter(!(col("l_shipdate") < lit("1994-06-01").cast(TimestampType)))
     }
     graft.chunker.ChunkedRewrite.readBackCommitted(s, outDir)
