@@ -42,8 +42,25 @@ object ChunkedRewrite {
       cfg: ChunkerConfig,
       outDir: String,
       countProbe: Boolean = true
-  )(transform: DataFrame => DataFrame): ExecutionReport = {
-    val bc = new BatchChunker(df, idColumn, cfg, enableCountProbe = countProbe)
+  )(transform: DataFrame => DataFrame): ExecutionReport =
+    rewriteWithRange(df, idColumn, cfg, outDir, countProbe)((_, chunk) => transform(chunk))
+
+  /** Like [[rewrite]], but the transform also receives the chunk bounds —
+    * needed by MERGE-shaped rewrites that must co-partition a DELTA side by
+    * the same ranges (an unmatched delta row belongs to exactly one chunk,
+    * which is what makes per-chunk upsert exactly-once). `rangeDf` extends
+    * range discovery past the target's own keyspace (e.g. to cover insert
+    * keys that don't exist in the target yet), mirroring
+    * BatchChunker's `min_stmt`/`max_stmt` parity. */
+  def rewriteWithRange(
+      df: DataFrame,
+      idColumn: String,
+      cfg: ChunkerConfig,
+      outDir: String,
+      countProbe: Boolean = true,
+      rangeDf: Option[DataFrame] = None
+  )(transform: (Chunk, DataFrame) => DataFrame): ExecutionReport = {
+    val bc = new BatchChunker(df, idColumn, cfg, enableCountProbe = countProbe, rangeDf = rangeDf)
     bc.calculateRanges()
     val hconf = df.sparkSession.sparkContext.hadoopConfiguration
     bc.foreachChunkWithRange { (chunk, chunkDf) =>
@@ -52,7 +69,7 @@ object ChunkedRewrite {
       val finalDir = new org.apache.hadoop.fs.Path(
         s"$outDir/chunk_${chunk.start}_${chunk.end}")
       val fs = finalDir.getFileSystem(hconf)
-      transform(chunkDf).write.mode("overwrite").parquet(staging.toString)
+      transform(chunk, chunkDf).write.mode("overwrite").parquet(staging.toString)
       // Commit = swap the fully-written staging dir in. On HDFS/local the
       // rename is atomic and the only non-atomic instant is between delete
       // and rename, during which the chunk is ABSENT (a reader skips it),

@@ -353,6 +353,48 @@ object CoreQueries {
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty_remaining"))
   }
 
+  /** Chunked MERGE (upsert) — the missing third DML shape: a delta table of
+    * UPDATES (price corrections for existing keys) and INSERTS (new keys
+    * past the target's max) applied in one chunked copy-on-write pass.
+    * Both sides co-partition by the chunk range: each chunk left-joins its
+    * target slice to the in-range updates (broadcast) and unions the
+    * in-range inserts, so every target row and every delta row lands in
+    * EXACTLY one committed chunk. Range discovery runs over the UNION
+    * keyspace via `rangeDf` — the injected range source is what lets the
+    * loop walk keys that don't exist in the target yet. The audit
+    * aggregates the merged table; the oracle replays the merge
+    * relationally (LEFT JOIN + UNION ALL), proving upsert exactly-once. */
+  def dmlChunkedMerge(s: SparkSession, d: String): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_merge").toString
+    val o = orders(s, d)
+    val insertBase = BigInt(o.agg(max(col("o_orderkey"))).head().getLong(0)) + 1
+    val updates = o.filter(col("o_orderkey") % 100 === 0)
+      .select(col("o_orderkey").as("u_key"), (col("o_totalprice") * 1.1).as("u_price"))
+    val inserts = o.filter(col("o_orderkey") % 1000 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + lit(insertBase.toLong))
+    val cfg = ChunkerConfig(chunkSize = BigInt(131072), targetTime = 1.5, sleep = 0,
+      minChunkPercent = 0, retryAttempts = 3, log = quiet)
+    graft.chunker.ChunkedRewrite.rewriteWithRange(o, "o_orderkey", cfg, outDir,
+      countProbe = false,
+      rangeDf = Some(o.select(col("o_orderkey"))
+        .unionByName(inserts.select(col("o_orderkey"))))) { (chunk, chunkDf) =>
+      val lo = lit(chunk.start.toLong)
+      val hi = lit(chunk.end.toLong)
+      val upd = broadcast(updates.filter(col("u_key").between(lo, hi)))
+      chunkDf.join(upd, chunkDf("o_orderkey") === upd("u_key"), "left")
+        .withColumn("o_totalprice",
+          when(col("u_key").isNotNull, col("u_price")).otherwise(col("o_totalprice")))
+        .drop("u_key", "u_price")
+        .unionByName(inserts.filter(col("o_orderkey").between(lo, hi)))
+    }
+    graft.chunker.ChunkedRewrite.readBackCommitted(s, outDir)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("o_orderkey")).as("n_keys"),
+        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_range_minmax" -> n1RangeMinmax _,
     "n2_chunk_stats" -> n2ChunkStats _,
@@ -379,7 +421,8 @@ object CoreQueries {
     "dml_update_rewrite" -> (dmlUpdateRewrite _),
     "dml_chunked_insert" -> (dmlChunkedInsert _),
     "dml_chunked_update" -> (dmlChunkedUpdate _),
-    "dml_chunked_delete" -> (dmlChunkedDelete _)
+    "dml_chunked_delete" -> (dmlChunkedDelete _),
+    "dml_chunked_merge" -> (dmlChunkedMerge _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -485,6 +528,21 @@ object CoreQueries {
         |       count(DISTINCT o_orderkey) AS n_keys,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "dml_chunked_merge" ->
+      """WITH mx AS (SELECT max(o_orderkey) + 1 AS m FROM orders),
+        |delta_u AS (SELECT o_orderkey AS u_key, o_totalprice * 1.1 AS u_price
+        |            FROM orders WHERE o_orderkey % 100 = 0),
+        |merged AS (
+        |  SELECT o.o_orderkey, o.o_orderstatus,
+        |         CASE WHEN u.u_key IS NOT NULL THEN u.u_price ELSE o.o_totalprice END AS o_totalprice
+        |  FROM orders o LEFT JOIN delta_u u ON o.o_orderkey = u.u_key
+        |  UNION ALL
+        |  SELECT o_orderkey + (SELECT m FROM mx), o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 1000 = 7)
+        |SELECT o_orderstatus, count(*) AS n_rows,
+        |       count(DISTINCT o_orderkey) AS n_keys,
+        |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM merged GROUP BY o_orderstatus""".stripMargin,
     "dml_chunked_update" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
         |       count(DISTINCT o_orderkey) AS n_keys,

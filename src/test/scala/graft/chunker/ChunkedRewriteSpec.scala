@@ -142,6 +142,36 @@ class ChunkedRewriteSpec extends AnyFunSuite {
     assert(resumed.select(sum(col("price"))).head().getDouble(0) == expectedSum)
   }
 
+  test("chunked MERGE via rewriteWithRange: updates and inserts each land exactly once") {
+    val dir = java.nio.file.Files.createTempDirectory("cow-merge").toString
+    val src = (1L to 100L).map(i => (i, i.toDouble)).toDF("id", "price")
+    src.write.mode("overwrite").parquet(s"$dir/src")
+    val table = spark.read.parquet(s"$dir/src")
+    // delta: double the price of multiples of 10, insert ids 101..110
+    val updates = (Seq(10L, 20L, 30L, 40L, 50L, 60L, 70L, 80L, 90L, 100L))
+      .map(i => (i, i * 2.0)).toDF("u_id", "u_price")
+    val inserts = (101L to 110L).map(i => (i, i.toDouble)).toDF("id", "price")
+
+    ChunkedRewrite.rewriteWithRange(table, "id", cfg0, s"$dir/out",
+      rangeDf = Some(table.select(col("id")).unionByName(inserts.select(col("id"))))) {
+      (chunk, chunkDf) =>
+        val lo = lit(chunk.start.toLong); val hi = lit(chunk.end.toLong)
+        chunkDf.join(updates.filter(col("u_id").between(lo, hi)),
+            chunkDf("id") === col("u_id"), "left")
+          .withColumn("price", when(col("u_id").isNotNull, col("u_price")).otherwise(col("price")))
+          .drop("u_id", "u_price")
+          .unionByName(inserts.filter(col("id").between(lo, hi)))
+    }
+    val result = ChunkedRewrite.readBackCommitted(spark, s"$dir/out")
+    assert(result.count() == 110)
+    assert(result.select(countDistinct(col("id"))).head().getLong(0) == 110) // no key twice
+    val expectedSum = (1L to 100L).map(i => if (i % 10 == 0) i * 2.0 else i.toDouble).sum +
+      (101L to 110L).map(_.toDouble).sum
+    assert(result.select(sum(col("price"))).head().getDouble(0) == expectedSum)
+    // the insert keys walked ranges past the target's own max — rangeDf at work
+    assert(result.select(max(col("id"))).head().getLong(0) == 110)
+  }
+
   test("readBackCommitted skips a torn non-atomic rename (data present, marker absent)") {
     val dir = java.nio.file.Files.createTempDirectory("cow-torn").toString
     val src = (1L to 100L).toDF("id")
