@@ -395,6 +395,50 @@ object CoreQueries {
         sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
   }
 
+  /** Parallel chunk fan-out (the Spark-only dispatch mode the reference's
+    * lock-holding sequential loop can't offer, BatchChunker.foreachChunkPar):
+    * a chunked projected EXPORT with `parallelism` concurrent chunk jobs on
+    * the scheduler — read-only work, so no cross-chunk ordering constraint
+    * exists and scan latency overlaps compute (measured 9.6× on chunked
+    * reads in round 1). Each chunk writes `overwrite` into its own
+    * range-keyed directory (idempotent under retry); the audit aggregates
+    * the EXPORTED files, so the oracle proves the concurrent chunks
+    * covered every row exactly once. */
+  def qChunkExportPar(s: SparkSession, d: String): DataFrame = {
+    val outDir = java.nio.file.Files.createTempDirectory("graft_chunk_export").toString
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
+    val bc = new BatchChunker(li, "l_orderkey", chunkCfg(65536).copy(retryAttempts = 3),
+      enableCountProbe = false)
+    require(bc.calculateRanges(), s"range discovery found no keys in $d/lineitem")
+    val planned = bc.foreachChunkPar(parallelism = 8) { (chunk, chunkDf) =>
+      chunkDf.write.mode("overwrite").parquet(s"$outDir/chunk_${chunk.start}_${chunk.end}")
+    }
+    require(planned.nonEmpty,
+      s"parallel chunk plan was empty for range ${bc.minId}..${bc.maxId}")
+    s.read.parquet(planned.map(c => s"$outDir/chunk_${c.start}_${c.end}"): _*)
+      .groupBy(col("l_linenumber"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"),
+        sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("price"))
+  }
+
+  /** Rank-family window functions not yet in the catalog: NTILE buckets,
+    * PERCENT_RANK, CUME_DIST — per-row exact arithmetic over a total
+    * order with a unique tiebreak, so doubles are IEEE-identical across
+    * engines. */
+  def qNtileRanks(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_custkey") <= 100)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"),
+        percent_rank().over(w).as("pr"),
+        cume_dist().over(w).as("cd"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "n1_range_minmax" -> n1RangeMinmax _,
     "n2_chunk_stats" -> n2ChunkStats _,
@@ -422,7 +466,9 @@ object CoreQueries {
     "dml_chunked_insert" -> (dmlChunkedInsert _),
     "dml_chunked_update" -> (dmlChunkedUpdate _),
     "dml_chunked_delete" -> (dmlChunkedDelete _),
-    "dml_chunked_merge" -> (dmlChunkedMerge _)
+    "dml_chunked_merge" -> (dmlChunkedMerge _),
+    "q_chunk_export_par" -> (qChunkExportPar _),
+    "q_ntile_ranks" -> (qNtileRanks _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -528,6 +574,18 @@ object CoreQueries {
         |       count(DISTINCT o_orderkey) AS n_keys,
         |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
+    "q_chunk_export_par" ->
+      """SELECT l_linenumber, count(*) AS n_rows,
+        |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+        |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
+        |FROM lineitem GROUP BY l_linenumber""".stripMargin,
+    "q_ntile_ranks" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+        |       percent_rank() OVER w AS pr,
+        |       cume_dist() OVER w AS cd
+        |FROM orders WHERE o_custkey <= 100
+        |WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice, o_orderkey)""".stripMargin,
     "dml_chunked_merge" ->
       """WITH mx AS (SELECT max(o_orderkey) + 1 AS m FROM orders),
         |delta_u AS (SELECT o_orderkey AS u_key, o_totalprice * 1.1 AS u_price
