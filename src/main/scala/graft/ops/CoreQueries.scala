@@ -424,6 +424,41 @@ object CoreQueries {
         sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("price"))
   }
 
+  /** FULL OUTER join — the remaining join-matrix cell: customers vs a
+    * filtered order set, with explicit null-side buckets so both
+    * unmatched directions are visible in the audit. */
+  def qJoinFullOuter(s: SparkSession, d: String): DataFrame = {
+    val c = customer(s, d).filter(col("c_acctbal") < 0)
+      .select(col("c_custkey"), col("c_mktsegment"))
+    val o = orders(s, d).filter(col("o_totalprice") > 250000)
+      .select(col("o_custkey"), col("o_orderkey"))
+    c.join(o, c("c_custkey") === o("o_custkey"), "full_outer")
+      .groupBy(
+        when(col("c_custkey").isNull, "order_only")
+          .when(col("o_custkey").isNull, "customer_only")
+          .otherwise("both").as("side"))
+      .agg(count(lit(1)).as("n"),
+        countDistinct(col("o_orderkey")).as("n_orders"))
+  }
+
+  /** Correlated LATERAL subquery (SQL surface): per-customer top-2 orders
+    * by price, expressed as a lateral dependent join — the declarative
+    * form Catalyst rewrites into the same window/join physical shapes the
+    * DataFrame catalog entries use. */
+  def qLateralTopn(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_lat_orders")
+    customer(s, d).createOrReplaceTempView("graft_lat_customer")
+    s.sql(
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM graft_lat_customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM graft_lat_orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) o
+        |WHERE c.c_custkey <= 100""".stripMargin)
+  }
+
   /** Rank-family window functions not yet in the catalog: NTILE buckets,
     * PERCENT_RANK, CUME_DIST — per-row exact arithmetic over a total
     * order with a unique tiebreak, so doubles are IEEE-identical across
@@ -468,7 +503,9 @@ object CoreQueries {
     "dml_chunked_delete" -> (dmlChunkedDelete _),
     "dml_chunked_merge" -> (dmlChunkedMerge _),
     "q_chunk_export_par" -> (qChunkExportPar _),
-    "q_ntile_ranks" -> (qNtileRanks _)
+    "q_ntile_ranks" -> (qNtileRanks _),
+    "q_join_full_outer" -> (qJoinFullOuter _),
+    "q_lateral_topn" -> (qLateralTopn _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -579,6 +616,24 @@ object CoreQueries {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
         |FROM lineitem GROUP BY l_linenumber""".stripMargin,
+    "q_join_full_outer" ->
+      """SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
+        |            WHEN o_custkey IS NULL THEN 'customer_only'
+        |            ELSE 'both' END AS side,
+        |       count(*) AS n, count(DISTINCT o_orderkey) AS n_orders
+        |FROM (SELECT c_custkey, c_mktsegment FROM customer WHERE c_acctbal < 0) c
+        |FULL OUTER JOIN (SELECT o_custkey, o_orderkey FROM orders WHERE o_totalprice > 250000) o
+        |  ON c.c_custkey = o.o_custkey
+        |GROUP BY 1""".stripMargin,
+    "q_lateral_topn" ->
+      """SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+        |FROM customer c
+        |JOIN LATERAL (
+        |  SELECT o_orderkey, o_totalprice FROM orders
+        |  WHERE o_custkey = c.c_custkey
+        |  ORDER BY o_totalprice DESC, o_orderkey LIMIT 2
+        |) o ON true
+        |WHERE c.c_custkey <= 100""".stripMargin,
     "q_ntile_ranks" ->
       """SELECT o_orderkey, o_orderstatus,
         |       CAST(ntile(4) OVER w AS INTEGER) AS quartile,

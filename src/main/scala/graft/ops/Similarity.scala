@@ -266,9 +266,20 @@ object Similarity {
     * buckets only. The scale path for ANN beyond LSH: candidate count ~
     * nprobe/k of the corpus, and the bucket function adapts to the data
     * distribution (unlike fixed hyperplanes). */
+  /** Cluster-assigned corpus, persisted per data directory: x_ann_ivf and
+    * its recall audit share one assignment pass (16 centroid dots per
+    * vector), the same amortization as the bucket/centroid caches. */
+  private val ivfAssignedCache =
+    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+
+  private def ivfAssigned(s: SparkSession, d: String): DataFrame =
+    ivfAssignedCache.computeIfAbsent(d, dir =>
+      vectors(s, dir).withColumn("cluster", assignCluster(col("v"), trainIvfCentroids(s, dir)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val cents = trainIvfCentroids(s, d)
-    val all = vectors(s, d).withColumn("cluster", assignCluster(col("v"), cents))
+    val all = ivfAssigned(s, d)
     // per-query probe list: the NPROBE nearest centroids
     val simStructs = transform(centroidSims(col("qv"), cents),
       (sim, i) => struct(sim.as("sim"), i.as("cl")))
