@@ -424,6 +424,37 @@ object CoreQueries {
         sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("price"))
   }
 
+  /** Statistical aggregates with deterministic cross-engine arithmetic:
+    * population variance/stddev computed from EXACT decimal component sums
+    * (Σx, Σx², n) rather than the engines' native var_pop/stddev (whose
+    * floating accumulation order varies with partitioning — the same
+    * discipline as the catalog's decimal-exact SUMs). The final variance
+    * arithmetic runs per-group in float64, IEEE-identical in both engines. */
+  def qStatsAgg(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("sx"),
+        sum((col("l_quantity") * col("l_quantity")).cast(DecimalType(24, 4)))
+          .cast(DoubleType).as("sxx"))
+      .select(col("l_returnflag"), col("n"),
+        (col("sxx") / col("n") - (col("sx") / col("n")) * (col("sx") / col("n")))
+          .as("var_pop_qty"))
+
+  /** Ordered string aggregation (LISTAGG/STRING_AGG shape): deterministic
+    * via an explicit sort of the collected set before joining — collection
+    * order is partition-dependent in every engine, so the sort IS the
+    * cross-engine contract. */
+  def qStringAgg(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .filter(col("o_custkey") <= 40)
+      .groupBy(col("o_custkey"))
+      .agg(array_sort(collect_set(col("o_orderpriority"))).as("ps"))
+      .select(col("o_custkey"),
+        array_join(col("ps"), ",").as("priorities"),
+        size(col("ps")).as("n_distinct"))
+
   /** FULL OUTER join — the remaining join-matrix cell: customers vs a
     * filtered order set, with explicit null-side buckets so both
     * unmatched directions are visible in the audit. */
@@ -505,7 +536,9 @@ object CoreQueries {
     "q_chunk_export_par" -> (qChunkExportPar _),
     "q_ntile_ranks" -> (qNtileRanks _),
     "q_join_full_outer" -> (qJoinFullOuter _),
-    "q_lateral_topn" -> (qLateralTopn _)
+    "q_lateral_topn" -> (qLateralTopn _),
+    "q_stats_agg" -> (qStatsAgg _),
+    "q_string_agg" -> (qStringAgg _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -616,6 +649,18 @@ object CoreQueries {
         |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
         |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS price
         |FROM lineitem GROUP BY l_linenumber""".stripMargin,
+    "q_stats_agg" ->
+      """SELECT l_returnflag, count(*) AS n,
+        |       CAST(SUM(CAST(l_quantity * l_quantity AS DECIMAL(24,4))) AS DOUBLE) / count(*)
+        |         - (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*))
+        |           * (CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(*)) AS var_pop_qty
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
+    "q_string_agg" ->
+      """SELECT o_custkey,
+        |       array_to_string(list_sort(list_distinct(list(o_orderpriority))), ',') AS priorities,
+        |       CAST(len(list_distinct(list(o_orderpriority))) AS INTEGER) AS n_distinct
+        |FROM orders WHERE o_custkey <= 40
+        |GROUP BY o_custkey""".stripMargin,
     "q_join_full_outer" ->
       """SELECT CASE WHEN c_custkey IS NULL THEN 'order_only'
         |            WHEN o_custkey IS NULL THEN 'customer_only'
