@@ -317,7 +317,62 @@ object ExtraQueries {
       .select(col("purchase_id"), col("matched_view"))
   }
 
+  /** Time-series resample with gap-fill: the dense (hour × event_type)
+    * grid over the table's own time span, missing cells filled with 0 —
+    * the standard pipeline shape for training-data rate series. The hour
+    * axis is generated from ONE aggregate row (control-plane `sequence`
+    * explode, tiny at any scale); at 100 TB the same plan partitions by
+    * entity and the grid join stays narrow because the sparse side is
+    * pre-aggregated. */
+  def qGapfillHours(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val hourly = ev
+      .groupBy(date_trunc("hour", col("ts")).as("h"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).as("mn"),
+      date_trunc("hour", max(col("ts"))).as("mx"))
+    val hours = bounds.select(
+      explode(sequence(col("mn"), col("mx"), expr("interval 1 hour"))).as("h"))
+    val types = ev.select(col("event_type")).distinct()
+    hours.crossJoin(types)
+      .join(hourly, Seq("h", "event_type"), "left")
+      .select(
+        date_format(col("h"), "yyyy-MM-dd HH").as("hour"),
+        col("event_type"),
+        coalesce(col("n"), lit(0L)).as("n"))
+  }
+
+  /** Exact INTERPOLATED percentile (PERCENTILE_CONT shape) with the
+    * interpolation arithmetic spelled out identically in both engines —
+    * built-in quantile functions differ in interpolation formulations, so
+    * the formula itself is the cross-engine contract: k = (n-1)·p,
+    * p95 = v_lo·(1-frac) + v_hi·frac over the sorted partition. One
+    * window sort per group; rank arithmetic is exact integers. */
+  def qPercentileCont(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag"))
+      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+    val ranked = lineitem(s, d)
+      .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+    val k = (col("n") - 1) * lit(0.95)
+    val lo = floor(k) + 1
+    val hi = least(floor(k) + 2, col("n"))
+    val frac = k - floor(k)
+    ranked
+      .filter(col("rn") === lo || col("rn") === hi)
+      .groupBy(col("l_returnflag"), col("n"))
+      .agg(
+        min(when(col("rn") === lo, col("l_extendedprice"))).as("vlo"),
+        min(when(col("rn") === hi, col("l_extendedprice"))).as("vhi"))
+      .select(col("l_returnflag"),
+        (col("vlo") * (lit(1.0) - frac) + col("vhi") * frac).as("p95"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_gapfill_hours" -> (qGapfillHours _),
+    "q_percentile_cont" -> (qPercentileCont _),
     "q_asof_custom" -> (qAsofCustom _),
     "q_native_func_sql" -> (qNativeFuncSql _),
     "q_map_funcs" -> (qMapFuncs _),
@@ -341,6 +396,36 @@ object ExtraQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_gapfill_hours" ->
+      """WITH hourly AS (
+        |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |bounds AS (
+        |  SELECT CAST(date_trunc('hour', min(ts)) AS TIMESTAMP) AS mn,
+        |         CAST(date_trunc('hour', max(ts)) AS TIMESTAMP) AS mx
+        |  FROM events),
+        |hours AS (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds),
+        |types AS (SELECT DISTINCT event_type FROM events)
+        |SELECT strftime(hours.h, '%Y-%m-%d %H') AS hour, types.event_type,
+        |       COALESCE(hourly.n, 0) AS n
+        |FROM hours CROSS JOIN types
+        |LEFT JOIN hourly ON hourly.h = hours.h AND hourly.event_type = types.event_type""".stripMargin,
+    "q_percentile_cont" ->
+      """WITH r AS (
+        |  SELECT l_returnflag, l_extendedprice,
+        |         row_number() OVER (PARTITION BY l_returnflag
+        |           ORDER BY l_extendedprice, l_orderkey, l_linenumber) AS rn,
+        |         count(*) OVER (PARTITION BY l_returnflag) AS n
+        |  FROM lineitem)
+        |SELECT l_returnflag,
+        |       MIN(CASE WHEN rn = floor((n-1) * CAST(0.95 AS DOUBLE)) + 1 THEN l_extendedprice END)
+        |         * (1.0 - ((n-1) * CAST(0.95 AS DOUBLE) - floor((n-1) * CAST(0.95 AS DOUBLE))))
+        |     + MIN(CASE WHEN rn = least(floor((n-1) * CAST(0.95 AS DOUBLE)) + 2, n) THEN l_extendedprice END)
+        |         * ((n-1) * CAST(0.95 AS DOUBLE) - floor((n-1) * CAST(0.95 AS DOUBLE))) AS p95
+        |FROM r
+        |WHERE rn = floor((n-1) * CAST(0.95 AS DOUBLE)) + 1
+        |   OR rn = least(floor((n-1) * CAST(0.95 AS DOUBLE)) + 2, n)
+        |GROUP BY l_returnflag, n""".stripMargin,
     "q_map_funcs" ->
       """WITH per_line AS (
         |  SELECT l_orderkey, l_linenumber,
