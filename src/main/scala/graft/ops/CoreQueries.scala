@@ -473,9 +473,11 @@ object CoreQueries {
   }
 
   /** Correlated LATERAL subquery (SQL surface): per-customer top-2 orders
-    * by price, expressed as a lateral dependent join — the declarative
-    * form Catalyst rewrites into the same window/join physical shapes the
-    * DataFrame catalog entries use. */
+    * by price, expressed as a lateral dependent join. Catalyst decorrelates
+    * it into WindowGroupLimit (partial per-group top-k BEFORE the shuffle)
+    * + a broadcast hash join — verified via explain: the physical plan is
+    * identical in shape to the hand-written window formulation, with no
+    * per-row subquery execution anywhere. */
   def qLateralTopn(s: SparkSession, d: String): DataFrame = {
     orders(s, d).createOrReplaceTempView("graft_lat_orders")
     customer(s, d).createOrReplaceTempView("graft_lat_customer")

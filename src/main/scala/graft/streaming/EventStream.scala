@@ -99,6 +99,17 @@ object EventStream {
           col("c_ts") >= col("p_ts") - expr("INTERVAL 10 MINUTES"))
       .select(col("purchase_id"), col("click_id"), (col("p_ms") - col("click_ms")).as("gap_ms"))
 
+  /** Stream-static dimension enrichment: each micro-batch joins against a
+    * STATIC (batch) dimension — Spark re-plans the static side per batch,
+    * so a broadcast hash join runs inside every micro-batch with no
+    * streaming state at all. The standard shape for decorating an event
+    * stream with slowly-changing reference data; identical code enriches
+    * a batch DataFrame (spec asserts parity). */
+  def enrichWithDim(events: DataFrame, dim: DataFrame): DataFrame =
+    events.join(broadcast(dim), Seq("event_type"), "left")
+      .select(col("event_id"), col("event_type"),
+        (col("value") * coalesce(col("weight"), lit(0.0))).as("weighted_value"))
+
   /** Streaming sink with the same per-unit atomic commit discipline as
     * chunker.ChunkedRewrite: each micro-batch stages under a dot-prefixed
     * scratch directory and renames into a batchId-keyed final directory.

@@ -161,6 +161,31 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
   }
 
+  test("stream-static dimension enrichment equals its batch twin") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq(("click", 0.5), ("purchase", 10.0)).toDF("event_type", "weight")
+    val rows = Seq(
+      (1L, ts(0), 1L, "click", 2.0), (2L, ts(1), 1L, "purchase", 3.0),
+      (3L, ts(2), 2L, "view", 4.0)) // 'view' missing from dim -> weight 0
+
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.enrichWithDim(events, dim).writeStream
+      .format("memory").queryName("enrich_test").outputMode("append").start()
+    val streamed = try {
+      input.addData(rows)
+      q.processAllAvailable()
+      spark.table("enrich_test").collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    } finally q.stop()
+
+    val batch = EventStream.enrichWithDim(
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value"), dim)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).toSet
+    assert(batch == Set((1L, 1.0), (2L, 30.0), (3L, 0.0)))
+    assert(streamed == batch)
+  }
+
   test("file-based event stream picks up newly landed parquet files per micro-batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("evt-drop").toString
