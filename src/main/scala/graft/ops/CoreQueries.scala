@@ -278,7 +278,13 @@ object CoreQueries {
       s"""CREATE TABLE graft_dml_sink USING parquet LOCATION '$loc' AS
          |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
          |FROM graft_orders_src WHERE 1 = 0""".stripMargin)
-    val bc = new BatchChunker(orders(s, d), "o_orderkey", chunkCfg(65536),
+    // Runtime targeting (not a fixed grid): chunk size grows toward the
+    // per-chunk time target, so the sequential INSERT-per-chunk loop stays
+    // a bounded number of jobs at any keyspace size (fixed 64k chunks cost
+    // 115 sequential jobs at the 50x bench).
+    val bc = new BatchChunker(orders(s, d), "o_orderkey",
+      ChunkerConfig(chunkSize = BigInt(65536), targetTime = 1.5, sleep = 0,
+        minChunkPercent = 0, log = quiet),
       enableCountProbe = false)
     bc.calculateRanges()
     bc.runSql(s,
@@ -408,7 +414,11 @@ object CoreQueries {
     val outDir = java.nio.file.Files.createTempDirectory("graft_chunk_export").toString
     val li = lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
-    val bc = new BatchChunker(li, "l_orderkey", chunkCfg(65536).copy(retryAttempts = 3),
+    // Fixed-size chunks are REQUIRED here (adaptive resizing is sequential
+    // by nature; the par entry point enforces it), so the size itself must
+    // carry the scale: 256k keys/chunk keeps the job count bounded while
+    // parallelism=8 overlaps the chunk scans.
+    val bc = new BatchChunker(li, "l_orderkey", chunkCfg(262144).copy(retryAttempts = 3),
       enableCountProbe = false)
     require(bc.calculateRanges(), s"range discovery found no keys in $d/lineitem")
     val planned = bc.foreachChunkPar(parallelism = 8) { (chunk, chunkDf) =>

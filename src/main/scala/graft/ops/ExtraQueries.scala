@@ -348,7 +348,12 @@ object ExtraQueries {
     * built-in quantile functions differ in interpolation formulations, so
     * the formula itself is the cross-engine contract: k = (n-1)·p,
     * p95 = v_lo·(1-frac) + v_hi·frac over the sorted partition. One
-    * window sort per group; rank arithmetic is exact integers. */
+    * window sort per group; rank arithmetic is exact integers. Scale
+    * note: exact per-group percentile parallelizes only across groups
+    * (here 3 return flags ⇒ 3 sort tasks however large the table) — at
+    * 100 TB this entry is the exact VERIFIER run on samples/strata, and
+    * `q_approx_percentile_audit` (t-digest with pinned bounds) is the
+    * full-data path. */
   def qPercentileCont(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("l_returnflag"))
       .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))

@@ -82,10 +82,12 @@ object Similarity {
     * maximize ANN recall turn quadratic as the corpus grows (measured at
     * sf1: 53 s in the pair join). At 12 bits genuine near-duplicates
     * (cos >= 0.95) still collide in at least one of 16 tables with
-    * p > 0.99, while random-tail pairs are pruned ~10x harder; at real
-    * scale, bits grows ~ log2(corpus / target bucket size). */
+    * p > 0.98, while random-tail pairs are pruned ~30x harder; at real
+    * scale, bits grows ~ log2(corpus / target bucket size) — the 50x bench
+    * confirmed the rule (12 bits re-turned quadratic at 100k vectors;
+    * 14 bits holds bucket occupancy at ~6). */
   private val DEDUP_TABLES = 16
-  private val DEDUP_BITS = 12
+  private val DEDUP_BITS = 14
 
   /** Deterministic pseudo-random hyperplanes for `nPlanes` sign-bit
     * hashes. Weights derive from a splitmix-style integer mix of

@@ -30,12 +30,17 @@ object ScaleUp {
   private val Lower = "abcdefghijklmnopqrstuvwxyz"
   private val Upper = Lower.toUpperCase
   private val Digits = "0123456789"
+  /** One 62-character rotation cycle (not per-group): per-group rotation
+    * repeats letter mappings every 26 replicas, which would reintroduce
+    * cross-replica near-duplicates at factors > 26. A 62-cycle stays
+    * distinct for every replica index below 62. */
+  private val Alphabet = Lower + Upper + Digits
 
   private def rot(s: String, i: Int): String =
     s.drop(i % s.length) + s.take(i % s.length)
 
   private def caesar(c: Column, i: Int): Column =
-    translate(c, Lower + Upper + Digits, rot(Lower, i) + rot(Upper, i) + rot(Digits, i))
+    translate(c, Alphabet, rot(Alphabet, i))
 
   private def rotateDims(c: Column, off: Int, dim: Int): Column =
     transform(sequence(lit(0), lit(dim - 1)),
@@ -87,10 +92,10 @@ object ScaleUp {
       .withColumn("l_partkey", col("l_partkey") + lit(i * nPart))
       .withColumn("l_suppkey", col("l_suppkey") + lit(i * nSupp)))
 
-    val nUser = 1 + read("events").agg(max(col("user_id"))).head().getLong(0)
-    scaled("events")((df, i, n) => df
-      .withColumn("event_id", col("event_id") + lit(i * n))
-      .withColumn("user_id", col("user_id") + lit(i * nUser)))
+    // events is NOT scaled here: its ts column is TIMESTAMP(NANOS), which
+    // Spark reads as long (nanosAsLong) and cannot write back type-
+    // faithfully — tools/scaleup_events.py replicates it via DuckDB.
+    println("SCALEUP events -> skipped (run tools/scaleup_events.py)")
 
     scaled("documents")((df, i, n) => df
       .withColumn("doc_id", col("doc_id") + lit(i * n))

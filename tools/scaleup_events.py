@@ -12,10 +12,17 @@ src/test/scala/graft/tools/ScaleUp.scala, which handles every other table.
 
 Usage: python3 tools/scaleup_events.py <srcDir> <dstDir> <factor>
 """
+import shutil
 import sys
+import os
 import duckdb
 
 src, dst, factor = sys.argv[1], sys.argv[2], int(sys.argv[3])
+target = f"{dst}/events.parquet"
+if os.path.isdir(target):
+    shutil.rmtree(target)
+elif os.path.exists(target):
+    os.remove(target)
 con = duckdb.connect()
 n_events = con.sql(f"SELECT count(*) FROM '{src}/events.parquet'").fetchone()[0]
 n_users = con.sql(f"SELECT max(user_id) + 1 FROM '{src}/events.parquet'").fetchone()[0]
