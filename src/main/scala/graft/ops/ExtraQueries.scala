@@ -375,7 +375,35 @@ object ExtraQueries {
         (col("vlo") * (lit(1.0) - frac) + col("vhi") * frac).as("p95"))
   }
 
+  /** Z-order (Morton) clustering — the multi-dimensional data-layout
+    * operator behind Delta/Iceberg `ZORDER BY`: interleaving the bits of
+    * two keys gives a 1-D sort order in which any contiguous bucket is
+    * BOUNDED IN BOTH dimensions, so per-file min/max stats prune scans on
+    * either key. The audit groups rows by their z-bucket (top bits of the
+    * z-value — the "file" a range-partitioned write would land them in)
+    * and emits both dimensions' min/max spans per bucket: narrow spans in
+    * BOTH columns at once are the data-skipping property itself, which a
+    * plain sort by one key cannot deliver. Pure integer bit arithmetic —
+    * identical in any engine. */
+  def qZorderLayout(s: SparkSession, d: String): DataFrame = {
+    // interleave the low 24 bits of each key (covers keyspaces to 16.7M —
+    // sf5's 7.5M orderkeys included): z = Σ bit_i(a)<<2i | bit_i(b)<<2i+1
+    val z = (0 until 24).map { i =>
+      (shiftright(col("l_orderkey"), i).bitwiseAND(1) * lit(1L << (2 * i))) +
+        (shiftright(col("l_partkey"), i).bitwiseAND(1) * lit(1L << (2 * i + 1)))
+    }.reduce(_ + _)
+    lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"))
+      .withColumn("zbucket", shiftright(z, 24))
+      .groupBy(col("zbucket"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        (max(col("l_orderkey")) - min(col("l_orderkey"))).as("okey_span"),
+        (max(col("l_partkey")) - min(col("l_partkey"))).as("pkey_span"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_zorder_layout" -> (qZorderLayout _),
     "q_gapfill_hours" -> (qGapfillHours _),
     "q_percentile_cont" -> (qPercentileCont _),
     "q_asof_custom" -> (qAsofCustom _),
@@ -400,7 +428,23 @@ object ExtraQueries {
     "q_asof_join" -> (qAsofJoin _)
   )
 
+  /** The same 24-bit interleave as [[qZorderLayout]], rendered as SQL. */
+  private def zorderSql: String = {
+    val terms = (0 until 24).map { i =>
+      s"((l_orderkey >> $i) & 1) * ${1L << (2 * i)} + ((l_partkey >> $i) & 1) * ${1L << (2 * i + 1)}"
+    }.mkString("\n       + ")
+    s"""WITH z AS (
+       |  SELECT l_orderkey, l_partkey,
+       |       $terms AS zv
+       |  FROM lineitem)
+       |SELECT zv >> 24 AS zbucket, count(*) AS n_rows,
+       |       max(l_orderkey) - min(l_orderkey) AS okey_span,
+       |       max(l_partkey) - min(l_partkey) AS pkey_span
+       |FROM z GROUP BY zbucket""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_zorder_layout" -> zorderSql,
     "q_gapfill_hours" ->
       """WITH hourly AS (
         |  SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS h, event_type, count(*) AS n
