@@ -401,6 +401,53 @@ object CoreQueries {
         sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
   }
 
+  /** Chunked DML against a LIVE JDBC database with REAL per-chunk
+    * transactions — the reference's Active-DBI deployment scenario made
+    * literal (lib/DBIx/BatchChunker.pm:1297-1350): the part table is
+    * seeded into an embedded Derby database, then a conditional UPDATE
+    * template (`extra predicate AND key BETWEEN ? AND ?`, the canonical
+    * stmt shape at lib/DBIx/BatchChunker.pm:116-131) runs through the
+    * adaptive loop with one BEGIN/COMMIT per chunk and rollback+retry on
+    * failure (JdbcBatch.executeChunkedDml; the Derby spec proves the
+    * commit/rollback law). The audit reads the MUTATED table back over a
+    * chunk-partitioned JDBC scan and aggregates it; the oracle replays the
+    * update relationally over the source parquet, so matching hashes prove
+    * every key was updated exactly once through the transactional loop.
+    * Per-row double arithmetic (`* 1.05`) is IEEE-identical across Derby,
+    * Spark, and DuckDB. */
+  def dmlChunkedJdbc(s: SparkSession, d: String): DataFrame = {
+    val db = "graft_dml_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val props = new java.util.Properties
+    val snapDir = java.nio.file.Files.createTempDirectory("graft_dml_jdbc").toString
+    try {
+      part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+        .coalesce(4) // bounded writer concurrency against the embedded DB
+        .write.mode("overwrite").jdbc(url, "part_live", props)
+      val cfg = ChunkerConfig(chunkSize = BigInt(256), targetTime = 0.2, sleep = 0,
+        minChunkPercent = 0, retryAttempts = 3, log = quiet)
+      graft.sources.JdbcBatch.executeChunkedDml(url,
+        """UPDATE part_live SET "p_retailprice" = "p_retailprice" * 1.05 """ +
+          """WHERE "p_size" > 25 AND "p_partkey" BETWEEN {start} AND {end}""",
+        "p_partkey", "part_live", cfg, props)
+      // Audit = chunk-partitioned JDBC read of the mutated table, snapshotted
+      // to parquet so the result outlives the dropped database.
+      graft.sources.JdbcBatch.readChunked(s, url, "part_live", "p_partkey", chunkCfg(512), props)
+        .groupBy(col("p_brand"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("p_partkey")).as("n_keys"),
+          sum(col("p_retailprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+        .write.mode("overwrite").parquet(snapDir)
+      s.read.parquet(snapDir)
+    } finally {
+      // Derby in-memory drop signals success via SQLState 08006
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   /** Parallel chunk fan-out (the Spark-only dispatch mode the reference's
     * lock-holding sequential loop can't offer, BatchChunker.foreachChunkPar):
     * a chunked projected EXPORT with `parallelism` concurrent chunk jobs on
@@ -545,6 +592,7 @@ object CoreQueries {
     "dml_chunked_update" -> (dmlChunkedUpdate _),
     "dml_chunked_delete" -> (dmlChunkedDelete _),
     "dml_chunked_merge" -> (dmlChunkedMerge _),
+    "dml_chunked_jdbc" -> (dmlChunkedJdbc _),
     "q_chunk_export_par" -> (qChunkExportPar _),
     "q_ntile_ranks" -> (qNtileRanks _),
     "q_join_full_outer" -> (qJoinFullOuter _),
@@ -651,6 +699,12 @@ object CoreQueries {
       """SELECT l_returnflag, count(*) AS n_remaining FROM lineitem
         |WHERE NOT (l_shipdate < TIMESTAMP '1995-01-01 00:00:00')
         |GROUP BY l_returnflag""".stripMargin,
+    "dml_chunked_jdbc" ->
+      """SELECT p_brand, count(*) AS n_rows,
+        |       count(DISTINCT p_partkey) AS n_keys,
+        |       CAST(SUM(CAST(CASE WHEN p_size > 25 THEN p_retailprice * 1.05
+        |                          ELSE p_retailprice END AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM part GROUP BY p_brand""".stripMargin,
     "dml_chunked_insert" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
         |       count(DISTINCT o_orderkey) AS n_keys,

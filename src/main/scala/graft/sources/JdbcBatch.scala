@@ -71,6 +71,104 @@ object JdbcBatch {
     spark.read.jdbc(url, table, predicates, props)
   }
 
+  /** The reference's Active-DBI mode, literally: a DML template executed
+    * once per chunk against a LIVE JDBC database, each chunk inside its own
+    * transaction (reference lib/DBIx/BatchChunker.pm:1297-1350 — `stmt`
+    * prepared and executed with `(start, end)` binds inside
+    * `DBIx::Connector::Retry->run`, i.e. per-chunk BEGIN/COMMIT with
+    * rollback + whole-chunk retry on failure; retry law proven by
+    * t/dbh.t:283-325). This is the one place the per-chunk-transaction
+    * story is literal instead of approximated by staged renames.
+    *
+    * Mechanics:
+    *  - range discovery + the optional COUNT probe run on a separate
+    *    autocommit connection (reads must not entangle with the DML
+    *    transaction — the reference likewise issues them as standalone
+    *    statements, lib/DBIx/BatchChunker.pm:1256-1289);
+    *  - the DML connection runs with `autoCommit=false`; per chunk the
+    *    template is executed with `{start}`/`{end}` substituted (our
+    *    replacement for `BETWEEN ? AND ?` binds), then `inTxn` (extra work
+    *    inside the SAME transaction — the multi-statement per-chunk `txn`
+    *    shape of single_rows mode, lib/DBIx/BatchChunker.pm:1305-1327),
+    *    then COMMIT;
+    *  - any failure ROLLS BACK the chunk and rethrows into the engine's
+    *    retry wrapper, so a retried chunk re-runs from a clean slate —
+    *    exactly the reference's restart-the-whole-chunk guarantee
+    *    (t/dbic.t:461-502).
+    *
+    * The driver loop stays strictly sequential (locks are the point); the
+    * full adaptive machinery — density ladder, runtime targeting,
+    * max_runtime/resume — applies unchanged because it lives in
+    * [[ChunkEngine]], not in the dispatch.
+    *
+    * @param template DML with `{start}`/`{end}` placeholders; identifier
+    *                 quoting is the caller's concern (Spark-created columns
+    *                 are ANSI-quoted case-sensitive)
+    * @param rangeTable table for MIN/MAX discovery and COUNT probes
+    *                   (the `min_stmt`/`max_stmt`/`count_stmt` analogue)
+    * @param enableCountProbe per-chunk `SELECT COUNT(*)` feeding the
+    *                 density ladder; off by default (each probe is a DB
+    *                 roundtrip, and DML templates usually want pure
+    *                 runtime targeting)
+    * @param inTxn    extra statements inside each chunk's transaction,
+    *                 e.g. an audit-table insert that must commit or roll
+    *                 back atomically WITH the chunk
+    */
+  def executeChunkedDml(
+      url: String,
+      template: String,
+      idColumn: String,
+      rangeTable: String,
+      cfg: ChunkerConfig,
+      props: Properties = new Properties,
+      enableCountProbe: Boolean = false,
+      inTxn: (Chunk, java.sql.Connection) => Unit = (_, _) => ()
+  ): ExecutionReport = {
+    val probeConn = DriverManager.getConnection(url, props)
+    val dmlConn = DriverManager.getConnection(url, props)
+    try {
+      dmlConn.setAutoCommit(false)
+      val source = new RangeSource {
+        private def agg(fn: String): Option[BigInt] = {
+          val rs = probeConn.createStatement().executeQuery(
+            s"SELECT $fn(${quoted(idColumn)}) FROM $rangeTable")
+          if (!rs.next()) None
+          else Option(rs.getBigDecimal(1)).map(d => BigInt(d.toBigInteger))
+        }
+        override def minId(): Option[BigInt] = agg("MIN")
+        override def maxId(): Option[BigInt] = agg("MAX")
+      }
+      val probe: Option[(BigInt, BigInt) => BigInt] =
+        if (!enableCountProbe) None
+        else Some { (s, e) =>
+          val rs = probeConn.createStatement().executeQuery(
+            s"SELECT COUNT(*) FROM $rangeTable WHERE ${quoted(idColumn)} BETWEEN $s AND $e")
+          rs.next(); BigInt(rs.getLong(1))
+        }
+      val engine = new ChunkEngine(cfg, Some(source), probe)
+      engine.calculateRanges()
+      engine.execute { chunk =>
+        try {
+          val sql = template
+            .replace("{start}", chunk.start.toString)
+            .replace("{end}", chunk.end.toString)
+          val st = dmlConn.createStatement()
+          try st.executeUpdate(sql) finally st.close()
+          inTxn(chunk, dmlConn)
+          dmlConn.commit()
+        } catch {
+          case e: Throwable =>
+            // Clean slate for the engine's retry wrapper; a rollback
+            // failure (dead connection) must not mask the original error.
+            try dmlConn.rollback() catch { case _: Throwable => () }
+            throw e
+        }
+      }
+    } finally {
+      try probeConn.close() finally dmlConn.close()
+    }
+  }
+
   /** Strictly-sequential chunked JDBC append: the reference's "run large
     * database changes safely" write path. Returns the execution report
     * (resume point usable for a re-run after failure).

@@ -48,6 +48,88 @@ class JdbcBatchSpec extends AnyFunSuite {
     assert(back.select(countDistinct(col("id"))).head().getLong(0) == 300)
   }
 
+  test("executeChunkedDml: per-chunk transactions commit at chunk boundaries") {
+    seeded
+    val src = (1L to 200L).map(i => (i, 0L)).toDF("id", "done")
+    src.write.mode("overwrite").jdbc(url, "txn_commit", new java.util.Properties)
+    // From a SECOND connection, count committed work strictly below the
+    // current chunk: READ_COMMITTED Derby only shows what prior chunks
+    // COMMITTED, and the below-start index range scan never visits this
+    // chunk's write-locked rows (a heap scan would and would block — which
+    // is itself the per-chunk-lock story the reference throttles around).
+    val reader = java.sql.DriverManager.getConnection(url)
+    reader.createStatement().executeUpdate("""CREATE INDEX txn_commit_id ON txn_commit ("id")""")
+    val observed = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    try {
+      JdbcBatch.executeChunkedDml(url,
+        """UPDATE txn_commit SET "done" = 1 WHERE "id" BETWEEN {start} AND {end}""",
+        "id", "txn_commit", cfg(50),
+        inTxn = { (chunk, _) =>
+          // Derby's optimizer prefers a heap scan here (the "done" column
+          // forces row fetches anyway), which would walk into the open
+          // chunk's write locks — pin the id index so the range scan stops
+          // before the current chunk.
+          val rs = reader.createStatement().executeQuery(
+            s"SELECT COUNT(*) FROM txn_commit --DERBY-PROPERTIES index=TXN_COMMIT_ID\n" +
+              s""" WHERE "done" = 1 AND "id" < ${chunk.start}""")
+          rs.next()
+          observed += ((chunk.start.toLong, rs.getLong(1)))
+        })
+    } finally reader.close()
+    // Everything before each chunk is visible to other connections (ids are
+    // dense from 1, so committed-below-start == start - 1); nothing from the
+    // open chunk is.
+    assert(observed.toList == List((1L, 0L), (51L, 50L), (101L, 100L), (151L, 150L)))
+    val back = spark.read.jdbc(url, "txn_commit", new java.util.Properties)
+    assert(back.filter(col("done") === 1).count() == 200)
+  }
+
+  test("executeChunkedDml: a failed chunk rolls back atomically and the retry re-runs it whole") {
+    seeded
+    val src = (1L to 100L).map(i => (i, 0L)).toDF("id", "done")
+    src.write.mode("overwrite").jdbc(url, "txn_retry", new java.util.Properties)
+    val attempts = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    val rpt = JdbcBatch.executeChunkedDml(url,
+      """UPDATE txn_retry SET "done" = "done" + 1 WHERE "id" BETWEEN {start} AND {end}""",
+      "id", "txn_retry", cfg(25).copy(retryAttempts = 3),
+      inTxn = { (chunk, conn) =>
+        val st = chunk.start.toLong
+        attempts(st) += 1
+        // extra statement in the SAME transaction: must vanish on rollback
+        conn.createStatement().executeUpdate(
+          s"""INSERT INTO txn_retry VALUES (${9000 + st}, 99)""")
+        if (st == 51L && attempts(st) == 1)
+          throw new RuntimeException("boom: poisoned first attempt")
+      })
+    assert(rpt.processed.size == 4)
+    assert(attempts(51L) == 2) // failed once, retried whole
+    val back = spark.read.jdbc(url, "txn_retry", new java.util.Properties)
+    // The template is NOT idempotent ("done" + 1): done == 1 everywhere
+    // proves the failed attempt's UPDATE was rolled back before the retry.
+    assert(back.filter(col("id") <= 100).filter(col("done") === 1).count() == 100)
+    // Exactly one audit row per chunk: the poisoned attempt's insert for
+    // chunk 51 was rolled back with it.
+    assert(back.filter(col("id") >= 9000).count() == 4)
+    assert(back.filter(col("id") === 9051).count() == 1)
+  }
+
+  test("executeChunkedDml: count probe feeds the density ladder over JDBC") {
+    seeded
+    val src = (1L to 300L).filter(i => i <= 60 || i > 240).map(i => (i, 0L)).toDF("id", "done")
+    src.write.mode("overwrite").jdbc(url, "txn_gappy", new java.util.Properties)
+    // 180-id gap in the middle: with the probe on, the ladder SKIPS the
+    // empty blocks instead of issuing no-op DML transactions for them.
+    val rpt = JdbcBatch.executeChunkedDml(url,
+      """UPDATE txn_gappy SET "done" = 1 WHERE "id" BETWEEN {start} AND {end}""",
+      "id", "txn_gappy",
+      ChunkerConfig(chunkSize = BigInt(60), targetTime = 0, sleep = 0,
+        minChunkPercent = 0.3, log = _ => ()),
+      enableCountProbe = true)
+    assert(rpt.skipped.nonEmpty)
+    val back = spark.read.jdbc(url, "txn_gappy", new java.util.Properties)
+    assert(back.filter(col("done") === 1).count() == 120)
+  }
+
   test("empty table: readChunked returns an empty frame without failing") {
     val empty = Seq.empty[(Long, String)].toDF("id", "name")
     empty.write.mode("overwrite").jdbc(url, "chunk_empty", new java.util.Properties)
