@@ -138,6 +138,22 @@ final class BatchChunker(
   def minId_=(v: Option[BigInt]): Unit = engine.minId = v
   def maxId_=(v: Option[BigInt]): Unit = engine.maxId = v
 
+  /** Pick up where a previous PROCESS left off: if `stateDir` holds a
+    * persisted resume point (written per committed chunk when
+    * `ChunkerConfig.stateDir` is set — see [[ResumeState]]), advance
+    * `minId` to the first unprocessed id. Call after [[calculateRanges]]
+    * (the discovered min is kept when it is already past the resume
+    * point, e.g. on a keyspace whose tail was deleted). Returns true when
+    * a resume point was applied. */
+  def resumeFrom(stateDir: String): Boolean =
+    ResumeState.read(stateDir) match {
+      case Some(prevEnd) =>
+        val next = prevEnd + 1
+        if (engine.minId.forall(_ < next)) engine.minId = Some(next)
+        true
+      case None => false
+    }
+
   /** N4/N6: bulk callback per chunk. The callback receives the lazily
     * filtered chunk DataFrame and chooses its own action (write, count,
     * collect...). */

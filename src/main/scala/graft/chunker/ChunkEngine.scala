@@ -86,7 +86,10 @@ final class ChunkEngine(
   def execute(process: Chunk => Unit, markTimerOnDispatch: Boolean = true): ExecutionReport = {
     val outcomes = ArrayBuffer.empty[ChunkOutcome]
     val count = for { mn <- minId; mx <- maxId } yield mx - mn + 1
-    if (count.isEmpty) {
+    // count <= 0 happens when a persisted resume point sits past maxId (the
+    // previous run finished) or a caller set min > max by hand; either way
+    // the keyspace holds nothing to do.
+    if (count.forall(_ <= 0)) {
       cfg.log("No chunks; nothing to process...")
       return ExecutionReport(Vector.empty, finishedRange = true, minId, maxId)
     }
@@ -128,6 +131,7 @@ final class ChunkEngine(
               printChunkStatus(ls, "processed")
               runtimeChecker(ls)
               ls.resetChunkState()
+              persistResume(ls)
             }
         }
       }
@@ -138,6 +142,12 @@ final class ChunkEngine(
     if (ls.prevEnd.isDefined) minId = ls.prevEnd
     ExecutionReport(outcomes.toVector, finished, minId, maxId)
   }
+
+  /** Persist the resume point after a committed/skipped block. Errors are
+    * NOT swallowed: a resume point that silently stops updating is worse
+    * than a failed run (the operator believes the job is restartable). */
+  private def persistResume(ls: LoopState): Unit =
+    for (dir <- cfg.stateDir; pe <- ls.prevEnd) ResumeState.write(dir, pe)
 
   /** Port of `_process_past_max_checker` (lib/DBIx/BatchChunker.pm:1394-1460).
     * One deviation, documented: the reference's "no max found" branch returns
@@ -232,6 +242,7 @@ final class ChunkEngine(
       printChunkStatus(ls, "skipped")
       val step = ls.multiplierStep
       ls.resetChunkState()
+      persistResume(ls) // an empty block is covered ground — resumable past it
       ls.multiplierStep = step * 2
       ls.prevCheck = "skipped rows"
       false

@@ -62,6 +62,13 @@ object ChunkedRewrite {
   )(transform: (Chunk, DataFrame) => DataFrame): ExecutionReport = {
     val bc = new BatchChunker(df, idColumn, cfg, enableCountProbe = countProbe, rangeDf = rangeDf)
     bc.calculateRanges()
+    // Crash-restart composition: with a configured stateDir the engine
+    // persists its resume point per committed chunk, and a restarted run
+    // starts at the first unprocessed id — no key is ever written by two
+    // committed chunk dirs (the persisted point is one id stricter than
+    // the reference's in-memory min_id = prev_end write-back; see
+    // ResumeState's scaladoc for why).
+    cfg.stateDir.foreach(bc.resumeFrom)
     val hconf = df.sparkSession.sparkContext.hadoopConfiguration
     bc.foreachChunkWithRange { (chunk, chunkDf) =>
       val staging = new org.apache.hadoop.fs.Path(

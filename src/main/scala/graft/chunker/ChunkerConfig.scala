@@ -38,6 +38,13 @@ final case class Chunk(start: BigInt, end: BigInt) {
   *                         given (lib/DBIx/BatchChunker.pm:277-280), else no retry
   * @param verbose          per-chunk status lines (lib/DBIx/BatchChunker.pm:414-424)
   * @param log              sink for status/progress lines
+  * @param stateDir         when set, the engine persists its resume point
+  *                         there after every committed chunk (see
+  *                         [[ResumeState]]) — the cross-process form of the
+  *                         reference's `min_id = prev_end` write-back
+  *                         (lib/DBIx/BatchChunker.pm:1228). ChunkedRewrite
+  *                         auto-resumes from it; elsewhere call
+  *                         [[BatchChunker.resumeFrom]] explicitly
   */
 final case class ChunkerConfig(
     chunkSize: BigInt = BigInt(1),
@@ -49,7 +56,8 @@ final case class ChunkerConfig(
     retryAttempts: Int = 1,
     verbose: Boolean = false,
     progressName: String = "Processing",
-    log: String => Unit = s => System.err.println(s)
+    log: String => Unit = s => System.err.println(s),
+    stateDir: Option[String] = None
 ) {
   require(chunkSize >= 1, "chunkSize must be >= 1")
   require(targetTime >= 0, "targetTime must be >= 0")
