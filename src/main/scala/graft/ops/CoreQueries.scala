@@ -425,7 +425,7 @@ object CoreQueries {
         .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
         .coalesce(4) // bounded writer concurrency against the embedded DB
         .write.mode("overwrite").jdbc(url, "part_live", props)
-      val cfg = ChunkerConfig(chunkSize = BigInt(256), targetTime = 0.2, sleep = 0,
+      val cfg = ChunkerConfig(chunkSize = BigInt(1024), targetTime = 0.3, sleep = 0,
         minChunkPercent = 0, retryAttempts = 3, log = quiet)
       graft.sources.JdbcBatch.executeChunkedDml(url,
         """UPDATE part_live SET "p_retailprice" = "p_retailprice" * 1.05 """ +
@@ -433,7 +433,7 @@ object CoreQueries {
         "p_partkey", "part_live", cfg, props)
       // Audit = chunk-partitioned JDBC read of the mutated table, snapshotted
       // to parquet so the result outlives the dropped database.
-      graft.sources.JdbcBatch.readChunked(s, url, "part_live", "p_partkey", chunkCfg(512), props)
+      graft.sources.JdbcBatch.readChunked(s, url, "part_live", "p_partkey", chunkCfg(4096), props)
         .groupBy(col("p_brand"))
         .agg(
           count(lit(1)).as("n_rows"),
@@ -446,6 +446,62 @@ object CoreQueries {
       try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
       catch { case _: java.sql.SQLException => () }
     }
+  }
+
+  /** N10 as a green CORRECTNESS row: the reference's concurrent-insert
+    * guarantee (`process_past_max` re-checks MAX(id) when the loop reaches
+    * the end, lib/DBIx/BatchChunker.pm:1394-1460) driven against a table
+    * that GROWS mid-run. The supplier table is copied to a "live"
+    * directory that every range query and every chunk scan re-reads
+    * freshly (a fresh file index per action — the moral equivalent of the
+    * reference re-issuing its MAX statement against the live DB); while
+    * the loop walks the keyspace, a shifted clone of all keys is appended
+    * past the original max. The re-check discovers the new max and the
+    * loop keeps going; the audit aggregates the per-chunk exports, so
+    * doubled key counts — hash-matched against an oracle replaying the
+    * same append — prove the extended keyspace was covered. */
+  def qLiveMaxAppend(s: SparkSession, d: String): DataFrame = {
+    val liveDir = java.nio.file.Files.createTempDirectory("graft_live_tbl").toString
+    val outDir = java.nio.file.Files.createTempDirectory("graft_live_out").toString
+    val sup = supplier(s, d)
+    sup.write.mode("overwrite").parquet(liveDir)
+    val origMax = BigInt(sup.agg(max(col("s_suppkey"))).head().getLong(0))
+    val shiftBy = (origMax + 1).toLong
+    // A FRESH read per call: Spark caches the file listing inside each
+    // DataFrame, so a long-lived plan would never see appended files.
+    def live(): DataFrame = s.read.parquet(liveDir)
+    def aggKey(f: org.apache.spark.sql.Column => org.apache.spark.sql.Column): Option[BigInt] = {
+      val row = live().agg(f(col("s_suppkey"))).head()
+      if (row.isNullAt(0)) None else Some(BigInt(row.getLong(0)))
+    }
+    val source = new graft.chunker.RangeSource {
+      override def minId(): Option[BigInt] = aggKey(min)
+      override def maxId(): Option[BigInt] = aggKey(max)
+    }
+    val cfg = ChunkerConfig(
+      chunkSize = (origMax + 1).max(BigInt(128)) / 4, targetTime = 0, sleep = 0,
+      minChunkPercent = 0, processPastMax = true, log = quiet)
+    val engine = new graft.chunker.ChunkEngine(cfg, Some(source))
+    engine.calculateRanges()
+    var appended = false
+    engine.execute { c =>
+      live().filter(col("s_suppkey").between(c.start.toLong, c.end.toLong))
+        .write.mode("overwrite").parquet(s"$outDir/chunk_${c.start}_${c.end}")
+      // The concurrent writer: once the loop is past the halfway point,
+      // append a key-shifted clone of the whole table (well before the
+      // final chunk, so the growth happens strictly mid-run).
+      if (!appended && c.end >= origMax / 2) {
+        appended = true
+        sup.withColumn("s_suppkey", col("s_suppkey") + lit(shiftBy))
+          .write.mode("append").parquet(liveDir)
+      }
+    }
+    s.read.parquet(s"$outDir/chunk_*")
+      .groupBy(col("s_nationkey"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("s_suppkey")).as("n_keys"),
+        sum(col("s_acctbal").cast(DecimalType(18, 4))).cast(DoubleType).as("total_bal"))
   }
 
   /** Parallel chunk fan-out (the Spark-only dispatch mode the reference's
@@ -593,6 +649,7 @@ object CoreQueries {
     "dml_chunked_delete" -> (dmlChunkedDelete _),
     "dml_chunked_merge" -> (dmlChunkedMerge _),
     "dml_chunked_jdbc" -> (dmlChunkedJdbc _),
+    "q_live_max_append" -> (qLiveMaxAppend _),
     "q_chunk_export_par" -> (qChunkExportPar _),
     "q_ntile_ranks" -> (qNtileRanks _),
     "q_join_full_outer" -> (qJoinFullOuter _),
@@ -705,6 +762,17 @@ object CoreQueries {
         |       CAST(SUM(CAST(CASE WHEN p_size > 25 THEN p_retailprice * 1.05
         |                          ELSE p_retailprice END AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM part GROUP BY p_brand""".stripMargin,
+    "q_live_max_append" ->
+      """WITH live AS (
+        |  SELECT s_suppkey, s_nationkey, s_acctbal FROM supplier
+        |  UNION ALL
+        |  SELECT s_suppkey + (SELECT MAX(s_suppkey) + 1 FROM supplier),
+        |         s_nationkey, s_acctbal
+        |  FROM supplier)
+        |SELECT s_nationkey, count(*) AS n_rows,
+        |       count(DISTINCT s_suppkey) AS n_keys,
+        |       CAST(SUM(CAST(s_acctbal AS DECIMAL(18,4))) AS DOUBLE) AS total_bal
+        |FROM live GROUP BY s_nationkey""".stripMargin,
     "dml_chunked_insert" ->
       """SELECT o_orderstatus, count(*) AS n_rows,
         |       count(DISTINCT o_orderkey) AS n_keys,

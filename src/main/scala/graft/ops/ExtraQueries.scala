@@ -402,7 +402,25 @@ object ExtraQueries {
         (max(col("l_partkey")) - min(col("l_partkey"))).as("pkey_span"))
   }
 
+  /** Stream-static dimension enrichment, batch twin: the exact join body
+    * `streaming/EventStream.enrichWithDim` runs inside every micro-batch
+    * (broadcast the static dim, left join, weight the value; missing dim
+    * rows coalesce to 0) applied to the events table as a batch frame —
+    * the unified-Dataset-API parity the EventStreamSpec asserts, now
+    * hash-oracled. The dim is a literal weight table with one event_type
+    * the stream never produces ('refund') and one the dim doesn't cover
+    * ('error' -> weight 0 path); per-row double multiply is
+    * IEEE-identical cross-engine. */
+  def qEnrichDim(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val dim = Seq(("click", 1.5), ("view", 0.25), ("purchase", 10.0),
+      ("signup", 4.0), ("refund", -5.0)).toDF("event_type", "weight")
+    graft.streaming.EventStream.enrichWithDim(
+      events(s, d).select(col("event_id"), col("event_type"), col("value")), dim)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_enrich_dim" -> (qEnrichDim _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_gapfill_hours" -> (qGapfillHours _),
     "q_percentile_cont" -> (qPercentileCont _),
@@ -444,6 +462,13 @@ object ExtraQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_enrich_dim" ->
+      """SELECT e.event_id, e.event_type,
+        |       e.value * COALESCE(dim.weight, 0.0) AS weighted_value
+        |FROM events e
+        |LEFT JOIN (VALUES ('click', 1.5), ('view', 0.25), ('purchase', 10.0),
+        |                  ('signup', 4.0), ('refund', -5.0)) AS dim(event_type, weight)
+        |  ON e.event_type = dim.event_type""".stripMargin,
     "q_zorder_layout" -> zorderSql,
     "q_gapfill_hours" ->
       """WITH hourly AS (
