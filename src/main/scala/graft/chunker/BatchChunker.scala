@@ -234,23 +234,36 @@ final class BatchChunker(
     val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
     implicit val ec: scala.concurrent.ExecutionContext =
       scala.concurrent.ExecutionContext.fromExecutorService(pool)
+    // Fail fast: the first chunk to exhaust its retry budget fails the
+    // whole call promptly (not after every earlier chunk happens to
+    // finish), and sets a flag that stops queued chunks from launching
+    // and in-flight retries from continuing — no minutes of doomed work
+    // behind a failure at a 100x chunk count. Already-running sibling
+    // actions complete; their output is ignorable because chunk writes
+    // are overwrite-idempotent by construction.
+    val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val outcome = scala.concurrent.Promise[Unit]()
     try {
       val futures = planned.map { c =>
         scala.concurrent.Future {
           var attempt = 0
-          var done = false
-          while (!done) {
+          var done = failed.get // a poisoned run launches nothing new
+          while (!done && !failed.get) {
             attempt += 1
             try { f(c, chunkDf(c)); done = true }
             catch {
               case e: Throwable if attempt < cfg.retryAttempts =>
                 cfg.log(s"Chunk $c attempt $attempt/${cfg.retryAttempts} failed, retrying: ${e.getMessage}")
+              case e: Throwable =>
+                failed.set(true)
+                outcome.tryFailure(e)
+                throw e
             }
           }
         }
       }
-      import scala.concurrent.duration.Duration
-      futures.foreach(scala.concurrent.Await.result(_, Duration.Inf))
+      scala.concurrent.Future.sequence(futures).foreach(_ => outcome.trySuccess(()))
+      scala.concurrent.Await.result(outcome.future, scala.concurrent.duration.Duration.Inf)
       planned
     } finally pool.shutdown()
   }

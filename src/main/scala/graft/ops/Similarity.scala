@@ -41,19 +41,37 @@ object Similarity {
 
   private def asDouble(c: Column): Column = transform(c, x => x.cast("double"))
 
+  /** Session-scoped cache plumbing. A DataFrame (and anything trained by
+    * collecting one) is bound to the SparkSession that built it, so every
+    * cache below keys by (session, key): a second session in the same JVM
+    * — typical in test harnesses and notebook re-runs — rebuilds instead
+    * of inheriting a plan bound to a possibly-stopped session. Entries
+    * whose session has stopped are evicted on access (their persisted
+    * blocks died with the context, so dropping the entry leaks nothing).
+    * Tuple equality is reference equality on the session (SparkSession
+    * doesn't override equals), which is exactly the scoping we want. */
+  private type SessionCache[V] =
+    java.util.concurrent.ConcurrentHashMap[(SparkSession, String), V]
+
+  private def cached[V](cache: SessionCache[V], s: SparkSession, key: String)(
+      build: => V): V = {
+    cache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    cache.computeIfAbsent((s, key), _ => build)
+  }
+
   /** The float64 view of the corpus (id, widened vector, norm) feeds five
     * catalog queries (brute force, LSH/IVF rerank, embedding dedup, the
     * exact ground truths); persist one copy per data directory — at scale
     * this is the normalized vector table a production pipeline materializes
     * once, not a per-query recomputation of the cast + norm pass. */
-  private val vectorCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val vectorCache = new SessionCache[DataFrame]()
 
   private def vectors(s: SparkSession, d: String): DataFrame =
-    vectorCache.computeIfAbsent(d, dir =>
-      embeddings(s, dir).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+    cached(vectorCache, s, d) {
+      embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Exact cosine top-3 neighbors for the first 50 query vectors. */
   def annBruteforce(s: SparkSession, d: String): DataFrame = {
@@ -135,18 +153,19 @@ object Similarity {
     * at 100 TB this is the bucket INDEX a production pipeline would
     * materialize to storage once and reuse; MEMORY_AND_DISK spills
     * gracefully if it outgrows executors. */
-  private val lshBucketCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val lshBucketCache = new SessionCache[DataFrame]()
 
   private def lshBuckets(s: SparkSession, d: String): DataFrame =
-    lshBucketCache.computeIfAbsent(s"$d#ann", _ =>
+    cached(lshBucketCache, s, s"$d#ann") {
       lshBucketsPlan(s, d, planeWeights(64), LSH_BITS)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   private def dedupBuckets(s: SparkSession, d: String): DataFrame =
-    lshBucketCache.computeIfAbsent(s"$d#dedup", _ =>
+    cached(lshBucketCache, s, s"$d#dedup") {
       lshBucketsPlan(s, d, dedupPlaneWeights(64), DEDUP_BITS)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   /** Multi-table LSH approximate top-1 neighbor: candidates = union over
     * LSH_TABLES hash tables of same-bucket ids, dedup'd, then exact-cosine
@@ -215,11 +234,10 @@ object Similarity {
     * seeds, deterministic arithmetic), so one memoized result serves every
     * query in the session — x_ann_ivf and x_ann_ivf_recall share it
     * instead of re-running three Lloyd jobs each. */
-  private val centroidCache =
-    new java.util.concurrent.ConcurrentHashMap[String, Array[Array[Double]]]()
+  private val centroidCache = new SessionCache[Array[Array[Double]]]()
 
   private[ops] def trainIvfCentroids(s: SparkSession, d: String): Array[Array[Double]] =
-    centroidCache.computeIfAbsent(d, dir => trainIvfCentroidsUncached(s, dir))
+    cached(centroidCache, s, d)(trainIvfCentroidsUncached(s, d))
 
   private[ops] def trainIvfCentroidsUncached(s: SparkSession, d: String): Array[Array[Double]] = {
     // Training is eager (each Lloyd iteration collects centroid sums), so a
@@ -271,13 +289,13 @@ object Similarity {
   /** Cluster-assigned corpus, persisted per data directory: x_ann_ivf and
     * its recall audit share one assignment pass (16 centroid dots per
     * vector), the same amortization as the bucket/centroid caches. */
-  private val ivfAssignedCache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val ivfAssignedCache = new SessionCache[DataFrame]()
 
   private def ivfAssigned(s: SparkSession, d: String): DataFrame =
-    ivfAssignedCache.computeIfAbsent(d, dir =>
-      vectors(s, dir).withColumn("cluster", assignCluster(col("v"), trainIvfCentroids(s, dir)))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cached(ivfAssignedCache, s, d) {
+      vectors(s, d).withColumn("cluster", assignCluster(col("v"), trainIvfCentroids(s, d)))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   def annIvf(s: SparkSession, d: String): DataFrame = {
     val cents = trainIvfCentroids(s, d)
@@ -304,12 +322,12 @@ object Similarity {
     * [[annBruteforce]]: broadcast the query side, stream the corpus).
     * Persisted per (directory, nq): the LSH and IVF recall audits share one
     * brute-force pass instead of each paying the full corpus scan. */
-  private val exactTop3Cache =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val exactTop3Cache = new SessionCache[DataFrame]()
 
   private def exactTop3(s: SparkSession, d: String, nq: Int): DataFrame =
-    exactTop3Cache.computeIfAbsent(s"$d#$nq", _ =>
-      exactTop3Plan(s, d, nq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    cached(exactTop3Cache, s, s"$d#$nq") {
+      exactTop3Plan(s, d, nq).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
 
   private def exactTop3Plan(s: SparkSession, d: String, nq: Int): DataFrame = {
     val all = vectors(s, d)

@@ -215,6 +215,35 @@ class BatchChunkerSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] { adaptive.foreachChunkPar(4)((_, _) => ()) }
   }
 
+  test("parallel chunk fan-out fails fast: a poisoned chunk stops the run promptly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("par-failfast").toString
+    (1L to 1000L).map(i => (i, i * 2)).toDF("id", "v")
+      .write.mode("overwrite").parquet(s"$dir/src")
+    val table = spark.read.parquet(s"$dir/src")
+    val bc = new BatchChunker(table, "id",
+      cfg0.copy(chunkSize = 50, minChunkPercent = 0, retryAttempts = 1),
+      enableCountProbe = false)
+    bc.calculateRanges()
+    val launched = new java.util.concurrent.atomic.AtomicInteger()
+    val t0 = System.nanoTime
+    val boom = intercept[RuntimeException] {
+      bc.foreachChunkPar(parallelism = 2) { (chunk, chunkDf) =>
+        launched.incrementAndGet()
+        if (chunk.start == BigInt(1)) throw new RuntimeException("poisoned chunk")
+        chunkDf.count() // a real (fast) Spark action per surviving chunk
+        Thread.sleep(100)
+      }
+    }
+    val elapsed = (System.nanoTime - t0) / 1e9
+    assert(boom.getMessage == "poisoned chunk")
+    // 20 chunks x 100ms at parallelism 2 would be ~1s+ if we waited for
+    // everything; the first terminal failure must surface within ~one
+    // chunk duration and stop new launches.
+    assert(elapsed < 2.0, s"fail-fast took $elapsed s")
+    assert(launched.get() < 20, s"all ${launched.get()} chunks launched despite the failure")
+  }
+
   test("distributed per-row dispatch processes all rows on executors") {
     val acc = spark.sparkContext.longAccumulator("rows")
     val bc = new BatchChunker(gappyDf, "id", cfg0.copy(chunkSize = 25, minChunkPercent = 0))
