@@ -36,7 +36,23 @@ object SparkEntry {
         .filter(col("n_rows") > 0) // empty chunks audit nothing (schema still lands)
         .write.mode("append").parquet(auditDir)
     }
-    spark.read.parquet(auditDir)
+    // Readback compaction: one tiny file per chunk is the right write path
+    // (no driver buffer), but at a 100x keyspace the audit dir becomes its
+    // own small-files problem — so the readback coalesces into ~128 MB
+    // target files when the chunk count is nontrivial. Both the audit
+    // writes and the compaction are distributed jobs; rows are unchanged.
+    val auditPath = new org.apache.hadoop.fs.Path(auditDir)
+    val fs = auditPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dataFiles = fs.listStatus(auditPath)
+      .filter(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+    val raw = spark.read.parquet(auditDir)
+    if (dataFiles.length <= 16) raw
+    else {
+      val targetFiles = math.max(1, (dataFiles.map(_.getLen).sum / (128L << 20)).toInt)
+      val compactDir = java.nio.file.Files.createTempDirectory("graft_entry_audit_c").toString
+      raw.coalesce(targetFiles).write.mode("overwrite").parquet(compactDir)
+      spark.read.parquet(compactDir)
+    }
   }
 
   /** One entry per implemented operator from SURVEY.md §2, plus the
