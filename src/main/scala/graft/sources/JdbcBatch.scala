@@ -147,6 +147,14 @@ object JdbcBatch {
         }
       val engine = new ChunkEngine(cfg, Some(source), probe)
       engine.calculateRanges()
+      // Cross-process resume in the reference's own deployment shape: with
+      // a configured stateDir the engine persists prevEnd per committed
+      // chunk, and a restarted run re-enters after the last COMMITTED
+      // transaction — nothing is re-executed, nothing is skipped.
+      for (dir <- cfg.stateDir; pe <- ResumeState.read(dir)) {
+        val next = pe + 1
+        if (engine.minId.forall(_ < next)) engine.minId = Some(next)
+      }
       engine.execute { chunk =>
         try {
           val sql = template

@@ -113,6 +113,33 @@ class JdbcBatchSpec extends AnyFunSuite {
     assert(back.filter(col("id") === 9051).count() == 1)
   }
 
+  test("executeChunkedDml: crash-resume re-enters after the last committed transaction") {
+    seeded
+    val stateDir = java.nio.file.Files.createTempDirectory("jdbc-resume").toString
+    val src = (1L to 100L).map(i => (i, 0L)).toDF("id", "done")
+    src.write.mode("overwrite").jdbc(url, "txn_resume", new java.util.Properties)
+    val cfgS = cfg(25).copy(stateDir = Some(stateDir))
+    // Run 1 "crashes" at the chunk starting at 51 (retry budget 1).
+    intercept[RuntimeException] {
+      JdbcBatch.executeChunkedDml(url,
+        """UPDATE txn_resume SET "done" = "done" + 1 WHERE "id" BETWEEN {start} AND {end}""",
+        "id", "txn_resume", cfgS,
+        inTxn = (chunk, _) => if (chunk.start == BigInt(51)) throw new RuntimeException("crash"))
+    }
+    assert(graft.chunker.ResumeState.read(stateDir).contains(BigInt(50)))
+    // Run 2: fresh loop, same stateDir — picks up at 51.
+    val starts = scala.collection.mutable.ArrayBuffer.empty[BigInt]
+    JdbcBatch.executeChunkedDml(url,
+      """UPDATE txn_resume SET "done" = "done" + 1 WHERE "id" BETWEEN {start} AND {end}""",
+      "id", "txn_resume", cfgS,
+      inTxn = (chunk, _) => starts += chunk.start)
+    assert(starts.head == BigInt(51))
+    // Non-idempotent template + rollback of the crashed chunk + resume
+    // after the committed ones = every row incremented exactly once.
+    val back = spark.read.jdbc(url, "txn_resume", new java.util.Properties)
+    assert(back.filter(col("done") === 1).count() == 100)
+  }
+
   test("executeChunkedDml: count probe feeds the density ladder over JDBC") {
     seeded
     val src = (1L to 300L).filter(i => i <= 60 || i > 240).map(i => (i, 0L)).toDF("id", "done")
