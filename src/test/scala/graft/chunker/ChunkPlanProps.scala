@@ -53,6 +53,41 @@ object ChunkPlanProps extends Properties("ChunkPlan") {
         Prop(rpt.skipped.forall(_.count.contains(BigInt(0)))) :| "skips were empty"
     }
 
+  property("crash + persisted resume tiles [min,max] exactly once, for any crash point") =
+    forAll(genIds, genChunkSize, Gen.choose(0, 20)) {
+      (ids: Vector[BigInt], chunkSize: Int, crashAfter: Int) =>
+        val dir = java.nio.file.Files.createTempDirectory("resume-prop").toString
+        val cfg = ChunkerConfig(chunkSize = chunkSize, targetTime = 0, sleep = 0,
+          minChunkPercent = 0, stateDir = Some(dir), log = quiet)
+        // Run 1 crashes after `crashAfter` processed chunks (terminal:
+        // retry budget 1); 0 means it dies before any chunk commits.
+        val run1 = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+        val eng = new ChunkEngine(cfg, Some(mkSource(ids)))
+        eng.calculateRanges()
+        try eng.execute { c =>
+          if (run1.size >= crashAfter) throw new RuntimeException("crash")
+          run1 += c
+        } catch { case e: RuntimeException if e.getMessage == "crash" => () }
+
+        // Run 2: fresh engine, resume point only from disk.
+        val eng2 = new ChunkEngine(cfg, Some(mkSource(ids)))
+        eng2.calculateRanges()
+        ResumeState.read(dir).foreach(pe => eng2.minId = Some(pe + 1))
+        val run2 = scala.collection.mutable.ArrayBuffer.empty[Chunk]
+        val rpt2 = eng2.execute(run2 += _)
+
+        val all = (run1 ++ run2).toVector
+        val contiguous = all.sliding(2).forall {
+          case Seq(a, b) => b.start == a.end + 1
+          case _         => true
+        }
+        Prop(rpt2.finishedRange) :| "resumed run finishes" &&
+          Prop(all.headOption.map(_.start).contains(ids.min)) :| "starts at min" &&
+          Prop(all.lastOption.map(_.end).contains(ids.max)) :| "ends at max" &&
+          Prop(contiguous) :| "no overlap or gap across the crash" &&
+          Prop(all.map(_.width).sum == ids.max - ids.min + 1) :| "exact tiling"
+    }
+
   property("fixed-size planning yields ceil(range/size) uniform chunks") =
     forAll(genIds, genChunkSize) { (ids: Vector[BigInt], chunkSize: Int) =>
       val eng = new ChunkEngine(
