@@ -424,7 +424,21 @@ object CoreQueries {
       part(s, d)
         .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
         .coalesce(4) // bounded writer concurrency against the embedded DB
-        .write.mode("overwrite").jdbc(url, "part_live", props)
+        .write.mode("overwrite")
+        .option("batchsize", "10000") // amortize per-batch JDBC overhead in the seed
+        .jdbc(url, "part_live", props)
+      // The reference demands "a primary key or integer-based (INDEXED)
+      // key" (lib/DBIx/BatchChunker.pm:492-507) — and for good reason:
+      // Spark's JDBC writer creates a bare table, and without this index
+      // every chunk's UPDATE ... BETWEEN full-scans the table, turning the
+      // chunked loop quadratic (measured: the sf5 run sat at 100% of one
+      // core inside Derby until killed; with the index it's range-local).
+      locally {
+        val c = java.sql.DriverManager.getConnection(url, props)
+        try c.createStatement().executeUpdate(
+          """CREATE INDEX part_live_key ON part_live ("p_partkey")""")
+        finally c.close()
+      }
       val cfg = ChunkerConfig(chunkSize = BigInt(1024), targetTime = 0.3, sleep = 0,
         minChunkPercent = 0, retryAttempts = 3, log = quiet)
       graft.sources.JdbcBatch.executeChunkedDml(url,
