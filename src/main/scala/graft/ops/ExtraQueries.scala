@@ -39,16 +39,16 @@ object ExtraQueries {
     * count over the partition): deterministic by the unique tiebreak, no
     * engine-specific percentile semantics involved — both engines run the
     * same formulation. */
-  def qMedianDisc(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("o_orderstatus"))
-      .orderBy(col("o_totalprice"), col("o_orderkey"))
-    val wAll = Window.partitionBy(col("o_orderstatus"))
-    orders(s, d)
-      .withColumn("rn", row_number().over(w))
-      .withColumn("cnt", count(lit(1)).over(wAll))
-      .filter(col("rn") === expr("(cnt + 1) div 2")) // integer div: Column./ is double division
+  def qMedianDisc(s: SparkSession, d: String): DataFrame =
+    // Two-phase exact selection (ops/ExactSelection) — the per-group
+    // single-window rank sorts each group in one task; here only the
+    // median's bucket is sorted. (n + 1) / 2 in Long math == the previous
+    // formulation's `(cnt + 1) div 2`.
+    ExactSelection.rankedCandidates(
+        orders(s, d).select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey")),
+        "o_orderstatus", "o_totalprice", Seq(col("o_orderkey")))(n => Seq((n + 1) / 2))
+      .filter(col("rn") === expr("(n + 1) div 2"))
       .select(col("o_orderstatus"), col("o_totalprice").as("median_price"))
-  }
 
   /** Regex scalar functions: extract / match-test / match-count. Patterns
     * kept to the POSIX-safe subset both regex engines (Java / RE2-style)
@@ -355,59 +355,22 @@ object ExtraQueries {
     * `q_approx_percentile_audit` (t-digest with pinned bounds) is the
     * full-data path. */
   def qPercentileCont(s: SparkSession, d: String): DataFrame = {
-    // Distributed EXACT selection. A single window partitioned by the
-    // 3-value group column sorts each group in ONE task — parallelism =
-    // group count, measured 31 s at the 50x scale point. Instead, rank in
-    // two levels: bucket every row by a DETERMINISTIC value function of
-    // the sort column (min/max from one control-plane aggregate; the
-    // bucket is a pure per-row function, so every branch of the query
-    // computes identical buckets — unlike repartitionByRange, whose
-    // sampled bounds differ per execution), rank LOCALLY within each
-    // (group, bucket) — parallelism = groups x occupied buckets — and
-    // lift to global ranks with per-bucket prefix offsets computed by a
-    // window over the tiny (group, bucket) count aggregate. Interpolation
-    // math is expression-identical to the one-window form, so the oracle
-    // is unchanged.
+    // Distributed EXACT selection (see ops/ExactSelection): a single
+    // window partitioned by the 3-value group column sorts each group in
+    // ONE task — 31 s at the 50x scale point; the two-phase operator
+    // ranks only the buckets straddling the lo/hi order statistics (~8x
+    // there). The lo/hi rank math below duplicates the column-expression
+    // interpolation in driver doubles — same IEEE arithmetic, so the
+    // selected ranks agree and the oracle is unchanged.
     val base = lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val bounds = base.agg(min(col("l_extendedprice")), max(col("l_extendedprice"))).head()
-    val (mn, mx) = (bounds.getDouble(0), bounds.getDouble(1))
-    val nBuckets = 256
-    val w = (mx - mn) / nBuckets
-    val bkt =
-      if (w > 0) least(floor((col("l_extendedprice") - lit(mn)) / lit(w)), lit(nBuckets - 1)).cast("int")
-      else lit(0)
-    val bucketed = base.withColumn("bkt", bkt)
-    // Phase 1: exact per-(group, bucket) histogram — one parallel groupBy,
-    // collected as control plane (<= groups x nBuckets tiny rows). It
-    // tells us, per group, WHICH buckets contain the lo/hi order
-    // statistics and their exclusive prefix offsets.
-    val hist = bucketed.groupBy(col("l_returnflag"), col("bkt"))
-      .agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
-    import s.implicits._
-    val needed = hist.groupBy(_._1).iterator.flatMap { case (flag, rows) =>
-      val sorted = rows.sortBy(_._2)
-      val n = sorted.map(_._3).sum
-      val k = (n - 1) * 0.95 // same IEEE math as the column expression below
+    val ranked = ExactSelection.rankedCandidates(
+      base, "l_returnflag", "l_extendedprice",
+      Seq(col("l_orderkey"), col("l_linenumber"))) { n =>
+      val k = (n - 1) * 0.95
       val loRank = math.floor(k).toLong + 1
-      val hiRank = math.min(loRank + 1, n)
-      val running = sorted.zip(sorted.scanLeft(0L)(_ + _._3))
-      running.collect {
-        case ((f, b, c), off) if off < hiRank && loRank <= off + c => (f, b, off, n)
-      }
-    }.toSeq
-    val offs = needed.toDF("l_returnflag", "bkt", "off", "n")
-    // Phase 2: rank ONLY the straddling buckets (~n/nBuckets rows per
-    // group) — the inner broadcast join prunes everything else before the
-    // sort, so the selection pass sorts a sliver regardless of total size.
-    val wLocal = Window.partitionBy(col("l_returnflag"), col("bkt"))
-      .orderBy(col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
-    val ranked = bucketed
-      .join(broadcast(offs), Seq("l_returnflag", "bkt"))
-      .withColumn("rn_local", row_number().over(wLocal))
-      .withColumn("rn", col("rn_local") + col("off"))
+      Seq(loRank, math.min(loRank + 1, n))
+    }
     val k = (col("n") - 1) * lit(0.95)
     val lo = floor(k) + 1
     val hi = least(floor(k) + 2, col("n"))
