@@ -101,11 +101,17 @@ object Similarity {
     * sf1: 53 s in the pair join). At 12 bits genuine near-duplicates
     * (cos >= 0.95) still collide in at least one of 16 tables with
     * p > 0.98, while random-tail pairs are pruned ~30x harder; at real
-    * scale, bits grows ~ log2(corpus / target bucket size) — the 50x bench
-    * confirmed the rule (12 bits re-turned quadratic at 100k vectors;
-    * 14 bits holds bucket occupancy at ~6). */
+    * scale, bits grows ~ log2(corpus / target bucket size) — measured
+    * three times now: 6 bits went quadratic at 10k vectors, 12 bits at
+    * 100k (sf1), and 14 bits at 500k (sf5: ~30 entries/bucket -> ~117M
+    * candidate pairs -> 16 s in the distinct+rerank). 16 bits holds sf5
+    * occupancy at ~8 (~26M pairs); true near-dups (cos >= 0.98) still
+    * collide in >= 1 of 16 tables with p > 0.999. Bits is compile-time
+    * because the DuckDB oracle inlines the plane family literals — a
+    * production deployment would derive it from the corpus count at plan
+    * time with the same log2 rule. */
   private val DEDUP_TABLES = 16
-  private val DEDUP_BITS = 14
+  private val DEDUP_BITS = 16
 
   /** Deterministic pseudo-random hyperplanes for `nPlanes` sign-bit
     * hashes. Weights derive from a splitmix-style integer mix of
