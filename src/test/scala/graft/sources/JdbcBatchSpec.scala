@@ -113,6 +113,30 @@ class JdbcBatchSpec extends AnyFunSuite {
     assert(back.filter(col("id") === 9051).count() == 1)
   }
 
+  test("executeChunkedDml: failing 2 of 3 attempts per chunk triples the calls (t/dbh.t:283-325)") {
+    seeded
+    val src = (1L to 120L).map(i => (i, 0L)).toDF("id", "done")
+    src.write.mode("overwrite").jdbc(url, "txn_law", new java.util.Properties)
+    // The reference's retry law: with a retry budget, a statement that
+    // fails its first two attempts and succeeds on the third makes the
+    // total call count exactly 3x the chunk count.
+    val attempts = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    val rpt = JdbcBatch.executeChunkedDml(url,
+      """UPDATE txn_law SET "done" = "done" + 1 WHERE "id" BETWEEN {start} AND {end}""",
+      "id", "txn_law", cfg(30).copy(retryAttempts = 10),
+      inTxn = { (chunk, _) =>
+        val st = chunk.start.toLong
+        attempts(st) += 1
+        if (attempts(st) <= 2) throw new RuntimeException(s"flaky chunk $st attempt ${attempts(st)}")
+      })
+    assert(rpt.processed.size == 4) // 120 ids / 30
+    assert(attempts.values.sum == 3 * 4)
+    assert(attempts.values.forall(_ == 3))
+    val back = spark.read.jdbc(url, "txn_law", new java.util.Properties)
+    // rollback before each retry => the non-idempotent increment landed once
+    assert(back.filter(col("done") === 1).count() == 120)
+  }
+
   test("executeChunkedDml: crash-resume re-enters after the last committed transaction") {
     seeded
     val stateDir = java.nio.file.Files.createTempDirectory("jdbc-resume").toString
