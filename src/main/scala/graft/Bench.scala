@@ -17,15 +17,22 @@ object Bench {
     // measured query isn't charged for session startup.
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
+    val errors = scala.collection.mutable.ArrayBuffer.empty[String]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      // A failed query must be VISIBLE in the artifact — a swallowed
+      // failure looks like a fast query and silently flatters the total
+      // (this hid seven event queries failing on an NTZ timestamp at the
+      // scale-up data until a full Verify caught them).
+      try { fn(spark, sfDir).count() }
+      catch { case e: Throwable => errors += name; System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
       name -> (System.nanoTime() - t0) / 1e9
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // stdout goes through sbt's logger, which can mangle the line past
     // recognition for the driver's JSON parse — always ALSO write the bare
     // line to a file (env-provided path, or a pid-suffixed /tmp fallback so

@@ -36,6 +36,15 @@ object Tables {
       case org.apache.spark.sql.types.LongType => // nanos read as long
         df.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        // Files written with a session-local (NTZ) timestamp — e.g. by
+        // engines whose plain TIMESTAMP is timezone-free. unix_millis and
+        // friends reject NTZ; with the engine's session timezone pinned to
+        // UTC the cast is wall-time-identical, so every downstream
+        // epoch-math and formatting path behaves exactly as for the
+        // driver-written nanos tables.
+        df.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => df // already a proper timestamp column
     }
   }
