@@ -183,7 +183,12 @@ object Dedup {
     * exact-match 10-bit slices (any pair within hamming BANDS-1 must agree
     * on at least one band — pigeonhole, no candidates lost), then verify
     * with bit_count(xor) <= 5. */
-  def dedupSimhash(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame = {
+  def dedupSimhash(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame =
+    simhashPairs(s, d, maxDocId).orderBy(col("doc_a"), col("doc_b"))
+
+  /** The unordered pair set behind [[dedupSimhash]] — also the edge source
+    * for [[dedupClusters]], where a final sort would be wasted work. */
+  private def simhashPairs(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame = {
     val sigs = simhashSignatures(s, d, maxDocId)
     val bands = sigs.select(col("doc_id"), col("simhash"),
       posexplode(array((0 until SIMHASH_BANDS).map(b =>
@@ -197,7 +202,82 @@ object Dedup {
         bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
       .distinct()
       .filter(col("hamming") <= SIMHASH_MAX_HAMMING)
-      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Near-dup clustering: connected components over the SimHash pair graph,
+    * materialized as the full-corpus assignment table a dedup pipeline
+    * actually consumes — (doc_id, cluster_id, is_canonical), cluster_id =
+    * min doc_id reachable through near-dup edges, is_canonical = 1 for the
+    * one survivor per cluster (and for every unpaired doc).
+    *
+    * Scale shape: iterative min-label propagation with one step of pointer
+    * doubling (label := label(label)) per round — the Hash-to-Min family
+    * (Rastogi et al., ICDE'13), converging in O(log diameter) rounds. Near-
+    * dup components are band-join cliques or short chains, so this settles
+    * in 2–3 rounds in practice. The label relation only holds doc_ids that
+    * appear in SOME pair (vastly smaller than the corpus at 100 TB scale:
+    * dup rate × corpus, not the corpus); each round is two shuffles on
+    * (id, label) longs, and `localCheckpoint` truncates the lineage so the
+    * plan does not grow with the iteration count. The full corpus is
+    * touched exactly once, by the final left join that fills in singleton
+    * clusters. */
+  def dedupClusters(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+    documents(s, d).select(col("doc_id"))
+      .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("label"), col("doc_id")).as("cluster_id"))
+      .withColumn("is_canonical", (col("doc_id") === col("cluster_id")).cast("int"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Connected components over an arbitrary undirected pair relation
+    * (first two columns = the two endpoint ids): returns (id, label) for
+    * every id that appears in some pair, label = min id in its component.
+    * See [[dedupClusters]] for the convergence/scale analysis. */
+  def connectedComponents(pairs: DataFrame): DataFrame = {
+    val Seq(ca, cb) = pairs.columns.take(2).toSeq.map(col)
+    // Both edge orientations from ONE pass over the pair plan: a
+    // union of two selects would evaluate the whole upstream pipeline
+    // twice (union branches don't share scans), measured 2x the cost.
+    val edges = pairs
+      .select(explode(array(
+        struct(ca.as("u"), cb.as("v")),
+        struct(cb.as("u"), ca.as("v")))).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Seed labels with min(self, neighbors): the same shuffle a bare
+    // distinct() would cost, but it IS the first propagation round — band
+    // cliques (the common near-dup shape) then converge in one loop pass.
+    var labels = edges.groupBy(col("u"))
+      .agg(least(col("u"), min(col("v"))).as("label"))
+      .select(col("u").as("id"), col("label"))
+      .localCheckpoint()
+    var changed = 1L
+    var rounds = 0
+    while (changed > 0 && rounds < 25) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("vid"), col("label").as("vlabel")),
+          col("v") === col("vid"))
+        .groupBy(col("u")).agg(min(col("vlabel")).as("nbr_min"))
+      val stepped = labels
+        .join(nbrMin, col("id") === col("u"), "left")
+        .select(col("id"), col("label").as("old_label"),
+          least(col("label"), coalesce(col("nbr_min"), col("label"))).as("mid"))
+      // Pointer doubling: chase one extra hop through the label table so a
+      // length-k chain collapses in O(log k) rounds instead of O(k).
+      val lut = stepped.select(col("id").as("lid"), col("mid").as("llabel"))
+      val next = stepped
+        .join(lut, col("mid") === col("lid"), "left")
+        .select(col("id"), col("old_label"),
+          coalesce(col("llabel"), col("mid")).as("label"))
+        .localCheckpoint()
+      changed = next.filter(col("label") =!= col("old_label")).count()
+      labels = next.select(col("id"), col("label"))
+      rounds += 1
+    }
+    edges.unpersist()
+    labels
   }
 
   /** SimHash candidate quality vs the exact-Jaccard ground truth on the
@@ -276,6 +356,7 @@ object Dedup {
     "x_dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
     "x_dedup_minhash_precision" -> (minhashPrecision _),
     "x_dedup_simhash_precision" -> (simhashPrecision _),
+    "x_dedup_cc" -> (dedupClusters _),
     "x_jaccard_pairs" -> (jaccardPairs _)
   )
 
@@ -344,6 +425,25 @@ object Dedup {
     "x_dedup_simhash" ->
       s"""WITH ${simhashCtes()}
          |SELECT doc_a, doc_b, hamming FROM scand""".stripMargin,
+    // CC oracle: transitive closure by recursive CTE (UNION dedups, so the
+    // walk terminates), cluster_id = min doc_id reachable from each node.
+    // Tractable because the oracle only walks the near-dup pair graph, not
+    // the corpus.
+    "x_dedup_cc" ->
+      s"""WITH RECURSIVE ${simhashCtes()},
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM scand
+         |      UNION ALL SELECT doc_b, doc_a FROM scand),
+         |walk(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT w.u, e2.v FROM walk w JOIN e e2 ON w.v = e2.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM walk GROUP BY u)
+         |SELECT d.doc_id,
+         |       COALESCE(cc.cluster_id, d.doc_id) AS cluster_id,
+         |       CASE WHEN d.doc_id = COALESCE(cc.cluster_id, d.doc_id)
+         |            THEN 1 ELSE 0 END AS is_canonical
+         |FROM documents d LEFT JOIN cc USING (doc_id)""".stripMargin,
     "x_dedup_simhash_precision" ->
       s"""WITH ${simhashCtes(" WHERE doc_id < 300")},
          |$jaccardCte

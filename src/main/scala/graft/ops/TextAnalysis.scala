@@ -229,8 +229,62 @@ object TextAnalysis {
         sum(nWins).as("total_windows"))
   }
 
+  /** Gopher-style repetition signals per document: distinct-token ratio,
+    * duplicate-bigram fraction, and top-bigram fraction (share of all word
+    * bigrams taken by the single most frequent one — boilerplate and
+    * degenerate repetition push it toward 1). All pure column expressions:
+    * the per-doc mode is a run-length scan over the SORTED bigram array via
+    * `aggregate`, so the whole operator is codegen'd with zero shuffles —
+    * at 100 TB it runs at scan speed, unlike the explode + double-aggregate
+    * formulation (full shuffle of every bigram). */
+  def repetitionStats(s: SparkSession, d: String): DataFrame = {
+    val toks = tokensCol(col("text"))
+    val docs = documents(s, d)
+      .filter(tokenCountCol(col("text")) >= 2)
+      .select(col("doc_id"), toks.as("w"))
+      .select(col("doc_id"), col("w"),
+        transform(sequence(lit(0), size(col("w")) - 2),
+          i => concat(element_at(col("w"), i + 1), lit(" "), element_at(col("w"), i + 2))).as("bg"))
+    val run = (acc: Column, x: Column) => {
+      val r = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
+      struct(x.as("prev"), r.as("run"), greatest(acc("best"), r).as("best"))
+    }
+    val topC = aggregate(sort_array(col("bg")),
+      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
+      run, acc => acc("best"))
+    docs.select(
+      col("doc_id"),
+      size(col("w")).as("n_tokens"),
+      (size(array_distinct(col("w"))).cast("double") / size(col("w"))).as("distinct_token_ratio"),
+      (lit(1.0) - size(array_distinct(col("bg"))).cast("double") / size(col("bg"))).as("dup_bigram_frac"),
+      (topC.cast("double") / size(col("bg"))).as("top_bigram_frac"))
+  }
+
+  /** Weighted mixture sampling — the data-mixing step of training-corpus
+    * assembly: each language gets its own deterministic sampling rate
+    * (threshold over a salted content-id hash, same portable md5 contract
+    * as [[hashSample]]), and the output is the per-source budget audit
+    * (docs and chars kept). A pure per-row predicate: reproducible across
+    * runs, engines, and partitionings, no shuffle before the tiny final
+    * aggregate. */
+  def mixWeighted(s: SparkSession, d: String): DataFrame = {
+    // rate in basis points per language: the mixing weights
+    val bps = Map("en" -> 5000, "de" -> 8000, "fr" -> 2500, "es" -> 1000, "zh" -> 10000)
+    val h = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 7), 16, 10)
+      .cast("long") % 10000
+    val thr = bps.foldLeft(lit(0)) { case (acc, (l, t)) => when(col("lang") === l, t).otherwise(acc) }
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(h < thr, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(h < thr, col("n_chars")).otherwise(0L)).as("kept_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pipeline_e2e" -> (pipelineE2e _),
+    "x_repetition" -> (repetitionStats _),
+    "x_mix_weighted" -> (mixWeighted _),
     "x_keywords" -> (keywords _),
     "x_doc_windows" -> (docWindows _),
     "x_decontam" -> (decontam _),
@@ -243,6 +297,35 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The oracle states the same semantics relationally (explode + two
+    // aggregates + join) — deliberately a DIFFERENT formulation than the
+    // codegen'd run-length scan it checks.
+    "x_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, regexp_extract_all(text, '\S+') AS w FROM documents
+        |  WHERE len(regexp_extract_all(text, '\S+')) >= 2),
+        |b AS (
+        |  SELECT doc_id, len(w) AS n_tokens, len(list_distinct(w)) AS n_distinct,
+        |         list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]) AS bg
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, g, count(*) AS c
+        |  FROM (SELECT doc_id, unnest(bg) AS g FROM b) GROUP BY doc_id, g),
+        |t AS (SELECT doc_id, max(c) AS top_c, CAST(sum(c) AS BIGINT) AS tot FROM c GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |       CAST(n_distinct AS DOUBLE) / n_tokens AS distinct_token_ratio,
+        |       1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac,
+        |       CAST(t.top_c AS DOUBLE) / t.tot AS top_bigram_frac
+        |FROM b JOIN t USING (doc_id)""".stripMargin,
+    "x_mix_weighted" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  CAST(SUM(CASE WHEN CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10000
+        |    < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 8000 WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 WHEN 'zh' THEN 10000 ELSE 0 END
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(SUM(CASE WHEN CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10000
+        |    < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 8000 WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 WHEN 'zh' THEN 10000 ELSE 0 END
+        |    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
+        |FROM documents GROUP BY lang""".stripMargin,
     "x_pipeline_e2e" ->
       """WITH ok AS (
         |  SELECT doc_id, lang, text,

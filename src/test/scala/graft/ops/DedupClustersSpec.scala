@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Semantics of the near-dup clustering family: the CC kernel on planted
+  * graphs (chains force multi-round convergence; the pointer-doubling path
+  * is exercised), and the full-corpus assignment's invariants on real data.
+  */
+class DedupClustersSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("connectedComponents: planted chain + clique + isolated pair all collapse to min-id labels") {
+    // chain 1-2-3-...-10 (diameter 9 → needs >1 round even with doubling),
+    // clique {20,21,22}, pair {30,31}
+    val chain = (1L until 10L).map(i => (i, i + 1))
+    val clique = Seq((20L, 21L), (20L, 22L), (21L, 22L))
+    val pairs = (chain ++ clique ++ Seq((30L, 31L))).toDF("doc_a", "doc_b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    (1L to 10L).foreach(i => assert(labels(i) == 1L, s"chain node $i -> ${labels(i)}"))
+    (20L to 22L).foreach(i => assert(labels(i) == 20L))
+    assert(labels(30L) == 30L && labels(31L) == 30L)
+    assert(labels.size == 15) // only ids that appear in some pair
+  }
+
+  test("connectedComponents: label order is direction-independent") {
+    // same component described with edges pointing both ways
+    val pairs = Seq((5L, 3L), (3L, 9L), (9L, 7L)).toDF("a", "b")
+    val labels = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(labels.values.toSet == Set(3L))
+  }
+
+  test("dedupClusters: full-corpus assignment is consistent with the pair graph") {
+    val d = SparkTestSession.sfDir
+    val cc = Dedup.dedupClusters(spark, d)
+    val byDoc = cc.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getInt(2))).toMap
+    // every near-dup pair lands in one cluster
+    Dedup.dedupSimhash(spark, d).select("doc_a", "doc_b").collect().foreach { r =>
+      val (a, b) = (r.getLong(0), r.getLong(1))
+      assert(byDoc(a)._1 == byDoc(b)._1, s"pair ($a,$b) split across clusters")
+    }
+    // cluster_id is the min member; exactly the min is canonical
+    byDoc.groupBy(_._2._1).foreach { case (cid, members) =>
+      assert(members.keys.min == cid, s"cluster $cid min is ${members.keys.min}")
+      members.foreach { case (id, (_, canon)) =>
+        assert((canon == 1) == (id == cid), s"doc $id canonical=$canon in cluster $cid")
+      }
+    }
+    // total assignment covers the whole corpus exactly once
+    assert(byDoc.size == Tables.documents(spark, d).count())
+  }
+
+  test("repetitionStats: hand-computable fixtures") {
+    val dir = java.nio.file.Files.createTempDirectory("repet").toString
+    Seq(
+      (1L, "en", "a a a a a"),     // 5 toks, 1 distinct; bigrams [a a]x4
+      (2L, "en", "w1 w2 w3 w4"),   // all distinct
+      (3L, "en", "x y x y x"),     // bigrams: x y, y x, x y, y x
+      (4L, "en", "solo"))          // < 2 tokens: excluded
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.repetitionStats(spark, dir)
+      .collect().map(r => r.getLong(0) ->
+        (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(out(1L) == ((5, 0.2, 0.75, 1.0)))
+    assert(out(2L) == ((4, 1.0, 0.0, 1.0 / 3)))
+    assert(out(3L) == ((5, 0.4, 0.5, 0.5)))
+    assert(!out.contains(4L))
+  }
+
+  test("mixWeighted: rates bind per language, deterministic, unknown lang keeps nothing") {
+    val dir = java.nio.file.Files.createTempDirectory("mix").toString
+    (0L until 300L).map(i => (i, if (i % 3 == 0) "zh" else if (i % 3 == 1) "xx" else "en", s"doc $i"))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val run1 = TextAnalysis.mixWeighted(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(run1("zh")._2 == run1("zh")._1) // rate 10000 bps: all kept
+    assert(run1("xx")._2 == 0L)            // no configured rate: none kept
+    val en = run1("en")
+    assert(en._2 > 0 && en._2 < en._1)     // 5000 bps: a strict subset
+    val run2 = TextAnalysis.mixWeighted(spark, dir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(run1 == run2)                   // hash sampling, not rand()
+  }
+}
