@@ -12,26 +12,44 @@ class DedupClustersSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   import spark.implicits._
 
+  // threshold 0 forces the distributed Pregel loop; MaxValue forces the
+  // single-task union-find — both paths must agree on every fixture.
+  private val bothPaths = Seq(0L -> "distributed loop", Long.MaxValue -> "union-find fast path")
+
   test("connectedComponents: planted chain + clique + isolated pair all collapse to min-id labels") {
     // chain 1-2-3-...-10 (diameter 9 → needs >1 round even with doubling),
     // clique {20,21,22}, pair {30,31}
     val chain = (1L until 10L).map(i => (i, i + 1))
     val clique = Seq((20L, 21L), (20L, 22L), (21L, 22L))
     val pairs = (chain ++ clique ++ Seq((30L, 31L))).toDF("doc_a", "doc_b")
-    val labels = Dedup.connectedComponents(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    (1L to 10L).foreach(i => assert(labels(i) == 1L, s"chain node $i -> ${labels(i)}"))
-    (20L to 22L).foreach(i => assert(labels(i) == 20L))
-    assert(labels(30L) == 30L && labels(31L) == 30L)
-    assert(labels.size == 15) // only ids that appear in some pair
+    bothPaths.foreach { case (thr, path) =>
+      val labels = Dedup.connectedComponents(pairs, smallGraphThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      (1L to 10L).foreach(i => assert(labels(i) == 1L, s"[$path] chain node $i -> ${labels(i)}"))
+      (20L to 22L).foreach(i => assert(labels(i) == 20L, s"[$path]"))
+      assert(labels(30L) == 30L && labels(31L) == 30L, s"[$path]")
+      assert(labels.size == 15, s"[$path] only ids in some pair are labeled")
+    }
   }
 
   test("connectedComponents: label order is direction-independent") {
     // same component described with edges pointing both ways
     val pairs = Seq((5L, 3L), (3L, 9L), (9L, 7L)).toDF("a", "b")
-    val labels = Dedup.connectedComponents(pairs)
+    bothPaths.foreach { case (thr, path) =>
+      val labels = Dedup.connectedComponents(pairs, smallGraphThreshold = thr)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels.values.toSet == Set(3L), s"[$path]")
+    }
+  }
+
+  test("connectedComponents: both paths agree on the real pair graph") {
+    val d = SparkTestSession.sfDir
+    val pairs = Dedup.dedupSimhash(spark, d).select(col("doc_a"), col("doc_b"))
+    val fast = Dedup.connectedComponents(pairs)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(labels.values.toSet == Set(3L))
+    val loop = Dedup.connectedComponents(pairs, smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fast == loop)
   }
 
   test("dedupClusters: full-corpus assignment is consistent with the pair graph") {
