@@ -281,10 +281,35 @@ object TextAnalysis {
         sum(when(h < thr, col("n_chars")).otherwise(0L)).as("kept_chars"))
   }
 
+  /** Token-rarity quality signal: per document, how common its tokens are
+    * in the WHOLE corpus — gibberish and OCR noise skew toward corpus-rare
+    * tokens. Integer-exact on purpose (sums of corpus counts, not log
+    * probabilities — cross-engine float log() is not bit-stable, exact
+    * integer arithmetic is). The vocabulary relation is Zipf-bounded —
+    * orders of magnitude smaller than the corpus — so Catalyst builds it
+    * with one token-keyed shuffle and BROADCASTS it back
+    * (BroadcastHashJoin, verified in the formatted plan): the exploded
+    * probe side is never shuffled by token, and the only other exchange
+    * is the final per-document re-aggregation. */
+  def tokenRarity(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cf"))
+    toks.join(vocab, "tok")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_tokens"),
+        sum(col("cf")).as("corpus_freq_sum"),
+        sum(when(col("cf") <= 2, 1L).otherwise(0L)).as("n_rare"))
+      .withColumn("avg_token_freq",
+        col("corpus_freq_sum").cast("double") / col("n_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pipeline_e2e" -> (pipelineE2e _),
     "x_repetition" -> (repetitionStats _),
     "x_mix_weighted" -> (mixWeighted _),
+    "x_token_rarity" -> (tokenRarity _),
     "x_keywords" -> (keywords _),
     "x_doc_windows" -> (docWindows _),
     "x_decontam" -> (decontam _),
@@ -317,6 +342,16 @@ object TextAnalysis {
         |       1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac,
         |       CAST(t.top_c AS DOUBLE) / t.tot AS top_bigram_frac
         |FROM b JOIN t USING (doc_id)""".stripMargin,
+    "x_token_rarity" ->
+      """WITH tk AS (
+        |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),
+        |cf AS (SELECT tok, count(*) AS cf FROM tk GROUP BY tok)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |       CAST(sum(cf.cf) AS BIGINT) AS corpus_freq_sum,
+        |       CAST(sum(CASE WHEN cf.cf <= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_rare,
+        |       CAST(sum(cf.cf) AS DOUBLE) / count(*) AS avg_token_freq
+        |FROM tk JOIN cf USING (tok)
+        |GROUP BY doc_id""".stripMargin,
     "x_mix_weighted" ->
       """SELECT lang, count(*) AS n_docs,
         |  CAST(SUM(CASE WHEN CAST('0x' || substring(md5('mix:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10000

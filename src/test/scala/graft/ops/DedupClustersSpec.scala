@@ -92,6 +92,26 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(!out.contains(4L))
   }
 
+  test("tokenRarity: corpus frequencies and rare-token counts are exact on a planted corpus") {
+    val dir = java.nio.file.Files.createTempDirectory("rarity").toString
+    Seq(
+      (1L, "en", "cat cat dog"),   // cat cf=3 (2 here + 1 in doc 2), dog cf=1
+      (2L, "en", "cat bird"),      // bird cf=1 (rare)
+      (3L, "en", "qux"))           // qux cf=1 (rare)
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = TextAnalysis.tokenRarity(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3))).toMap
+    // doc 1: tokens cat,cat,dog -> cf sum 3+3+1=7; dog is rare (cf=1)
+    assert(out(1L) == ((3L, 7L, 1L)))
+    // doc 2: cat,bird -> 3+1=4; bird rare
+    assert(out(2L) == ((2L, 4L, 1L)))
+    // doc 3: qux -> 1; rare
+    assert(out(3L) == ((1L, 1L, 1L)))
+  }
+
   test("mixWeighted: rates bind per language, deterministic, unknown lang keeps nothing") {
     val dir = java.nio.file.Files.createTempDirectory("mix").toString
     (0L until 300L).map(i => (i, if (i % 3 == 0) "zh" else if (i % 3 == 1) "xx" else "en", s"doc $i"))
