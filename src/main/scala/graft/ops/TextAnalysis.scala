@@ -305,11 +305,34 @@ object TextAnalysis {
         col("corpus_freq_sum").cast("double") / col("n_tokens"))
   }
 
+  /** Exact per-group quota sampling — the budget-constrained flavor of
+    * corpus mixing: keep EXACTLY K documents per language (rate-based
+    * [[mixWeighted]] keeps a proportion; quotas are what a fixed token
+    * budget demands). Ranking by a salted content-id hash makes the draw
+    * uniform, deterministic, and engine-portable; doc_id breaks ties.
+    * Scale shape: `row_number <= K` compiles to WindowGroupLimit
+    * (verified in the plan) — each input partition pre-truncates to its
+    * own top-K per group BEFORE the shuffle, so the exchange carries
+    * O(partitions x K) rows, not the corpus, and the 5-partition window
+    * stage ranks only those survivors. */
+  def quotaSample(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val K = 100
+    val h = conv(substring(md5(concat(lit("quota:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(h.asc, col("doc_id").asc)
+    documents(s, d)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= K)
+      .select(col("lang"), col("doc_id"), col("rk"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_pipeline_e2e" -> (pipelineE2e _),
     "x_repetition" -> (repetitionStats _),
     "x_mix_weighted" -> (mixWeighted _),
     "x_token_rarity" -> (tokenRarity _),
+    "x_quota_sample" -> (quotaSample _),
     "x_keywords" -> (keywords _),
     "x_doc_windows" -> (docWindows _),
     "x_decontam" -> (decontam _),
@@ -342,6 +365,14 @@ object TextAnalysis {
         |       1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac,
         |       CAST(t.top_c AS DOUBLE) / t.tot AS top_bigram_frac
         |FROM b JOIN t USING (doc_id)""".stripMargin,
+    "x_quota_sample" ->
+      """SELECT lang, doc_id, rk FROM (
+        |  SELECT lang, doc_id,
+        |         row_number() OVER (PARTITION BY lang
+        |           ORDER BY CAST('0x' || substring(md5('quota:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |                    doc_id) AS rk
+        |  FROM documents)
+        |WHERE rk <= 100""".stripMargin,
     "x_token_rarity" ->
       """WITH tk AS (
         |  SELECT doc_id, unnest(regexp_extract_all(text, '\S+')) AS tok FROM documents),

@@ -112,6 +112,27 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(out(3L) == ((1L, 1L, 1L)))
   }
 
+  test("quotaSample: exactly min(K, group size) per language, stable across runs") {
+    val dir = java.nio.file.Files.createTempDirectory("quota").toString
+    // en: 250 docs (> K=100), zh: 40 docs (< K)
+    ((0L until 250L).map(i => (i, "en", s"doc $i")) ++
+      (300L until 340L).map(i => (i, "zh", s"doc $i")))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val run1 = TextAnalysis.quotaSample(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val byLang = run1.groupBy(_._1)
+    assert(byLang("en").length == 100 && byLang("zh").length == 40)
+    // ranks are a permutation 1..n per group
+    assert(byLang("en").map(_._3).sorted.toSeq == (1 to 100))
+    assert(byLang("zh").map(_._3).sorted.toSeq == (1 to 40))
+    val run2 = TextAnalysis.quotaSample(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    assert(run1.toSet == run2.toSet) // hash draw, not rand()
+  }
+
   test("mixWeighted: rates bind per language, deterministic, unknown lang keeps nothing") {
     val dir = java.nio.file.Files.createTempDirectory("mix").toString
     (0L until 300L).map(i => (i, if (i % 3 == 0) "zh" else if (i % 3 == 1) "xx" else "en", s"doc $i"))
