@@ -32,6 +32,13 @@ class DedupClustersSpec extends AnyFunSuite {
     }
   }
 
+  test("connectedComponents: empty pair relation yields an empty label table on both paths") {
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    bothPaths.foreach { case (thr, path) =>
+      assert(Dedup.connectedComponents(empty, smallGraphThreshold = thr).count() == 0, s"[$path]")
+    }
+  }
+
   test("connectedComponents: label order is direction-independent") {
     // same component described with edges pointing both ways
     val pairs = Seq((5L, 3L), (3L, 9L), (9L, 7L)).toDF("a", "b")
