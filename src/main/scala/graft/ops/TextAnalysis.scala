@@ -232,11 +232,13 @@ object TextAnalysis {
   /** Gopher-style repetition signals per document: distinct-token ratio,
     * duplicate-bigram fraction, and top-bigram fraction (share of all word
     * bigrams taken by the single most frequent one — boilerplate and
-    * degenerate repetition push it toward 1). All pure column expressions:
-    * the per-doc mode is a run-length scan over the SORTED bigram array via
-    * `aggregate`, so the whole operator is codegen'd with zero shuffles —
-    * at 100 TB it runs at scan speed, unlike the explode + double-aggregate
-    * formulation (full shuffle of every bigram). */
+    * degenerate repetition push it toward 1). Zero shuffles — at 100 TB it
+    * runs at scan speed, unlike the explode + double-aggregate formulation
+    * (full shuffle of every bigram). The per-doc mode count is the native
+    * `MaxElementCount` expression: one O(n) hash pass per row, replacing a
+    * sort_array + `aggregate` run-length fold (HigherOrderFunctions are
+    * CodegenFallback — interpreted lambda dispatch per element — and the
+    * sort was only there to make run-lengths meaningful). */
   def repetitionStats(s: SparkSession, d: String): DataFrame = {
     val toks = tokensCol(col("text"))
     val docs = documents(s, d)
@@ -245,13 +247,7 @@ object TextAnalysis {
       .select(col("doc_id"), col("w"),
         transform(sequence(lit(0), size(col("w")) - 2),
           i => concat(element_at(col("w"), i + 1), lit(" "), element_at(col("w"), i + 2))).as("bg"))
-    val run = (acc: Column, x: Column) => {
-      val r = when(x === acc("prev"), acc("run") + 1).otherwise(lit(1L))
-      struct(x.as("prev"), r.as("run"), greatest(acc("best"), r).as("best"))
-    }
-    val topC = aggregate(sort_array(col("bg")),
-      struct(lit("").as("prev"), lit(0L).as("run"), lit(0L).as("best")),
-      run, acc => acc("best"))
+    val topC = org.apache.spark.sql.graftbridge.maxElementCount(col("bg"))
     docs.select(
       col("doc_id"),
       size(col("w")).as("n_tokens"),

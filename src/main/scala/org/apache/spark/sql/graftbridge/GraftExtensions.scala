@@ -43,5 +43,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         require(args.length == 2, "graft_sorted_intersect_count(arrayA, arrayB) takes exactly 2 arguments")
         SortedIntersectCount(args.head, args(1))
       }))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_max_element_count"),
+      new ExpressionInfo(classOf[MaxElementCount].getName, "graft_max_element_count"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_max_element_count(array) takes exactly 1 argument")
+        MaxElementCount(args.head)
+      }))
   }
 }

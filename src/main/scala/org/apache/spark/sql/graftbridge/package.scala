@@ -35,4 +35,9 @@ package object graftbridge {
     * pass (see [[graftbridge.LshBuckets]]). */
   def lshBuckets(c: Column, planes: Array[Array[Double]], bits: Int): Column =
     ExpressionUtils.column(LshBuckets(ExpressionUtils.expression(c), planes, bits))
+
+  /** Max multiplicity of any element in an array<string> column — one
+    * codegen-friendly hash pass (see [[graftbridge.MaxElementCount]]). */
+  def maxElementCount(c: Column): Column =
+    ExpressionUtils.column(MaxElementCount(ExpressionUtils.expression(c)))
 }

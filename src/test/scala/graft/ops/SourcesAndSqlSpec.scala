@@ -62,11 +62,15 @@ class SourcesAndSqlSpec extends AnyFunSuite {
       val r = s2.sql(
         """SELECT graft_dot(array(1.0D, 2.0D, 3.0D), array(4.0D, 5.0D, 6.0D)) AS d,
           |       graft_sorted_intersect_count(array('a','b','c'), array('b','c','d')) AS c,
-          |       graft_token_count(' one  two\tthree\nfour ') AS t""".stripMargin)
+          |       graft_token_count(' one  two\tthree\nfour ') AS t,
+          |       graft_max_element_count(array('x','y','x','x','z')) AS m,
+          |       graft_max_element_count(CAST(array() AS array<string>)) AS m0""".stripMargin)
         .head()
       assert(r.getDouble(0) == 32.0)
       assert(r.getInt(1) == 2)
       assert(r.getInt(2) == 4)
+      assert(r.getInt(3) == 3)
+      assert(r.getInt(4) == 0)
       // the injected optimizer rule rewrites the regexp token-count idiom
       // into the native single-pass expression (non-foldable subject, or
       // ConstantFolding computes the whole thing before the plan is seen)
