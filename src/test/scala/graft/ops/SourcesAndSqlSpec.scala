@@ -6,7 +6,7 @@ import org.apache.spark.sql.functions._
 import graft.SparkTestSession
 import graft.chunker.{BatchChunker, ChunkerConfig}
 
-/** Source-format coverage (§2.2 scans/sources row: parquet/jdbc/csv/json) and
+/** Source-format coverage (§2.2 scans/sources row: parquet/jdbc/csv/json/orc/xml) and
   * the SQL-text surface of the native expressions via SparkSessionExtensions.
   */
 class SourcesAndSqlSpec extends AnyFunSuite {
@@ -42,6 +42,32 @@ class SourcesAndSqlSpec extends AnyFunSuite {
     var n = 0L
     bc.foreachChunk(c => n += c.count())
     assert(n == cust.count())
+  }
+
+  test("orc roundtrip: column stats pushdown source feeds the chunker") {
+    val dir = java.nio.file.Files.createTempDirectory("src-orc").toString
+    val sup = spark.read.parquet(s"${SparkTestSession.sfDir}/supplier.parquet")
+    sup.write.mode("overwrite").orc(s"$dir/orc")
+    val back = spark.read.orc(s"$dir/orc")
+    assert(back.schema == sup.schema) // ORC is type-faithful, unlike csv/json
+    val bc = new BatchChunker(back, "s_suppkey", cfg0)
+    bc.calculateRanges()
+    var n = 0L
+    bc.foreachChunk(c => n += c.count())
+    assert(n == sup.count())
+  }
+
+  test("xml roundtrip (built-in Spark 4 source) preserves rows and supports chunked scans") {
+    val dir = java.nio.file.Files.createTempDirectory("src-xml").toString
+    val nat = spark.read.parquet(s"${SparkTestSession.sfDir}/nation.parquet")
+    nat.write.mode("overwrite").option("rowTag", "nation").xml(s"$dir/xml")
+    val back = spark.read.option("rowTag", "nation").xml(s"$dir/xml")
+    assert(back.count() == nat.count())
+    val bc = new BatchChunker(back, "n_nationkey", cfg0.copy(chunkSize = 8))
+    bc.calculateRanges()
+    var n = 0L
+    bc.foreachChunk(c => n += c.count())
+    assert(n == nat.count())
   }
 
   test("native expressions are SQL-callable in a session built with GraftExtensions") {
