@@ -323,7 +323,37 @@ object TextAnalysis {
       .select(col("lang"), col("doc_id"), col("rk"))
   }
 
+  /** Training-sequence packing: assign documents to fixed token-budget bins
+    * (what a loader consumes after windowing). Distributed shape: documents
+    * are hash-bucketed first, then each bucket packs INDEPENDENTLY by
+    * greedy contiguous fill over a deterministic order — a running token
+    * sum and `bin = floor(start / budget)`, the bounded-overflow packing
+    * (at most one straddling doc per bin) production pipelines use because
+    * exact bin packing is inherently sequential. The window partitions by
+    * bucket, so parallelism is the bucket count regardless of corpus size,
+    * and each bucket's window is a single sort — no global ordering
+    * anywhere. Output audits each bin's fill. */
+  def packBins(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val BUDGET = 2048
+    val BUCKETS = 16
+    val h = conv(substring(md5(concat(lit("pack:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("bucket")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), tokenCountCol(col("text")).cast("long").as("n_tokens"), h.as("h"))
+      .withColumn("bucket", pmod(col("h"), lit(BUCKETS)))
+      .withColumn("cum", sum(col("n_tokens")).over(w))
+      .withColumn("bin", floor((col("cum") - col("n_tokens")).cast("double") / BUDGET).cast("long"))
+      .groupBy(col("bucket"), col("bin"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("bin_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pack_bins" -> (packBins _),
     "x_pipeline_e2e" -> (pipelineE2e _),
     "x_repetition" -> (repetitionStats _),
     "x_mix_weighted" -> (mixWeighted _),
@@ -361,6 +391,21 @@ object TextAnalysis {
         |       1.0 - CAST(len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac,
         |       CAST(t.top_c AS DOUBLE) / t.tot AS top_bigram_frac
         |FROM b JOIN t USING (doc_id)""".stripMargin,
+    // Integer-exact: BUDGET is a power of two, so the floor-of-double
+    // division equals DuckDB's integer division for any cum < 2^53.
+    "x_pack_bins" ->
+      """WITH t AS (
+        |  SELECT doc_id, len(regexp_extract_all(text, '\S+')) AS n_tokens,
+        |         CAST('0x' || substring(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT) AS h
+        |  FROM documents),
+        |b AS (
+        |  SELECT *, h % 16 AS bucket,
+        |         sum(n_tokens) OVER (PARTITION BY h % 16 ORDER BY h, doc_id
+        |                             ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT bucket, (cum - n_tokens) // 2048 AS bin,
+        |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+        |FROM b GROUP BY bucket, (cum - n_tokens) // 2048""".stripMargin,
     "x_quota_sample" ->
       """SELECT lang, doc_id, rk FROM (
         |  SELECT lang, doc_id,

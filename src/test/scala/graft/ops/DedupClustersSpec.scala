@@ -140,6 +140,31 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(run1.toSet == run2.toSet) // hash draw, not rand()
   }
 
+  test("packBins: token totals preserved, bounded overflow, contiguous bins per bucket") {
+    val dir = java.nio.file.Files.createTempDirectory("pack").toString
+    val tokensPerDoc = 100
+    (0L until 400L).map(i => (i, "en", (1 to tokensPerDoc).map(t => s"w$t").mkString(" ")))
+      .toDF("doc_id", "lang", "text")
+      .withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bins = TextAnalysis.packBins(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // conservation: every token lands in exactly one bin
+    assert(bins.map(_._4).sum == 400L * tokensPerDoc)
+    // bounded overflow: a bin holds docs STARTING inside its budget window,
+    // so fill < budget + one doc
+    bins.foreach { case (bkt, bin, _, toks) =>
+      assert(toks < 2048 + tokensPerDoc, s"bucket $bkt bin $bin overfilled: $toks")
+    }
+    // bins are contiguous 0..max within each bucket (docs are smaller than
+    // the budget, so no bin index can be skipped)
+    bins.groupBy(_._1).foreach { case (bkt, bs) =>
+      val ids = bs.map(_._2).sorted
+      assert(ids.toSeq == (0L to ids.max).toSeq, s"bucket $bkt bins: ${ids.toSeq}")
+    }
+  }
+
   test("mixWeighted: rates bind per language, deterministic, unknown lang keeps nothing") {
     val dir = java.nio.file.Files.createTempDirectory("mix").toString
     (0L until 300L).map(i => (i, if (i % 3 == 0) "zh" else if (i % 3 == 1) "xx" else "en", s"doc $i"))
