@@ -90,6 +90,38 @@ object Multimodal {
   def pngWidth(bin: Column): Column = conv(hex(substring(bin, 17, 4)), 16, 10).cast("int")
   def pngHeight(bin: Column): Column = conv(hex(substring(bin, 21, 4)), 16, 10).cast("int")
 
+  /** WAV (RIFF/PCM) header checks and fields — the audio twin of the PNG
+    * parse, again pure byte expressions on a binary column. WAV is
+    * little-endian, so multi-byte fields are read per byte and recombined
+    * arithmetically (hex()+conv() only reads big-endian). Offsets are the
+    * canonical 44-byte PCM header: 'RIFF' @1, 'WAVE' @9, 'fmt ' @13;
+    * channels u16 @23, sample rate u32 @25, bits/sample u16 @35, data-chunk
+    * size u32 @41. A real pipeline runs THIS over billions of clips to
+    * filter/bucket by rate and duration before any codec touches bytes. */
+  def isWav(bin: Column): Column =
+    hex(substring(bin, 1, 4)) === "52494646" && // 'RIFF'
+      hex(substring(bin, 9, 4)) === "57415645" && // 'WAVE'
+      hex(substring(bin, 13, 4)) === "666D7420" // 'fmt '
+
+  private def leUInt(bin: Column, offset: Int, nBytes: Int): Column =
+    (0 until nBytes).map { i =>
+      conv(hex(substring(bin, offset + i, 1)), 16, 10).cast("long") * (1L << (8 * i))
+    }.reduce(_ + _)
+
+  def wavChannels(bin: Column): Column = leUInt(bin, 23, 2).cast("int")
+  def wavSampleRate(bin: Column): Column = leUInt(bin, 25, 4).cast("int")
+  def wavBitsPerSample(bin: Column): Column = leUInt(bin, 35, 2).cast("int")
+  def wavDataBytes(bin: Column): Column = leUInt(bin, 41, 4)
+
+  /** Clip duration in whole milliseconds from header fields alone:
+    * floor(bytes * 8000 / (rate * channels * bits)) — numerator and
+    * denominator are exact longs, so the double division (Spark's `/` on
+    * longs) is exact well past any real clip length, and floor makes the
+    * result integral. */
+  def wavDurationMs(bin: Column): Column =
+    floor((wavDataBytes(bin) * 8000L) /
+      (wavSampleRate(bin).cast("long") * wavChannels(bin) * wavBitsPerSample(bin))).cast("long")
+
   /** Aspect-preserving fit of (w, h) into a (maxW, maxH) box — the resize
     * TARGET computation (the actual pixel resample is the codec's job; the
     * planning math is exact integer/double column arithmetic). */

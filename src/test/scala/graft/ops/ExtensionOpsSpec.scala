@@ -264,6 +264,42 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(!parsed(4L)._1)
   }
 
+  test("WAV header fields parse from real canonical PCM bytes; non-WAV rejected") {
+    import spark.implicits._
+    /** Canonical 44-byte PCM WAV header + silence. */
+    def wav(channels: Int, rate: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * bits / 8).putShort((channels * bits / 8).toShort)
+        .putShort(bits.toShort)
+        .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      bb.array()
+    }
+    val df = Seq(
+      (1L, wav(1, 16000, 16, 32000)),  // 1 s mono 16 kHz
+      (2L, wav(2, 44100, 16, 176400)), // 1 s stereo CD rate
+      (3L, "RIFFbut not actually wave data......".getBytes("US-ASCII"))
+    ).toDF("id", "payload")
+    val parsed = df.select(col("id"),
+        Multimodal.isWav(col("payload")).as("ok"),
+        Multimodal.wavChannels(col("payload")).as("ch"),
+        Multimodal.wavSampleRate(col("payload")).as("sr"),
+        Multimodal.wavBitsPerSample(col("payload")).as("bits"),
+        Multimodal.wavDurationMs(col("payload")).as("ms"))
+      .collect().map { r =>
+        val fields = if (r.getBoolean(1))
+          Some((r.getInt(2), r.getInt(3), r.getInt(4), r.getLong(5))) else None
+        r.getLong(0) -> (r.getBoolean(1), fields)
+      }.toMap
+    assert(parsed(1L) == ((true, Some((1, 16000, 16, 1000L)))))
+    assert(parsed(2L) == ((true, Some((2, 44100, 16, 1000L)))))
+    assert(!parsed(3L)._1) // truncated payload: fields are NULL, gate is false
+  }
+
   test("aspect-fit resize targets and frame-sample indices are exact") {
     import spark.implicits._
     val df = Seq((1920, 1080), (100, 400), (50, 50)).toDF("w", "h")
