@@ -402,7 +402,37 @@ object Dedup {
         sum(col("is_cand") * col("is_exact")).as("n_both"))
   }
 
+  /** The production composition this library exists for: MATERIALIZE the
+    * near-dup dedup decision over a live table with the reference's chunked
+    * copy-on-write loop — per-chunk runtime-targeted BETWEEN slices, marker-
+    * gated commits, idempotent retries — instead of one giant rewrite that
+    * would hold the table hostage at 100 TB. The drop list (non-canonical
+    * cluster members) comes straight from the CC label relation (id !=
+    * label — no corpus rejoin), stays dup-rate-sized, and broadcast-anti-
+    * joins against each chunk. The audit aggregates the committed rewrite;
+    * the oracle replays CC + the anti-join relationally, proving the
+    * chunked materialization dropped EXACTLY the non-canonical docs. */
+  def dmlChunkedDedup(s: SparkSession, d: String): DataFrame = {
+    import graft.chunker.{ChunkedRewrite, ChunkerConfig}
+    val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_dedup").toString
+    val drop = connectedComponents(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .filter(col("id") =!= col("label"))
+      .select(col("id").as("doc_id"))
+    val cfg = ChunkerConfig(chunkSize = BigInt(1024), targetTime = 1.5, sleep = 0,
+      minChunkPercent = 0, retryAttempts = 3, log = _ => ())
+    ChunkedRewrite.rewrite(documents(s, d), "doc_id", cfg, outDir, countProbe = false) { chunk =>
+      chunk.join(broadcast(drop), Seq("doc_id"), "left_anti")
+    }
+    ChunkedRewrite.readBackCommitted(s, outDir)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("doc_id")).as("n_keys"),
+        sum(col("n_chars")).as("total_chars"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "dml_chunked_dedup" -> (dmlChunkedDedup _),
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_keep_list" -> (dedupKeepList _),
     "x_dedup_minhash" -> ((s, d) => dedupMinhashLsh(s, d)),
@@ -478,6 +508,25 @@ object Dedup {
     "x_dedup_simhash" ->
       s"""WITH ${simhashCtes()}
          |SELECT doc_a, doc_b, hamming FROM scand""".stripMargin,
+    // Chunked dedup materialization: survivors = docs that are not a
+    // non-canonical member of some near-dup component (same walk CTEs as
+    // the CC oracle below).
+    "dml_chunked_dedup" ->
+      s"""WITH RECURSIVE ${simhashCtes()},
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM scand
+         |      UNION ALL SELECT doc_b, doc_a FROM scand),
+         |walk(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT w.u, e2.v FROM walk w JOIN e e2 ON w.v = e2.u),
+         |dropped AS (SELECT u AS doc_id FROM walk GROUP BY u
+         |            HAVING least(u, min(v)) <> u)
+         |SELECT lang, count(*) AS n_docs,
+         |       count(DISTINCT doc_id) AS n_keys,
+         |       CAST(sum(n_chars) AS BIGINT) AS total_chars
+         |FROM documents d
+         |WHERE NOT EXISTS (SELECT 1 FROM dropped x WHERE x.doc_id = d.doc_id)
+         |GROUP BY lang""".stripMargin,
     // CC oracle: transitive closure by recursive CTE (UNION dedups, so the
     // walk terminates), cluster_id = min doc_id reachable from each node.
     // Tractable because the oracle only walks the near-dup pair graph, not
