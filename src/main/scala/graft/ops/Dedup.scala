@@ -280,9 +280,14 @@ object Dedup {
           }
         }
         seen.iterator.map(id => (id, find(id)))
-      }
-      // prs stays cached until the consumer materializes `labeled`; the
-      // ContextCleaner reclaims it once the RDD reference is dropped.
+      }.persist() // symmetric with the loop path's cached labels: consumers
+      // that evaluate the result more than once (e.g. one broadcast per
+      // chunk in dmlChunkedDedup) must not re-run union-find each time.
+      // Materialize NOW and release the pair cache deterministically —
+      // leaving it to the ContextCleaner let stale blocks and cleaner
+      // churn bleed measurable time into whatever ran next.
+      labeled.foreachPartition(_ => ())
+      prs.unpersist(blocking = false)
       return labeled.toDF("id", "label")
     }
     val p = math.max(1, math.min(10000, (nPairs / 2000000L).toInt))
@@ -418,11 +423,19 @@ object Dedup {
     val drop = connectedComponents(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
-    val cfg = ChunkerConfig(chunkSize = BigInt(1024), targetTime = 1.5, sleep = 0,
+      .persist()
+    drop.count() // materialize ONCE before the loop: each chunk broadcasts this
+    // Base chunk 16k keys: the runtime-targeting law (targetTime = 1.5 s)
+    // owns the real sizing — the base only has to be large enough that the
+    // 50x corpus doesn't start from ~60 fixed-overhead slices (measured
+    // 28 s at sf5 with a 1k base; the law converges in a few chunks from
+    // 16k).
+    val cfg = ChunkerConfig(chunkSize = BigInt(16384), targetTime = 1.5, sleep = 0,
       minChunkPercent = 0, retryAttempts = 3, log = _ => ())
     ChunkedRewrite.rewrite(documents(s, d), "doc_id", cfg, outDir, countProbe = false) { chunk =>
       chunk.join(broadcast(drop), Seq("doc_id"), "left_anti")
     }
+    drop.unpersist(blocking = false)
     ChunkedRewrite.readBackCommitted(s, outDir)
       .groupBy(col("lang"))
       .agg(
