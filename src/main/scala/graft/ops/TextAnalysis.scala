@@ -403,9 +403,9 @@ object TextAnalysis {
         |         sum(n_tokens) OVER (PARTITION BY h % 16 ORDER BY h, doc_id
         |                             ROWS UNBOUNDED PRECEDING) AS cum
         |  FROM t)
-        |SELECT bucket, (cum - n_tokens) // 2048 AS bin,
+        |SELECT bucket, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
-        |FROM b GROUP BY bucket, (cum - n_tokens) // 2048""".stripMargin,
+        |FROM b GROUP BY bucket, CAST((cum - n_tokens) // 2048 AS BIGINT)""".stripMargin,
     "x_quota_sample" ->
       """SELECT lang, doc_id, rk FROM (
         |  SELECT lang, doc_id,
