@@ -417,6 +417,20 @@ object Dedup {
     * joins against each chunk. The audit aggregates the committed rewrite;
     * the oracle replays CC + the anti-join relationally, proving the
     * chunked materialization dropped EXACTLY the non-canonical docs. */
+  /** The per-chunk drop step of [[dmlChunkedDedup]]. The drop list is keyed
+    * by the CHUNK key, so each chunk only needs the slice inside its own
+    * BETWEEN range — at 100 TB the full list is billions of rows
+    * (un-broadcastable), but the per-chunk slice is bounded by chunk size ×
+    * dup rate. Same co-partitioning shape as dmlChunkedMerge's delta sides;
+    * the range filter lands on the broadcast SIDE (pushed into its scan),
+    * never on the chunk. */
+  private[ops] def dedupChunkTransform(drop: DataFrame)(
+      chunk: graft.chunker.Chunk, chunkDf: DataFrame): DataFrame = {
+    val inRange = drop.filter(
+      col("doc_id").between(lit(chunk.start.toLong), lit(chunk.end.toLong)))
+    chunkDf.join(broadcast(inRange), Seq("doc_id"), "left_anti")
+  }
+
   def dmlChunkedDedup(s: SparkSession, d: String): DataFrame = {
     import graft.chunker.{ChunkedRewrite, ChunkerConfig}
     val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_dedup").toString
@@ -424,7 +438,7 @@ object Dedup {
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
       .persist()
-    drop.count() // materialize ONCE before the loop: each chunk broadcasts this
+    drop.count() // materialize ONCE before the loop: each chunk broadcasts a slice
     // Base chunk 16k keys: the runtime-targeting law (targetTime = 1.5 s)
     // owns the real sizing — the base only has to be large enough that the
     // 50x corpus doesn't start from ~60 fixed-overhead slices (measured
@@ -432,16 +446,22 @@ object Dedup {
     // 16k).
     val cfg = ChunkerConfig(chunkSize = BigInt(16384), targetTime = 1.5, sleep = 0,
       minChunkPercent = 0, retryAttempts = 3, log = _ => ())
-    ChunkedRewrite.rewrite(documents(s, d), "doc_id", cfg, outDir, countProbe = false) { chunk =>
-      chunk.join(broadcast(drop), Seq("doc_id"), "left_anti")
-    }
+    ChunkedRewrite.rewriteWithRange(documents(s, d), "doc_id", cfg, outDir,
+      countProbe = false)(dedupChunkTransform(drop))
     drop.unpersist(blocking = false)
-    ChunkedRewrite.readBackCommitted(s, outDir)
+    val audit = ChunkedRewrite.readBackCommitted(s, outDir)
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
         countDistinct(col("doc_id")).as("n_keys"),
         sum(col("n_chars")).as("total_chars"))
+    // The audit is lang-cardinality rows (tiny, control-plane): pin it on
+    // the driver so the temp rewrite directory — a full corpus copy per
+    // invocation — can be deleted NOW instead of accumulating in /tmp.
+    val pinned = java.util.Arrays.asList(audit.collect(): _*)
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
+    s.createDataFrame(pinned, audit.schema)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(

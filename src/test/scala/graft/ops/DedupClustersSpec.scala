@@ -79,6 +79,41 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(byDoc.size == Tables.documents(spark, d).count())
   }
 
+  test("dedupChunkTransform: drop-list slice is range-pruned under the broadcast") {
+    val dir = java.nio.file.Files.createTempDirectory("droppr").toString
+    (0L until 1000L).map(i => (i, s"doc $i"))
+      .toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/chunkside.parquet")
+    // drop ids spread across the keyspace; only [100, 199] is in-chunk
+    (0L until 1000L by 10L).toDF("doc_id")
+      .write.mode("overwrite").parquet(s"$dir/drop.parquet")
+    val drop = spark.read.parquet(s"$dir/drop.parquet")
+    val chunkDf = spark.read.parquet(s"$dir/chunkside.parquet")
+      .filter(col("doc_id").between(100L, 199L))
+    val out = Dedup.dedupChunkTransform(drop)(
+      graft.chunker.Chunk(BigInt(100), BigInt(199)), chunkDf)
+    val plan = out.queryExecution.executedPlan.toString
+    // the anti-join broadcasts, and the BETWEEN bounds are pushed into the
+    // broadcast side's scan — the full drop list is never shipped
+    assert(plan.contains("BroadcastExchange"), plan)
+    val pushed = plan.linesIterator.filter(_.contains("drop.parquet")).mkString("\n")
+    assert(pushed.contains("GreaterThanOrEqual(doc_id,100)")
+      && pushed.contains("LessThanOrEqual(doc_id,199)"),
+      s"drop-side scan not range-pruned:\n$plan")
+    // semantics: exactly the in-range multiples of 10 are dropped
+    val kept = out.collect().map(_.getLong(0)).toSet
+    assert(kept == (100L to 199L).filterNot(_ % 10 == 0).toSet)
+  }
+
+  test("dmlChunkedDedup: cleans up its temp rewrite directory") {
+    def dirs() = new java.io.File("/tmp").listFiles()
+      .filter(_.getName.startsWith("graft_dml_chunked_dedup")).map(_.getName).toSet
+    val before = dirs()
+    val audit = Dedup.dmlChunkedDedup(spark, SparkTestSession.sfDir)
+    assert(audit.count() > 0)
+    assert(dirs() == before, "temp rewrite dir leaked")
+  }
+
   test("repetitionStats: hand-computable fixtures") {
     val dir = java.nio.file.Files.createTempDirectory("repet").toString
     Seq(
