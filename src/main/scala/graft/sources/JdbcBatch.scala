@@ -125,7 +125,24 @@ object JdbcBatch {
       inTxn: (Chunk, java.sql.Connection) => Unit = (_, _) => ()
   ): ExecutionReport = {
     val probeConn = DriverManager.getConnection(url, props)
-    val dmlConn = DriverManager.getConnection(url, props)
+    var dmlConn = DriverManager.getConnection(url, props)
+    // The reference's retry stack is DBIx::Connector::Retry
+    // (lib/DBIx/BatchChunker.pm:104-112, 236-288), whose whole point is
+    // RECONNECTING before re-running a failed chunk — a dropped connection
+    // is the #1 transient failure this machinery exists for, and retrying
+    // on the same dead socket would burn the whole budget. We mirror its
+    // fixup-mode shape: no per-chunk liveness ping (that's a DB roundtrip
+    // per chunk); only a connection-class FAILURE marks the handle for
+    // rebuild, and the retry's next entry into the chunk body reopens it.
+    var reconnectPending = false
+    def connectionDead(e: Throwable): Boolean = e match {
+      case _: java.sql.SQLNonTransientConnectionException => true
+      case _: java.sql.SQLRecoverableException => true
+      case _: java.sql.SQLTransientConnectionException => true
+      case _ =>
+        try dmlConn.isClosed || !dmlConn.isValid(5)
+        catch { case _: Throwable => true }
+    }
     try {
       dmlConn.setAutoCommit(false)
       val source = new RangeSource {
@@ -156,6 +173,12 @@ object JdbcBatch {
         if (engine.minId.forall(_ < next)) engine.minId = Some(next)
       }
       engine.execute { chunk =>
+        if (reconnectPending) {
+          try dmlConn.close() catch { case _: Throwable => () }
+          dmlConn = DriverManager.getConnection(url, props)
+          dmlConn.setAutoCommit(false)
+          reconnectPending = false
+        }
         try {
           val sql = template
             .replace("{start}", chunk.start.toString)
@@ -169,6 +192,7 @@ object JdbcBatch {
             // Clean slate for the engine's retry wrapper; a rollback
             // failure (dead connection) must not mask the original error.
             try dmlConn.rollback() catch { case _: Throwable => () }
+            if (connectionDead(e)) reconnectPending = true
             throw e
         }
       }

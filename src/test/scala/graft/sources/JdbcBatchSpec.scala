@@ -137,6 +137,36 @@ class JdbcBatchSpec extends AnyFunSuite {
     assert(back.filter(col("done") === 1).count() == 120)
   }
 
+  test("executeChunkedDml: a dropped connection is rebuilt before the retry (DBIx::Connector::Retry semantics)") {
+    seeded
+    val src = (1L to 100L).map(i => (i, 0L)).toDF("id", "done")
+    src.write.mode("overwrite").jdbc(url, "txn_reconn", new java.util.Properties)
+    val attempts = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+    val seen = scala.collection.mutable.Map.empty[Long, scala.collection.mutable.Set[Int]]
+    val rpt = JdbcBatch.executeChunkedDml(url,
+      """UPDATE txn_reconn SET "done" = "done" + 1 WHERE "id" BETWEEN {start} AND {end}""",
+      "id", "txn_reconn", cfg(25).copy(retryAttempts = 3),
+      inTxn = { (chunk, conn) =>
+        val st = chunk.start.toLong
+        attempts(st) += 1
+        seen.getOrElseUpdate(st, scala.collection.mutable.Set.empty) += System.identityHashCode(conn)
+        // Simulate the connection dropping mid-chunk: roll back the open
+        // transaction and CLOSE the handle. The loop's commit then fails
+        // with a connection-class SQLException; without a rebuild, every
+        // retry would fail on the same dead handle until the budget burns.
+        if (st == 51L && attempts(st) == 1) { conn.rollback(); conn.close() }
+      })
+    assert(rpt.processed.size == 4)
+    assert(attempts(51L) == 2) // died once, retried ONCE on a fresh connection
+    // the retry ran on a different physical connection than the dead one
+    assert(seen(51L).size == 2, s"retry reused the dead handle: ${seen(51L)}")
+    // exactly-once key coverage despite the non-idempotent template: the
+    // dead attempt's update was rolled back before the handle died
+    val back = spark.read.jdbc(url, "txn_reconn", new java.util.Properties)
+    assert(back.filter(col("done") === 1).count() == 100)
+    assert(back.filter(col("done") =!= 1).count() === 0)
+  }
+
   test("executeChunkedDml: crash-resume re-enters after the last committed transaction") {
     seeded
     val stateDir = java.nio.file.Files.createTempDirectory("jdbc-resume").toString
