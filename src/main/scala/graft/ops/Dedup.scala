@@ -319,13 +319,26 @@ object Dedup {
       // collapses in O(log k) rounds. stepped is keyed by id and labels ARE
       // ids, so re-keying by label and joining back is a lookup table.
       val byLabel = stepped.map { case (id, l) => (l, id) }.partitionBy(part)
+      // Convergence is counted INSIDE the label-update map via an
+      // accumulator instead of a separate count() over a next-vs-labels
+      // join: the old label rides along through one more narrow join
+      // (co-partitioned, zero exchange) and the round's single
+      // materializing action reads the tally. A task retry can over-count,
+      // which only ever costs one benign extra round — `changed` is
+      // compared to 0, never used as a number.
+      val acc = spark.sparkContext.longAccumulator("cc-label-changes")
       val next = byLabel.join(stepped) // narrow: both keyed+partitioned on the label
         .map { case (_, (id, l2)) => (id, l2) }
         .partitionBy(part)
+        .join(labels) // narrow: old label for the convergence tally
+        .mapPartitions(_.map { case (id, (nl, ol)) =>
+          if (nl != ol) acc.add(1L)
+          (id, nl)
+        }, preservesPartitioning = true)
         .persist()
       next.localCheckpoint() // truncate lineage across rounds
-      changed = next.join(labels) // narrow
-        .filter { case (_, (a, b)) => a != b }.count()
+      next.foreachPartition(_ => ()) // the round's one job; fills the tally
+      changed = acc.value
       // NB: the superseded round's RDD is left for the ContextCleaner —
       // explicitly unpersisting a localCheckpointed RDD can discard the
       // only copy of blocks its checkpoint truncation made unrecomputable.
@@ -334,6 +347,12 @@ object Dedup {
       if (sys.env.contains("GRAFT_CC_DEBUG"))
         System.err.println(s"[cc] round $rounds changed=$changed nPairs=$nPairs p=$p")
     }
+    // The kernel is exposed over ARBITRARY pair relations: a graph that
+    // somehow failed to converge inside the round cap must fail loudly —
+    // silently returning partial labels would assign wrong clusters.
+    // (Unreachable for near-dup graphs: pointer doubling converges in
+    // O(log diameter) <= 25 rounds for any graph under 2^25 nodes deep.)
+    require(changed == 0, s"connectedComponents did not converge in $rounds rounds")
     edges.unpersist()
     labels.toDF("id", "label")
   }

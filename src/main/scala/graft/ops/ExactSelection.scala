@@ -1,9 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
 /** Distributed EXACT order-statistic selection (two-phase).
   *
@@ -19,10 +18,14 @@ import org.apache.spark.sql.types._
   *     computes identical buckets — unlike `repartitionByRange`, whose
   *     sampled bounds differ per execution (its seed derives from the RDD
   *     identity), which silently corrupts cross-job rank offsets;
-  *  2. take an exact per-(group, bucket) histogram — one parallel groupBy,
-  *     collected as control plane (<= groups x nBuckets tiny rows) — and
-  *     locate the buckets containing the requested per-group ranks plus
-  *     their exclusive prefix offsets;
+  *  2. take an exact per-(group, bucket) histogram and locate the buckets
+  *     containing the requested per-group ranks plus their exclusive
+  *     prefix offsets — ALL distributed: the prefix/total sums are windows
+  *     over the (group x bucket) histogram relation (<= groups x nBuckets
+  *     rows, each group's <= nBuckets rows in one window partition), and
+  *     the rank test is an `exists` over the caller's rank-array column.
+  *     Nothing is collected, so a high-cardinality group column costs a
+  *     shuffle of histogram rows, never driver memory;
   *  3. rank ONLY those buckets: an inner broadcast join prunes everything
   *     else before the sort, so the selection pass sorts ~n/nBuckets rows
   *     per group regardless of total size, and global rank = local rank +
@@ -41,8 +44,13 @@ object ExactSelection {
     * Callers filter `rn` to the ranks they need; `tieBreak` must make the
     * total order strict for ranks to be well-defined.
     *
-    * @param wanted the per-group ranks of interest, as a function of the
-    *               group size (e.g. median: `n => Seq((n + 1) / 2)`)
+    * @param wanted the per-group ranks of interest as a COLUMN function:
+    *               group size (long) => array&lt;long&gt; of ranks (e.g.
+    *               median: `n => array(floor((n + lit(1)) / lit(2)))`).
+    *               A column expression rather than a Scala closure so rank
+    *               location runs inside the distributed histogram pass —
+    *               and so callers that re-derive the same ranks downstream
+    *               reuse literally the same expressions.
     */
   def rankedCandidates(
       df: DataFrame,
@@ -50,8 +58,7 @@ object ExactSelection {
       valueCol: String,
       tieBreak: Seq[Column],
       nBuckets: Int = 256
-  )(wanted: Long => Seq[Long]): DataFrame = {
-    val spark = df.sparkSession
+  )(wanted: Column => Column): DataFrame = {
     val bounds = df.agg(min(col(valueCol)), max(col(valueCol))).head()
     if (bounds.isNullAt(0)) return df.limit(0)
       .withColumn("rn", lit(0L)).withColumn("n", lit(0L))
@@ -62,33 +69,23 @@ object ExactSelection {
       else lit(0)
     val bucketed = df.withColumn("bkt", bktExpr)
 
-    val hist = bucketed.groupBy(col(groupCol), col("bkt"))
+    // Exclusive prefix (`off`) and group total (`n`) over the histogram:
+    // per-group window partitions hold <= nBuckets rows, so the "sort each
+    // partition in one task" hazard the operator exists to avoid cannot
+    // recur here — the relation is histogram-sized, not data-sized.
+    val wG = Window.partitionBy(col(groupCol))
+    val wPrefix = wG.orderBy(col("bkt")).rowsBetween(Window.unboundedPreceding, -1)
+    val needed = bucketed.groupBy(col(groupCol), col("bkt"))
       .agg(count(lit(1)).as("c"))
-      .collect()
-      .map(r => (r.get(0), r.getInt(1), r.getLong(2)))
-    val needed = hist.groupBy(_._1).iterator.flatMap { case (_, rows) =>
-      val sorted = rows.sortBy(_._2)
-      val n = sorted.map(_._3).sum
-      val ranks = wanted(n).filter(r => r >= 1 && r <= n)
-      val running = sorted.zip(sorted.scanLeft(0L)(_ + _._3))
-      running.collect {
-        case ((g, b, c), off) if ranks.exists(r => off < r && r <= off + c) => Row(g, b, off, n)
-      }
-    }.toSeq
-
-    val gField = df.schema(groupCol)
-    val offsSchema = StructType(Seq(
-      StructField(groupCol, gField.dataType, gField.nullable),
-      StructField("bkt", IntegerType, nullable = false),
-      StructField("off", LongType, nullable = false),
-      StructField("n", LongType, nullable = false)))
-    val offs = spark.createDataFrame(
-      spark.sparkContext.parallelize(needed, 1), offsSchema)
+      .withColumn("off", coalesce(sum(col("c")).over(wPrefix), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wG))
+      .filter(exists(wanted(col("n")), r => r > col("off") && r <= col("off") + col("c")))
+      .select(col(groupCol), col("bkt"), col("off"), col("n"))
 
     val wLocal = Window.partitionBy(col(groupCol), col("bkt"))
       .orderBy(col(valueCol) +: tieBreak: _*)
     bucketed
-      .join(broadcast(offs), Seq(groupCol, "bkt"))
+      .join(broadcast(needed), Seq(groupCol, "bkt"))
       .withColumn("rn_local", row_number().over(wLocal))
       .withColumn("rn", col("rn_local") + col("off"))
       .drop("bkt", "off", "rn_local")

@@ -42,11 +42,13 @@ object ExtraQueries {
   def qMedianDisc(s: SparkSession, d: String): DataFrame =
     // Two-phase exact selection (ops/ExactSelection) — the per-group
     // single-window rank sorts each group in one task; here only the
-    // median's bucket is sorted. (n + 1) / 2 in Long math == the previous
-    // formulation's `(cnt + 1) div 2`.
+    // median's bucket is sorted. floor((n+1)/2) over the long-typed size
+    // == `(cnt + 1) div 2` (the /2 is a power-of-two double division,
+    // exact for any realistic group size).
     ExactSelection.rankedCandidates(
         orders(s, d).select(col("o_orderstatus"), col("o_totalprice"), col("o_orderkey")),
-        "o_orderstatus", "o_totalprice", Seq(col("o_orderkey")))(n => Seq((n + 1) / 2))
+        "o_orderstatus", "o_totalprice", Seq(col("o_orderkey")))(
+        n => array(floor((n + lit(1)) / lit(2))))
       .filter(col("rn") === expr("(n + 1) div 2"))
       .select(col("o_orderstatus"), col("o_totalprice").as("median_price"))
 
@@ -359,17 +361,15 @@ object ExtraQueries {
     // window partitioned by the 3-value group column sorts each group in
     // ONE task — 31 s at the 50x scale point; the two-phase operator
     // ranks only the buckets straddling the lo/hi order statistics (~8x
-    // there). The lo/hi rank math below duplicates the column-expression
-    // interpolation in driver doubles — same IEEE arithmetic, so the
-    // selected ranks agree and the oracle is unchanged.
+    // there). The wanted-rank expressions are the SAME column arithmetic
+    // as the lo/hi filter below, so the selected ranks agree exactly.
     val base = lineitem(s, d)
       .select(col("l_returnflag"), col("l_extendedprice"), col("l_orderkey"), col("l_linenumber"))
     val ranked = ExactSelection.rankedCandidates(
       base, "l_returnflag", "l_extendedprice",
       Seq(col("l_orderkey"), col("l_linenumber"))) { n =>
-      val k = (n - 1) * 0.95
-      val loRank = math.floor(k).toLong + 1
-      Seq(loRank, math.min(loRank + 1, n))
+      val loRank = floor((n - lit(1)) * lit(0.95)) + lit(1)
+      array(loRank, least(loRank + lit(1), n))
     }
     val k = (col("n") - 1) * lit(0.95)
     val lo = floor(k) + 1

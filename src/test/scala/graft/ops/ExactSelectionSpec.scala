@@ -30,7 +30,8 @@ class ExactSelectionSpec extends AnyFunSuite {
     }
     val df = rows.toDF("g", "v", "id")
     val wantedRanks: Long => Seq[Long] = n => Seq(1L, (n + 1) / 2, n)
-    val cand = ExactSelection.rankedCandidates(df, "g", "v", Seq(col("id")), nBuckets = 16)(wantedRanks)
+    val cand = ExactSelection.rankedCandidates(df, "g", "v", Seq(col("id")), nBuckets = 16)(
+      n => array(lit(1L), floor((n + lit(1)) / lit(2)), n))
     val naive = naiveRanks(df)
 
     val wantedSet = naive.select(col("g"), col("n")).distinct().collect()
@@ -48,6 +49,28 @@ class ExactSelectionSpec extends AnyFunSuite {
 
   test("empty input yields an empty frame") {
     val df = Seq.empty[(String, Double, Long)].toDF("g", "v", "id")
-    assert(ExactSelection.rankedCandidates(df, "g", "v", Seq(col("id")))(n => Seq(1L)).count() == 0)
+    assert(ExactSelection.rankedCandidates(df, "g", "v", Seq(col("id")))(n => array(lit(1L)))
+      .count() == 0)
+  }
+
+  test("high-cardinality group column: rank location stays distributed and exact") {
+    // 4000 distinct groups x 5 rows: the (group x bucket) histogram is
+    // 4000+ rows — with the old driver-side collect this was the memory
+    // hazard; now it is a distributed window pass. Medians must still be
+    // exact for every group.
+    val rows = (1L to 20000L).map { i =>
+      val g = "G" + (i % 4000)
+      ((i * 2654435761L) % 1009).toDouble -> (g, i)
+    }.map { case (v, (g, i)) => (g, v, i) }
+    val df = rows.toDF("g", "v", "id")
+    val cand = ExactSelection.rankedCandidates(df, "g", "v", Seq(col("id")), nBuckets = 32)(
+      n => array(floor((n + lit(1)) / lit(2))))
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val naive = naiveRanks(df)
+      .filter(col("rn") === expr("(n + 1) div 2"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(cand.size == 4000)
+    assert(cand == naive)
   }
 }
