@@ -97,11 +97,19 @@ object Multimodal {
     * canonical 44-byte PCM header: 'RIFF' @1, 'WAVE' @9, 'fmt ' @13;
     * channels u16 @23, sample rate u32 @25, bits/sample u16 @35, data-chunk
     * size u32 @41. A real pipeline runs THIS over billions of clips to
-    * filter/bucket by rate and duration before any codec touches bytes. */
+    * filter/bucket by rate and duration before any codec touches bytes.
+    *
+    * The gate requires the 'data' tag at its canonical offset 37, not just
+    * the RIFF/WAVE/'fmt ' magics: a valid-but-non-canonical WAV (extended
+    * fmt chunk, or a LIST/fact chunk before 'data') would pass the magic
+    * checks while the fixed-offset field readers below returned plausible
+    * garbage. Such files FAIL the gate — correct for a filter (they fall
+    * through to the codec path) where mis-parsing would be silent poison. */
   def isWav(bin: Column): Column =
     hex(substring(bin, 1, 4)) === "52494646" && // 'RIFF'
       hex(substring(bin, 9, 4)) === "57415645" && // 'WAVE'
-      hex(substring(bin, 13, 4)) === "666D7420" // 'fmt '
+      hex(substring(bin, 13, 4)) === "666D7420" && // 'fmt '
+      hex(substring(bin, 37, 4)) === "64617461" // 'data' at the PCM-44 offset
 
   private def leUInt(bin: Column, offset: Int, nBytes: Int): Column =
     (0 until nBytes).map { i =>

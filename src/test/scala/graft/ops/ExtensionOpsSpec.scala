@@ -279,10 +279,26 @@ class ExtensionOpsSpec extends AnyFunSuite {
         .put("data".getBytes("US-ASCII")).putInt(dataBytes)
       bb.array()
     }
+    /** Valid WAV with an 18-byte EXTENDED fmt chunk: 'data' sits at offset
+      * 39, not the canonical 37 — the fixed-offset readers would return
+      * garbage, so the gate must reject it. */
+    def wavExtFmt(channels: Int, rate: Int, bits: Int, dataBytes: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(46 + dataBytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")).putInt(38 + dataBytes)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(18)
+        .putShort(1).putShort(channels.toShort).putInt(rate)
+        .putInt(rate * channels * bits / 8).putShort((channels * bits / 8).toShort)
+        .putShort(bits.toShort).putShort(0) // cbSize = 0 extension
+        .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+      bb.array()
+    }
     val df = Seq(
       (1L, wav(1, 16000, 16, 32000)),  // 1 s mono 16 kHz
       (2L, wav(2, 44100, 16, 176400)), // 1 s stereo CD rate
-      (3L, "RIFFbut not actually wave data......".getBytes("US-ASCII"))
+      (3L, "RIFFbut not actually wave data......".getBytes("US-ASCII")),
+      (4L, wavExtFmt(1, 16000, 16, 100)) // magics pass; 'data' off-canon
     ).toDF("id", "payload")
     val parsed = df.select(col("id"),
         Multimodal.isWav(col("payload")).as("ok"),
@@ -298,6 +314,10 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(parsed(1L) == ((true, Some((1, 16000, 16, 1000L)))))
     assert(parsed(2L) == ((true, Some((2, 44100, 16, 1000L)))))
     assert(!parsed(3L)._1) // truncated payload: fields are NULL, gate is false
+    // non-canonical layout must FAIL the gate rather than mis-parse: with
+    // the extended fmt chunk the old magic-only gate passed this file while
+    // the offset-41 "data size" read landed inside the data tag itself
+    assert(!parsed(4L)._1)
   }
 
   test("aspect-fit resize targets and frame-sample indices are exact") {
