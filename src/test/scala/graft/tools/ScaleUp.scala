@@ -23,7 +23,9 @@ import org.apache.spark.sql.functions._
   *    are ~orthogonal to their permutations);
   *  - region/nation are fixed dimensions and copy verbatim.
   *
-  * Usage: Test/runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor>
+  * Usage: Test/runMain graft.tools.ScaleUp <srcDir> <dstDir> <factor> [tables]
+  * `tables` is an optional comma-list (e.g. "documents") for workouts that
+  * only need one table — the full-catalog default writes everything.
   */
 object ScaleUp {
 
@@ -59,8 +61,11 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val want: String => Boolean =
+      if (args.length > 3) args(3).split(",").toSet else _ => true
+
     def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
-    def write(t: String, df: DataFrame): Unit = {
+    def write(t: String, df: DataFrame): Unit = if (want(t)) {
       df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
       println(s"SCALEUP $t -> ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }
@@ -69,7 +74,7 @@ object ScaleUp {
     Seq("region", "nation").foreach(t => write(t, read(t)))
 
     /** Replicate with a per-replica transform; stride = source cardinality. */
-    def scaled(t: String)(tx: (DataFrame, Int, Long) => DataFrame): Unit = {
+    def scaled(t: String)(tx: (DataFrame, Int, Long) => DataFrame): Unit = if (want(t)) {
       val base = read(t)
       val n = base.count()
       write(t, (0 until factor).map(i => tx(base, i, n)).reduce(_ unionAll _))
