@@ -106,6 +106,23 @@ object ChunkedRewrite {
   def readBack(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/chunk_*")
 
+  /** Audit-and-release: run `audit` (expected to aggregate down to a tiny
+    * relation) over the committed rewrite, PIN the result on the driver,
+    * and delete the rewrite directory. The catalog's chunked-DML entries
+    * rewrite a full table copy into a per-run temp directory purely to
+    * demonstrate the loop; without this, every invocation (the bench runs
+    * each entry at every scale point) leaks a corpus-sized directory in
+    * /tmp. Callers that keep the rewritten table use [[readBackCommitted]]
+    * directly and own the directory's lifetime. */
+  def auditAndClean(spark: SparkSession, outDir: String)(
+      audit: DataFrame => DataFrame): DataFrame = {
+    val a = audit(readBackCommitted(spark, outDir))
+    val rows = java.util.Arrays.asList(a.collect(): _*)
+    val root = new org.apache.hadoop.fs.Path(outDir)
+    root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
+    spark.createDataFrame(rows, a.schema)
+  }
+
   /** Read back ONLY chunks whose commit marker exists — the object-store-
     * safe reader: a chunk dir abandoned halfway through a non-atomic
     * copy+delete "rename" has no marker (it is written last) and is

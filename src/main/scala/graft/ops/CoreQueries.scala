@@ -291,12 +291,21 @@ object CoreQueries {
       """INSERT INTO graft_dml_sink
         |SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
         |FROM graft_orders_src WHERE o_orderkey BETWEEN {start} AND {end}""".stripMargin)
-    s.table("graft_dml_sink")
+    val audit = s.table("graft_dml_sink")
       .groupBy(col("o_orderstatus"))
       .agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("o_orderkey")).as("n_keys"),
         sum(col("o_totalprice").cast(DecimalType(18, 2))).cast(DoubleType).as("total"))
+    // Pin the tiny audit, then release the demo sink (DROP on an external-
+    // LOCATION table leaves the files — delete the directory too). An
+    // env-provided sink belongs to the caller and is left alone.
+    val pinned = java.util.Arrays.asList(audit.collect(): _*)
+    if (!sys.env.contains("GRAFT_DML_SINK_DIR")) {
+      s.sql("DROP TABLE IF EXISTS graft_dml_sink")
+      fs.delete(p, true)
+    }
+    s.createDataFrame(pinned, audit.schema)
   }
 
   /** Chunked UPDATE-with-JOIN driven through the ADAPTIVE chunk loop — the
@@ -331,12 +340,12 @@ object CoreQueries {
             .otherwise(col("o_totalprice")))
         .drop("c_custkey")
     }
-    graft.chunker.ChunkedRewrite.readBackCommitted(s, outDir)
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("o_orderkey")).as("n_keys"),
-        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+    graft.chunker.ChunkedRewrite.auditAndClean(s, outDir)(
+      _.groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total")))
   }
 
   /** Chunked DELETE through the adaptive loop (`examples/basic.pl:27` is a
@@ -351,12 +360,12 @@ object CoreQueries {
     graft.chunker.ChunkedRewrite.rewrite(li, "l_orderkey", cfg, outDir, countProbe = false) { chunk =>
       chunk.filter(!(col("l_shipdate") < lit("1994-06-01").cast(TimestampType)))
     }
-    graft.chunker.ChunkedRewrite.readBackCommitted(s, outDir)
-      .groupBy(col("l_returnflag"))
-      .agg(
-        count(lit(1)).as("n_remaining"),
-        countDistinct(concat_ws("#", col("l_orderkey"), col("l_linenumber"))).as("n_keys"),
-        sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty_remaining"))
+    graft.chunker.ChunkedRewrite.auditAndClean(s, outDir)(
+      _.groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_remaining"),
+          countDistinct(concat_ws("#", col("l_orderkey"), col("l_linenumber"))).as("n_keys"),
+          sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty_remaining")))
   }
 
   /** Chunked MERGE (upsert) — the missing third DML shape: a delta table of
@@ -393,12 +402,12 @@ object CoreQueries {
         .drop("u_key", "u_price")
         .unionByName(inserts.filter(col("o_orderkey").between(lo, hi)))
     }
-    graft.chunker.ChunkedRewrite.readBackCommitted(s, outDir)
-      .groupBy(col("o_orderstatus"))
-      .agg(
-        count(lit(1)).as("n_rows"),
-        countDistinct(col("o_orderkey")).as("n_keys"),
-        sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
+    graft.chunker.ChunkedRewrite.auditAndClean(s, outDir)(
+      _.groupBy(col("o_orderstatus"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          countDistinct(col("o_orderkey")).as("n_keys"),
+          sum(col("o_totalprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total")))
   }
 
   /** Chunked DML against a LIVE JDBC database with REAL per-chunk
@@ -419,7 +428,6 @@ object CoreQueries {
     val db = "graft_dml_" + java.util.UUID.randomUUID.toString.replace("-", "")
     val url = s"jdbc:derby:memory:$db;create=true"
     val props = new java.util.Properties
-    val snapDir = java.nio.file.Files.createTempDirectory("graft_dml_jdbc").toString
     try {
       part(s, d)
         .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
@@ -445,16 +453,17 @@ object CoreQueries {
         """UPDATE part_live SET "p_retailprice" = "p_retailprice" * 1.05 """ +
           """WHERE "p_size" > 25 AND "p_partkey" BETWEEN {start} AND {end}""",
         "p_partkey", "part_live", cfg, props)
-      // Audit = chunk-partitioned JDBC read of the mutated table, snapshotted
-      // to parquet so the result outlives the dropped database.
-      graft.sources.JdbcBatch.readChunked(s, url, "part_live", "p_partkey", chunkCfg(4096), props)
+      // Audit = chunk-partitioned JDBC read of the mutated table, pinned on
+      // the driver (brand-cardinality rows) so the result outlives the
+      // dropped database without a snapshot directory to leak.
+      val audit = graft.sources.JdbcBatch
+        .readChunked(s, url, "part_live", "p_partkey", chunkCfg(4096), props)
         .groupBy(col("p_brand"))
         .agg(
           count(lit(1)).as("n_rows"),
           countDistinct(col("p_partkey")).as("n_keys"),
           sum(col("p_retailprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
-        .write.mode("overwrite").parquet(snapDir)
-      s.read.parquet(snapDir)
+      s.createDataFrame(java.util.Arrays.asList(audit.collect(): _*), audit.schema)
     } finally {
       // Derby in-memory drop signals success via SQLState 08006
       try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
@@ -510,12 +519,19 @@ object CoreQueries {
           .write.mode("append").parquet(liveDir)
       }
     }
-    s.read.parquet(s"$outDir/chunk_*")
+    val audit = s.read.parquet(s"$outDir/chunk_*")
       .groupBy(col("s_nationkey"))
       .agg(
         count(lit(1)).as("n_rows"),
         countDistinct(col("s_suppkey")).as("n_keys"),
         sum(col("s_acctbal").cast(DecimalType(18, 4))).cast(DoubleType).as("total_bal"))
+    val pinned = java.util.Arrays.asList(audit.collect(): _*)
+    val hconf = s.sparkContext.hadoopConfiguration
+    Seq(liveDir, outDir).foreach { dir =>
+      val path = new org.apache.hadoop.fs.Path(dir)
+      path.getFileSystem(hconf).delete(path, true)
+    }
+    s.createDataFrame(pinned, audit.schema)
   }
 
   /** Parallel chunk fan-out (the Spark-only dispatch mode the reference's
@@ -543,12 +559,16 @@ object CoreQueries {
     }
     require(planned.nonEmpty,
       s"parallel chunk plan was empty for range ${bc.minId}..${bc.maxId}")
-    s.read.parquet(planned.map(c => s"$outDir/chunk_${c.start}_${c.end}"): _*)
+    val audit = s.read.parquet(planned.map(c => s"$outDir/chunk_${c.start}_${c.end}"): _*)
       .groupBy(col("l_linenumber"))
       .agg(
         count(lit(1)).as("n_rows"),
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"),
         sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("price"))
+    val pinned = java.util.Arrays.asList(audit.collect(): _*)
+    val exportRoot = new org.apache.hadoop.fs.Path(outDir)
+    exportRoot.getFileSystem(s.sparkContext.hadoopConfiguration).delete(exportRoot, true)
+    s.createDataFrame(pinned, audit.schema)
   }
 
   /** Statistical aggregates with deterministic cross-engine arithmetic:

@@ -468,19 +468,12 @@ object Dedup {
     ChunkedRewrite.rewriteWithRange(documents(s, d), "doc_id", cfg, outDir,
       countProbe = false)(dedupChunkTransform(drop))
     drop.unpersist(blocking = false)
-    val audit = ChunkedRewrite.readBackCommitted(s, outDir)
-      .groupBy(col("lang"))
-      .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("doc_id")).as("n_keys"),
-        sum(col("n_chars")).as("total_chars"))
-    // The audit is lang-cardinality rows (tiny, control-plane): pin it on
-    // the driver so the temp rewrite directory — a full corpus copy per
-    // invocation — can be deleted NOW instead of accumulating in /tmp.
-    val pinned = java.util.Arrays.asList(audit.collect(): _*)
-    val root = new org.apache.hadoop.fs.Path(outDir)
-    root.getFileSystem(s.sparkContext.hadoopConfiguration).delete(root, true)
-    s.createDataFrame(pinned, audit.schema)
+    ChunkedRewrite.auditAndClean(s, outDir)(
+      _.groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          countDistinct(col("doc_id")).as("n_keys"),
+          sum(col("n_chars")).as("total_chars")))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
