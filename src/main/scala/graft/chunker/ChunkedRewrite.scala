@@ -106,22 +106,39 @@ object ChunkedRewrite {
   def readBack(spark: SparkSession, outDir: String): DataFrame =
     spark.read.parquet(s"$outDir/chunk_*")
 
+  /** Materialize a TINY (control-plane-sized) frame as a driver-local one,
+    * severing every dependency on the distributed inputs that produced it —
+    * the step that lets a caller release those inputs (temp directory, demo
+    * table, in-memory database) before returning a still-usable result. */
+  def pinLocal(df: DataFrame): DataFrame =
+    df.sparkSession.createDataFrame(
+      java.util.Arrays.asList(df.collect(): _*), df.schema)
+
+  /** Best-effort recursive delete; a cleanup failure must never mask the
+    * caller's result or exception, but it must not be silent either. */
+  def deleteQuietly(spark: SparkSession, dir: String): Unit =
+    try {
+      val p = new org.apache.hadoop.fs.Path(dir)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(p) && !fs.delete(p, true))
+        System.err.println(s"[graft] cleanup failed to delete $dir")
+    } catch {
+      case e: Throwable => System.err.println(s"[graft] cleanup of $dir threw: $e")
+    }
+
   /** Audit-and-release: run `audit` (expected to aggregate down to a tiny
     * relation) over the committed rewrite, PIN the result on the driver,
-    * and delete the rewrite directory. The catalog's chunked-DML entries
-    * rewrite a full table copy into a per-run temp directory purely to
+    * and delete the rewrite directory — also on failure, so an aborted
+    * audit cannot leak the corpus-sized copy. The catalog's chunked-DML
+    * entries rewrite a full table into a per-run temp directory purely to
     * demonstrate the loop; without this, every invocation (the bench runs
-    * each entry at every scale point) leaks a corpus-sized directory in
-    * /tmp. Callers that keep the rewritten table use [[readBackCommitted]]
+    * each entry at every scale point) leaks that directory in /tmp.
+    * Callers that keep the rewritten table use [[readBackCommitted]]
     * directly and own the directory's lifetime. */
   def auditAndClean(spark: SparkSession, outDir: String)(
-      audit: DataFrame => DataFrame): DataFrame = {
-    val a = audit(readBackCommitted(spark, outDir))
-    val rows = java.util.Arrays.asList(a.collect(): _*)
-    val root = new org.apache.hadoop.fs.Path(outDir)
-    root.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(root, true)
-    spark.createDataFrame(rows, a.schema)
-  }
+      audit: DataFrame => DataFrame): DataFrame =
+    try pinLocal(audit(readBackCommitted(spark, outDir)))
+    finally deleteQuietly(spark, outDir)
 
   /** Read back ONLY chunks whose commit marker exists — the object-store-
     * safe reader: a chunk dir abandoned halfway through a non-atomic

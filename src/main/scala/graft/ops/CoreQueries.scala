@@ -300,12 +300,12 @@ object CoreQueries {
     // Pin the tiny audit, then release the demo sink (DROP on an external-
     // LOCATION table leaves the files — delete the directory too). An
     // env-provided sink belongs to the caller and is left alone.
-    val pinned = java.util.Arrays.asList(audit.collect(): _*)
+    val pinned = graft.chunker.ChunkedRewrite.pinLocal(audit)
     if (!sys.env.contains("GRAFT_DML_SINK_DIR")) {
       s.sql("DROP TABLE IF EXISTS graft_dml_sink")
-      fs.delete(p, true)
+      graft.chunker.ChunkedRewrite.deleteQuietly(s, loc)
     }
-    s.createDataFrame(pinned, audit.schema)
+    pinned
   }
 
   /** Chunked UPDATE-with-JOIN driven through the ADAPTIVE chunk loop — the
@@ -456,14 +456,14 @@ object CoreQueries {
       // Audit = chunk-partitioned JDBC read of the mutated table, pinned on
       // the driver (brand-cardinality rows) so the result outlives the
       // dropped database without a snapshot directory to leak.
-      val audit = graft.sources.JdbcBatch
-        .readChunked(s, url, "part_live", "p_partkey", chunkCfg(4096), props)
-        .groupBy(col("p_brand"))
-        .agg(
-          count(lit(1)).as("n_rows"),
-          countDistinct(col("p_partkey")).as("n_keys"),
-          sum(col("p_retailprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total"))
-      s.createDataFrame(java.util.Arrays.asList(audit.collect(): _*), audit.schema)
+      graft.chunker.ChunkedRewrite.pinLocal(
+        graft.sources.JdbcBatch
+          .readChunked(s, url, "part_live", "p_partkey", chunkCfg(4096), props)
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("p_partkey")).as("n_keys"),
+            sum(col("p_retailprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total")))
     } finally {
       // Derby in-memory drop signals success via SQLState 08006
       try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
@@ -525,13 +525,9 @@ object CoreQueries {
         count(lit(1)).as("n_rows"),
         countDistinct(col("s_suppkey")).as("n_keys"),
         sum(col("s_acctbal").cast(DecimalType(18, 4))).cast(DoubleType).as("total_bal"))
-    val pinned = java.util.Arrays.asList(audit.collect(): _*)
-    val hconf = s.sparkContext.hadoopConfiguration
-    Seq(liveDir, outDir).foreach { dir =>
-      val path = new org.apache.hadoop.fs.Path(dir)
-      path.getFileSystem(hconf).delete(path, true)
-    }
-    s.createDataFrame(pinned, audit.schema)
+    val pinned = graft.chunker.ChunkedRewrite.pinLocal(audit)
+    Seq(liveDir, outDir).foreach(graft.chunker.ChunkedRewrite.deleteQuietly(s, _))
+    pinned
   }
 
   /** Parallel chunk fan-out (the Spark-only dispatch mode the reference's
@@ -565,10 +561,9 @@ object CoreQueries {
         count(lit(1)).as("n_rows"),
         sum(col("l_quantity").cast(DecimalType(18, 2))).cast(DoubleType).as("qty"),
         sum(col("l_extendedprice").cast(DecimalType(18, 2))).cast(DoubleType).as("price"))
-    val pinned = java.util.Arrays.asList(audit.collect(): _*)
-    val exportRoot = new org.apache.hadoop.fs.Path(outDir)
-    exportRoot.getFileSystem(s.sparkContext.hadoopConfiguration).delete(exportRoot, true)
-    s.createDataFrame(pinned, audit.schema)
+    val pinned = graft.chunker.ChunkedRewrite.pinLocal(audit)
+    graft.chunker.ChunkedRewrite.deleteQuietly(s, outDir)
+    pinned
   }
 
   /** Statistical aggregates with deterministic cross-engine arithmetic:

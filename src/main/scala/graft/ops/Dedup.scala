@@ -426,16 +426,6 @@ object Dedup {
         sum(col("is_cand") * col("is_exact")).as("n_both"))
   }
 
-  /** The production composition this library exists for: MATERIALIZE the
-    * near-dup dedup decision over a live table with the reference's chunked
-    * copy-on-write loop — per-chunk runtime-targeted BETWEEN slices, marker-
-    * gated commits, idempotent retries — instead of one giant rewrite that
-    * would hold the table hostage at 100 TB. The drop list (non-canonical
-    * cluster members) comes straight from the CC label relation (id !=
-    * label — no corpus rejoin), stays dup-rate-sized, and broadcast-anti-
-    * joins against each chunk. The audit aggregates the committed rewrite;
-    * the oracle replays CC + the anti-join relationally, proving the
-    * chunked materialization dropped EXACTLY the non-canonical docs. */
   /** The per-chunk drop step of [[dmlChunkedDedup]]. The drop list is keyed
     * by the CHUNK key, so each chunk only needs the slice inside its own
     * BETWEEN range — at 100 TB the full list is billions of rows
@@ -450,6 +440,17 @@ object Dedup {
     chunkDf.join(broadcast(inRange), Seq("doc_id"), "left_anti")
   }
 
+  /** The production composition this library exists for: MATERIALIZE the
+    * near-dup dedup decision over a live table with the reference's chunked
+    * copy-on-write loop — per-chunk runtime-targeted BETWEEN slices, marker-
+    * gated commits, idempotent retries — instead of one giant rewrite that
+    * would hold the table hostage at 100 TB. The drop list (non-canonical
+    * cluster members) comes straight from the CC label relation (id !=
+    * label — no corpus rejoin) and stays dup-rate-sized; each chunk
+    * broadcast-anti-joins its own range slice of it
+    * ([[dedupChunkTransform]]). The audit aggregates the committed rewrite;
+    * the oracle replays CC + the anti-join relationally, proving the
+    * chunked materialization dropped EXACTLY the non-canonical docs. */
   def dmlChunkedDedup(s: SparkSession, d: String): DataFrame = {
     import graft.chunker.{ChunkedRewrite, ChunkerConfig}
     val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_dedup").toString

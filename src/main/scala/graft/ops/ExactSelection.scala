@@ -20,12 +20,16 @@ import org.apache.spark.sql.functions._
   *     identity), which silently corrupts cross-job rank offsets;
   *  2. take an exact per-(group, bucket) histogram and locate the buckets
   *     containing the requested per-group ranks plus their exclusive
-  *     prefix offsets — ALL distributed: the prefix/total sums are windows
+  *     prefix offsets — distributed: the prefix/total sums are windows
   *     over the (group x bucket) histogram relation (<= groups x nBuckets
   *     rows, each group's <= nBuckets rows in one window partition), and
   *     the rank test is an `exists` over the caller's rank-array column.
-  *     Nothing is collected, so a high-cardinality group column costs a
-  *     shuffle of histogram rows, never driver memory;
+  *     The driver holds only the BROADCAST needed-set (>= 1 and <=
+  *     |wanted| matching buckets per non-empty group — ~256x smaller than
+  *     the full histogram the previous formulation collected), so group
+  *     cardinality is still bounded by what a broadcast can carry
+  *     (~tens of millions of groups); past that, swap the broadcast hint
+  *     for a shuffled join and the operator degrades gracefully;
   *  3. rank ONLY those buckets: an inner broadcast join prunes everything
   *     else before the sort, so the selection pass sorts ~n/nBuckets rows
   *     per group regardless of total size, and global rank = local rank +

@@ -113,6 +113,20 @@ object JdbcBatch {
     * @param inTxn    extra statements inside each chunk's transaction,
     *                 e.g. an audit-table insert that must commit or roll
     *                 back atomically WITH the chunk
+    * @param commitLog optional journal table making retries idempotent
+    *                 under LOST COMMIT ACKS: with plain retry, a
+    *                 connection that dies after the server applies COMMIT
+    *                 but before the ack arrives is indistinguishable from
+    *                 one that died before it, and re-running the chunk
+    *                 would double-apply a non-idempotent template (the
+    *                 reference's retry stack has the same hole — it can
+    *                 only restart the statement). With a table name set,
+    *                 each chunk INSERTs its (start, end) into the journal
+    *                 INSIDE its transaction and the loop skips any chunk
+    *                 whose journal row is already committed — one indexed
+    *                 point-SELECT per chunk (same cost class as the count
+    *                 probe), which also makes CROSS-PROCESS restarts
+    *                 exactly-once. The table is created if missing.
     */
   def executeChunkedDml(
       url: String,
@@ -122,7 +136,8 @@ object JdbcBatch {
       cfg: ChunkerConfig,
       props: Properties = new Properties,
       enableCountProbe: Boolean = false,
-      inTxn: (Chunk, java.sql.Connection) => Unit = (_, _) => ()
+      inTxn: (Chunk, java.sql.Connection) => Unit = (_, _) => (),
+      commitLog: Option[String] = None
   ): ExecutionReport = {
     val probeConn = DriverManager.getConnection(url, props)
     var dmlConn = DriverManager.getConnection(url, props)
@@ -145,6 +160,33 @@ object JdbcBatch {
     }
     try {
       dmlConn.setAutoCommit(false)
+      // Journal table for ack-lost idempotence (see @param commitLog).
+      // Derby has no CREATE TABLE IF NOT EXISTS; SQLState X0Y32 = exists.
+      commitLog.foreach { tbl =>
+        try {
+          val st = probeConn.createStatement()
+          try st.executeUpdate(
+            s"""CREATE TABLE $tbl ("chunk_start" BIGINT NOT NULL,
+               | "chunk_end" BIGINT NOT NULL,
+               | PRIMARY KEY ("chunk_start", "chunk_end"))""".stripMargin)
+          finally st.close()
+        } catch {
+          case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
+        }
+      }
+      /** Is this chunk's journal row already COMMITTED? (probeConn is a
+        * separate autocommit connection, so it sees only committed work —
+        * a row from a lost-ack commit is visible, an uncommitted one from
+        * a live transaction is not.) */
+      def alreadyCommitted(chunk: Chunk): Boolean = commitLog.exists { tbl =>
+        val st = probeConn.createStatement()
+        try {
+          val rs = st.executeQuery(
+            s"""SELECT COUNT(*) FROM $tbl WHERE "chunk_start" = ${chunk.start}""" +
+              s""" AND "chunk_end" = ${chunk.end}""")
+          rs.next(); rs.getLong(1) > 0
+        } finally st.close()
+      }
       val source = new RangeSource {
         private def agg(fn: String): Option[BigInt] = {
           val rs = probeConn.createStatement().executeQuery(
@@ -179,12 +221,22 @@ object JdbcBatch {
           dmlConn.setAutoCommit(false)
           reconnectPending = false
         }
-        try {
+        if (alreadyCommitted(chunk)) () // lost-ack commit or prior process
+        else try {
           val sql = template
             .replace("{start}", chunk.start.toString)
             .replace("{end}", chunk.end.toString)
           val st = dmlConn.createStatement()
           try st.executeUpdate(sql) finally st.close()
+          // Journal row BEFORE inTxn and commit — same transaction, so it
+          // becomes visible to other connections atomically WITH the
+          // chunk's work, and a rollback erases both together.
+          commitLog.foreach { tbl =>
+            val st2 = dmlConn.createStatement()
+            try st2.executeUpdate(
+              s"INSERT INTO $tbl VALUES (${chunk.start}, ${chunk.end})")
+            finally st2.close()
+          }
           inTxn(chunk, dmlConn)
           dmlConn.commit()
         } catch {

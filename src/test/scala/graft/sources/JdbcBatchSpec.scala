@@ -167,6 +167,43 @@ class JdbcBatchSpec extends AnyFunSuite {
     assert(back.filter(col("done") =!= 1).count() === 0)
   }
 
+  test("executeChunkedDml: commit log makes a LOST COMMIT ACK idempotent (plain retry double-applies)") {
+    seeded
+    // Scenario: the connection dies after the server applies COMMIT but
+    // before the ack reaches the client — indistinguishable, client-side,
+    // from dying before the commit. Simulated by committing manually in
+    // inTxn and then closing the handle, so the loop's own commit() fails
+    // connection-class while the chunk's work is already durable.
+    def lostAck(table: String, log: Option[String]) = {
+      val src = (1L to 100L).map(i => (i, 0L)).toDF("id", "done")
+      src.write.mode("overwrite").jdbc(url, table, new java.util.Properties)
+      val attempts = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+      JdbcBatch.executeChunkedDml(url,
+        s"""UPDATE $table SET "done" = "done" + 1 WHERE "id" BETWEEN {start} AND {end}""",
+        "id", table, cfg(25).copy(retryAttempts = 3),
+        inTxn = { (chunk, conn) =>
+          val st = chunk.start.toLong
+          attempts(st) += 1
+          if (st == 51L && attempts(st) == 1) { conn.commit(); conn.close() }
+        },
+        commitLog = log)
+      (attempts, spark.read.jdbc(url, table, new java.util.Properties))
+    }
+    // Negative control — plain retry re-runs the already-committed chunk:
+    // the non-idempotent increment lands TWICE on the poisoned range.
+    val (attemptsPlain, backPlain) = lostAck("txn_ack_plain", None)
+    assert(attemptsPlain(51L) == 2)
+    assert(backPlain.filter(col("done") === 2).count() == 25) // ids 51-75 double-applied
+    // With the journal: the retry sees the committed journal row and skips
+    // the chunk whole — exactly-once even though the ack was lost.
+    val (attemptsLog, backLog) = lostAck("txn_ack_log_t", Some("txn_ack_journal"))
+    assert(attemptsLog(51L) == 1) // the chunk body never re-ran
+    assert(backLog.filter(col("done") === 1).count() == 100)
+    assert(backLog.filter(col("done") =!= 1).count() == 0)
+    val j = spark.read.jdbc(url, "txn_ack_journal", new java.util.Properties)
+    assert(j.count() == 4) // one journal row per chunk
+  }
+
   test("executeChunkedDml: crash-resume re-enters after the last committed transaction") {
     seeded
     val stateDir = java.nio.file.Files.createTempDirectory("jdbc-resume").toString

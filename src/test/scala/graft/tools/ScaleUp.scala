@@ -70,8 +70,9 @@ object ScaleUp {
       println(s"SCALEUP $t -> ${spark.read.parquet(s"$dst/$t.parquet").count()} rows")
     }
 
-    // fixed dimensions: verbatim
-    Seq("region", "nation").foreach(t => write(t, read(t)))
+    // fixed dimensions: verbatim (guard BEFORE read: a table-filtered src
+    // dir may not contain the unwanted tables at all)
+    Seq("region", "nation").filter(want).foreach(t => write(t, read(t)))
 
     /** Replicate with a per-replica transform; stride = source cardinality. */
     def scaled(t: String)(tx: (DataFrame, Int, Long) => DataFrame): Unit = if (want(t)) {
@@ -84,14 +85,16 @@ object ScaleUp {
     scaled("supplier")((df, i, n) => df.withColumn("s_suppkey", col("s_suppkey") + lit(i * n)))
     scaled("part")((df, i, n) => df.withColumn("p_partkey", col("p_partkey") + lit(i * n)))
 
-    val nCust = read("customer").count()
+    // lazy: key-stride counts are only paid (and their source tables only
+    // required to exist) when the dependent table is actually being scaled
+    lazy val nCust = read("customer").count()
     scaled("orders")((df, i, n) => df
       .withColumn("o_orderkey", col("o_orderkey") + lit(i * n))
       .withColumn("o_custkey", col("o_custkey") + lit(i * nCust)))
 
-    val nOrd = read("orders").count()
-    val nPart = read("part").count()
-    val nSupp = read("supplier").count()
+    lazy val nOrd = read("orders").count()
+    lazy val nPart = read("part").count()
+    lazy val nSupp = read("supplier").count()
     scaled("lineitem")((df, i, _) => df
       .withColumn("l_orderkey", col("l_orderkey") + lit(i * nOrd))
       .withColumn("l_partkey", col("l_partkey") + lit(i * nPart))
@@ -106,7 +109,7 @@ object ScaleUp {
       .withColumn("doc_id", col("doc_id") + lit(i * n))
       .withColumn("text", caesar(col("text"), i)))
 
-    val dim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
+    lazy val dim = read("embeddings").select(size(col("embedding"))).head().getInt(0)
     scaled("embeddings")((df, i, n) => df
       .withColumn("vec_id", col("vec_id") + lit(i * n))
       .withColumn("embedding", rotateDims(col("embedding"), (7 * i) % dim, dim)))
