@@ -449,10 +449,15 @@ object CoreQueries {
       }
       val cfg = ChunkerConfig(chunkSize = BigInt(1024), targetTime = 0.3, sleep = 0,
         minChunkPercent = 0, retryAttempts = 3, log = quiet)
+      // commitLog on: the template is non-idempotent in effect (a re-run
+      // after a lost commit ack would double-apply the 5% bump), so the
+      // demo runs the journaled exactly-once path it would need in
+      // production — one indexed point-SELECT per chunk of overhead.
       graft.sources.JdbcBatch.executeChunkedDml(url,
         """UPDATE part_live SET "p_retailprice" = "p_retailprice" * 1.05 """ +
           """WHERE "p_size" > 25 AND "p_partkey" BETWEEN {start} AND {end}""",
-        "p_partkey", "part_live", cfg, props)
+        "p_partkey", "part_live", cfg, props,
+        commitLog = Some("part_live_chunklog"))
       // Audit = chunk-partitioned JDBC read of the mutated table, pinned on
       // the driver (brand-cardinality rows) so the result outlives the
       // dropped database without a snapshot directory to leak.
