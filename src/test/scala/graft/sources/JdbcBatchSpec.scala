@@ -204,6 +204,40 @@ class JdbcBatchSpec extends AnyFunSuite {
     assert(j.count() == 4) // one journal row per chunk
   }
 
+  test("executeChunkedDml: journaled exactly-once holds for EVERY chunk x both death modes") {
+    seeded
+    // Exhaustive over the failure space the journal must cover: the
+    // connection dies at chunk k either BEFORE its commit (work must be
+    // re-run once) or AFTER the server committed but before the ack
+    // (work must NOT re-run) — for every chunk of a 4-chunk run.
+    for (poisonStart <- Seq(1L, 26L, 51L, 76L); afterCommit <- Seq(false, true)) {
+      val table = s"txn_x_${poisonStart}_$afterCommit".replace("true", "t").replace("false", "f")
+      val src = (1L to 100L).map(i => (i, 0L)).toDF("id", "done")
+      src.write.mode("overwrite").jdbc(url, table, new java.util.Properties)
+      val attempts = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
+      JdbcBatch.executeChunkedDml(url,
+        s"""UPDATE $table SET "done" = "done" + 1 WHERE "id" BETWEEN {start} AND {end}""",
+        "id", table, cfg(25).copy(retryAttempts = 3),
+        inTxn = { (chunk, conn) =>
+          val st = chunk.start.toLong
+          attempts(st) += 1
+          if (st == poisonStart && attempts(st) == 1) {
+            if (afterCommit) conn.commit()
+            else conn.rollback()
+            conn.close()
+          }
+        },
+        commitLog = Some(s"${table}_j"))
+      val label = s"chunk $poisonStart afterCommit=$afterCommit"
+      // ack-lost: journal row visible, retry skips the body entirely;
+      // death-before-commit: nothing durable, retry re-runs the body once
+      assert(attempts(poisonStart) == (if (afterCommit) 1 else 2), label)
+      val back = spark.read.jdbc(url, table, new java.util.Properties)
+      assert(back.filter(col("done") === 1).count() == 100, label)
+      assert(back.filter(col("done") =!= 1).count() == 0, label)
+    }
+  }
+
   test("executeChunkedDml: crash-resume re-enters after the last committed transaction") {
     seeded
     val stateDir = java.nio.file.Files.createTempDirectory("jdbc-resume").toString
