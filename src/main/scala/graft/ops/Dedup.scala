@@ -290,7 +290,17 @@ object Dedup {
       prs.unpersist(blocking = false)
       return labeled.toDF("id", "label")
     }
-    val p = math.max(1, math.min(10000, (nPairs / 2000000L).toInt))
+    // Partition count: at least one partition per ~2M pairs (bounds
+    // per-partition memory at any graph size), but ALSO use the cluster's
+    // width when the graph is only modestly over the fast-path threshold —
+    // the pure volume formula gave a 10M-pair graph 4 partitions, leaving
+    // a 32-core box near-serial for 13 rounds (measured: the workout's
+    // loop time is dominated by it). A 50k-pair floor per partition stops
+    // tiny graphs from drowning in per-task overhead; 10000 caps scheduler
+    // pressure on the biggest graphs.
+    val width = spark.sparkContext.defaultParallelism.toLong
+    val p = math.max(1L, math.min(10000L,
+      math.max(nPairs / 2000000L, math.min(width, nPairs / 50000L)))).toInt
     val part = new org.apache.spark.HashPartitioner(p)
     // Both orientations, partitioned ONCE by endpoint — never again.
     val edges = prs.flatMap { case (a, b) => Iterator((a, b), (b, a)) }
