@@ -252,7 +252,9 @@ final class BatchChunker(
             attempt += 1
             try { f(c, chunkDf(c)); done = true }
             catch {
-              case e: Throwable if attempt < cfg.retryAttempts =>
+              // Same retry classification as the sequential engine: only
+              // cfg.retryOn failures (default NonFatal) earn the budget.
+              case e: Throwable if attempt < cfg.retryAttempts && cfg.retryOn(e) =>
                 cfg.log(s"Chunk $c attempt $attempt/${cfg.retryAttempts} failed, retrying: ${e.getMessage}")
               case e: Throwable =>
                 failed.set(true)

@@ -215,7 +215,13 @@ final class ChunkEngine(
         if (markTimer) ls.markChunkTimer() // reset timer on each (re)try
         result = Some(f())
       } catch {
-        case e: Throwable if attempt < cfg.retryAttempts =>
+        // A failure only earns a retry when the budget allows AND the
+        // failure class is retryable (cfg.retryOn, default NonFatal) — the
+        // reference's retry_handler classification hook
+        // (lib/DBIx/BatchChunker.pm:236-288). Retrying an OutOfMemoryError
+        // or a cancellation burns the budget on a doomed run and masks the
+        // real failure.
+        case e: Throwable if attempt < cfg.retryAttempts && cfg.retryOn(e) =>
           cfg.log(s"Chunk attempt $attempt/${cfg.retryAttempts} failed, retrying: ${e.getMessage}")
       }
     }

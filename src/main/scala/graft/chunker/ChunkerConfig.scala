@@ -36,6 +36,17 @@ final case class Chunk(start: BigInt, end: BigInt) {
   * @param retryAttempts    per-chunk retry budget; the reference uses
   *                         BlockRunner with max_attempts 10 when retry opts are
   *                         given (lib/DBIx/BatchChunker.pm:277-280), else no retry
+  * @param retryOn          which failures are worth a retry — the analogue of
+  *                         the reference's `retry_handler` / `dbic_retry_opts`
+  *                         classification hook (lib/DBIx/BatchChunker.pm:236-288,
+  *                         where the DBIC path retries only storage-level
+  *                         exceptions by default). Default `NonFatal`: fatal
+  *                         JVM errors (OutOfMemoryError, LinkageError) and
+  *                         `InterruptedException` (a cancelled run) propagate
+  *                         on the FIRST failure instead of burning the budget
+  *                         on a doomed or cancelled chunk. Narrow it further
+  *                         (e.g. to SQLTransientException) when only specific
+  *                         failures are known-transient
   * @param verbose          per-chunk status lines (lib/DBIx/BatchChunker.pm:414-424)
   * @param log              sink for status/progress lines
   * @param stateDir         when set, the engine persists its resume point
@@ -57,7 +68,8 @@ final case class ChunkerConfig(
     verbose: Boolean = false,
     progressName: String = "Processing",
     log: String => Unit = s => System.err.println(s),
-    stateDir: Option[String] = None
+    stateDir: Option[String] = None,
+    retryOn: Throwable => Boolean = scala.util.control.NonFatal.apply
 ) {
   require(chunkSize >= 1, "chunkSize must be >= 1")
   require(targetTime >= 0, "targetTime must be >= 0")

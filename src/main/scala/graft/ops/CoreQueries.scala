@@ -506,8 +506,14 @@ object CoreQueries {
       override def minId(): Option[BigInt] = aggKey(min)
       override def maxId(): Option[BigInt] = aggKey(max)
     }
+    // ~4 chunks at ANY scale factor: the halfway append must land strictly
+    // before the final chunk's past-max re-check, or the loop (correctly,
+    // per the reference's semantics — the re-check runs when a PLANNED
+    // chunk reaches max, lib/DBIx/BatchChunker.pm:1394-1400) exits without
+    // ever seeing the growth. The old floor of 128/4 ids made the whole
+    // sf0.001 table a single chunk and silently broke that premise.
     val cfg = ChunkerConfig(
-      chunkSize = (origMax + 1).max(BigInt(128)) / 4, targetTime = 0, sleep = 0,
+      chunkSize = ((origMax + 1) / 4).max(BigInt(1)), targetTime = 0, sleep = 0,
       minChunkPercent = 0, processPastMax = true, log = quiet)
     val engine = new graft.chunker.ChunkEngine(cfg, Some(source))
     engine.calculateRanges()

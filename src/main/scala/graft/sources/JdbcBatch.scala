@@ -26,6 +26,43 @@ import graft.chunker._
   * read holds no locks — sequencing only matters for writes, where we keep
   * the reference's strict chunk-at-a-time order.
   */
+/** Self-healing autocommit connection for IDEMPOTENT probe reads (range
+  * discovery, count probes, journal point-SELECTs). The probe side serves
+  * every chunk of a run, so one dropped socket must not fail the whole run
+  * while the DML side happily reconnects (DBIx::Connector fixup semantics,
+  * reference lib/DBIx/BatchChunker.pm:104-112). Probes are reads, so unlike
+  * the DML path we can rebuild the handle and re-issue the SAME statement
+  * immediately instead of deferring to the engine's chunk-level retry. No
+  * per-call liveness ping (that would be a DB roundtrip per probe): only a
+  * connection-class FAILURE triggers the rebuild.
+  */
+private[graft] final class ProbeConnection(url: String, props: Properties) extends AutoCloseable {
+  private var conn = DriverManager.getConnection(url, props)
+
+  /** Current underlying handle — exposed so tests can fault-inject a drop. */
+  def current: java.sql.Connection = conn
+
+  private def dead(e: Throwable): Boolean = e match {
+    case _: java.sql.SQLNonTransientConnectionException => true
+    case _: java.sql.SQLRecoverableException => true
+    case _: java.sql.SQLTransientConnectionException => true
+    case _ =>
+      try conn.isClosed || !conn.isValid(5)
+      catch { case _: Throwable => true }
+  }
+
+  def apply[A](f: java.sql.Connection => A): A =
+    try f(conn)
+    catch {
+      case e: Throwable if dead(e) =>
+        try conn.close() catch { case _: Throwable => () }
+        conn = DriverManager.getConnection(url, props)
+        f(conn)
+    }
+
+  override def close(): Unit = conn.close()
+}
+
 object JdbcBatch {
 
   /** ANSI-quoted identifier — matches how Spark's JDBC dialects create
@@ -121,12 +158,34 @@ object JdbcBatch {
     *                 would double-apply a non-idempotent template (the
     *                 reference's retry stack has the same hole — it can
     *                 only restart the statement). With a table name set,
-    *                 each chunk INSERTs its (start, end) into the journal
-    *                 INSIDE its transaction and the loop skips any chunk
-    *                 whose journal row is already committed — one indexed
-    *                 point-SELECT per chunk (same cost class as the count
-    *                 probe), which also makes CROSS-PROCESS restarts
-    *                 exactly-once. The table is created if missing.
+    *                 each chunk INSERTs its (run_id, start, end) into the
+    *                 journal INSIDE its transaction and the loop skips any
+    *                 chunk whose journal row is already committed — one
+    *                 indexed point-SELECT per chunk (same cost class as the
+    *                 count probe). CROSS-PROCESS restarts are exactly-once
+    *                 too, including under adaptive runtime targeting: the
+    *                 exact-match probe only covers in-process retries (a
+    *                 retried chunk re-plans with identical bounds, a
+    *                 restarted PROCESS does not — chunkSize resets, so
+    *                 boundaries shift and an overlap would miss the probe),
+    *                 so on startup the loop additionally resumes from
+    *                 `max(stateDir resume point, MAX(chunk_end) in the
+    *                 journal) + 1`. Chunks in this sequential path are
+    *                 strictly increasing, and the journal row commits
+    *                 atomically WITH the chunk's work — unlike the state
+    *                 file, written after the ack — so MAX(chunk_end) is the
+    *                 true high-water mark even when the process dies between
+    *                 COMMIT and the state-file write. The table is created
+    *                 if missing.
+    * @param runId   logical-run scope for the journal. Journal rows are
+    *                 keyed by (run_id, chunk_start, chunk_end) and are never
+    *                 purged by the loop, so a SECOND legitimate run of the
+    *                 same template over the same keyspace (a periodic
+    *                 re-application) MUST use a fresh runId (or a fresh
+    *                 journal table) — otherwise the first run's rows make it
+    *                 a silent no-op. A crashed run resumes by re-using its
+    *                 runId. Cleanup is the caller's: DELETE FROM journal
+    *                 WHERE run_id = ... once a run is confirmed complete.
     */
   def executeChunkedDml(
       url: String,
@@ -137,10 +196,12 @@ object JdbcBatch {
       props: Properties = new Properties,
       enableCountProbe: Boolean = false,
       inTxn: (Chunk, java.sql.Connection) => Unit = (_, _) => (),
-      commitLog: Option[String] = None
+      commitLog: Option[String] = None,
+      runId: String = ""
   ): ExecutionReport = {
-    val probeConn = DriverManager.getConnection(url, props)
+    val probeConn = new ProbeConnection(url, props)
     var dmlConn = DriverManager.getConnection(url, props)
+    val runIdSql = "'" + runId.replace("'", "''") + "'"
     // The reference's retry stack is DBIx::Connector::Retry
     // (lib/DBIx/BatchChunker.pm:104-112, 236-288), whose whole point is
     // RECONNECTING before re-running a failed chunk — a dropped connection
@@ -150,25 +211,28 @@ object JdbcBatch {
     // per chunk); only a connection-class FAILURE marks the handle for
     // rebuild, and the retry's next entry into the chunk body reopens it.
     var reconnectPending = false
-    def connectionDead(e: Throwable): Boolean = e match {
+    def connectionClass(e: Throwable): Boolean = e match {
       case _: java.sql.SQLNonTransientConnectionException => true
       case _: java.sql.SQLRecoverableException => true
       case _: java.sql.SQLTransientConnectionException => true
-      case _ =>
-        try dmlConn.isClosed || !dmlConn.isValid(5)
-        catch { case _: Throwable => true }
+      case _ => false
+    }
+    def connectionDead(e: Throwable): Boolean = connectionClass(e) || {
+      try dmlConn.isClosed || !dmlConn.isValid(5)
+      catch { case _: Throwable => true }
     }
     try {
       dmlConn.setAutoCommit(false)
       // Journal table for ack-lost idempotence (see @param commitLog).
       // Derby has no CREATE TABLE IF NOT EXISTS; SQLState X0Y32 = exists.
       commitLog.foreach { tbl =>
-        try {
-          val st = probeConn.createStatement()
+        try probeConn { c =>
+          val st = c.createStatement()
           try st.executeUpdate(
-            s"""CREATE TABLE $tbl ("chunk_start" BIGINT NOT NULL,
+            s"""CREATE TABLE $tbl ("run_id" VARCHAR(128) NOT NULL,
+               | "chunk_start" BIGINT NOT NULL,
                | "chunk_end" BIGINT NOT NULL,
-               | PRIMARY KEY ("chunk_start", "chunk_end"))""".stripMargin)
+               | PRIMARY KEY ("run_id", "chunk_start", "chunk_end"))""".stripMargin)
           finally st.close()
         } catch {
           case e: java.sql.SQLException if e.getSQLState == "X0Y32" => ()
@@ -179,17 +243,19 @@ object JdbcBatch {
         * a row from a lost-ack commit is visible, an uncommitted one from
         * a live transaction is not.) */
       def alreadyCommitted(chunk: Chunk): Boolean = commitLog.exists { tbl =>
-        val st = probeConn.createStatement()
-        try {
-          val rs = st.executeQuery(
-            s"""SELECT COUNT(*) FROM $tbl WHERE "chunk_start" = ${chunk.start}""" +
-              s""" AND "chunk_end" = ${chunk.end}""")
-          rs.next(); rs.getLong(1) > 0
-        } finally st.close()
+        probeConn { c =>
+          val st = c.createStatement()
+          try {
+            val rs = st.executeQuery(
+              s"""SELECT COUNT(*) FROM $tbl WHERE "run_id" = $runIdSql""" +
+                s""" AND "chunk_start" = ${chunk.start} AND "chunk_end" = ${chunk.end}""")
+            rs.next(); rs.getLong(1) > 0
+          } finally st.close()
+        }
       }
       val source = new RangeSource {
-        private def agg(fn: String): Option[BigInt] = {
-          val rs = probeConn.createStatement().executeQuery(
+        private def agg(fn: String): Option[BigInt] = probeConn { c =>
+          val rs = c.createStatement().executeQuery(
             s"SELECT $fn(${quoted(idColumn)}) FROM $rangeTable")
           if (!rs.next()) None
           else Option(rs.getBigDecimal(1)).map(d => BigInt(d.toBigInteger))
@@ -200,9 +266,11 @@ object JdbcBatch {
       val probe: Option[(BigInt, BigInt) => BigInt] =
         if (!enableCountProbe) None
         else Some { (s, e) =>
-          val rs = probeConn.createStatement().executeQuery(
-            s"SELECT COUNT(*) FROM $rangeTable WHERE ${quoted(idColumn)} BETWEEN $s AND $e")
-          rs.next(); BigInt(rs.getLong(1))
+          probeConn { c =>
+            val rs = c.createStatement().executeQuery(
+              s"SELECT COUNT(*) FROM $rangeTable WHERE ${quoted(idColumn)} BETWEEN $s AND $e")
+            rs.next(); BigInt(rs.getLong(1))
+          }
         }
       val engine = new ChunkEngine(cfg, Some(source), probe)
       engine.calculateRanges()
@@ -213,6 +281,30 @@ object JdbcBatch {
       for (dir <- cfg.stateDir; pe <- ResumeState.read(dir)) {
         val next = pe + 1
         if (engine.minId.forall(_ < next)) engine.minId = Some(next)
+      }
+      // Journal-derived resume: the state file is written AFTER the commit
+      // ack, so a process can die with chunk (s, e) durable but the file
+      // stale (or never written). Under runtime targeting a restart then
+      // re-plans from the RESET chunkSize, and the shifted boundaries miss
+      // the exact-match probe above — re-applying the template over the
+      // overlap. The journal row, by contrast, commits atomically WITH the
+      // chunk's work, and chunks in this sequential path are strictly
+      // increasing, so MAX(chunk_end) for this run is the true high-water
+      // mark. Resume from whichever of the two is further along.
+      commitLog.foreach { tbl =>
+        val hwm = probeConn { c =>
+          val st = c.createStatement()
+          try {
+            val rs = st.executeQuery(
+              s"""SELECT MAX("chunk_end") FROM $tbl WHERE "run_id" = $runIdSql""")
+            if (!rs.next()) None
+            else Option(rs.getBigDecimal(1)).map(d => BigInt(d.toBigInteger))
+          } finally st.close()
+        }
+        for (m <- hwm) {
+          val next = m + 1
+          if (engine.minId.forall(_ < next)) engine.minId = Some(next)
+        }
       }
       engine.execute { chunk =>
         if (reconnectPending) {
@@ -234,7 +326,7 @@ object JdbcBatch {
           commitLog.foreach { tbl =>
             val st2 = dmlConn.createStatement()
             try st2.executeUpdate(
-              s"INSERT INTO $tbl VALUES (${chunk.start}, ${chunk.end})")
+              s"INSERT INTO $tbl VALUES ($runIdSql, ${chunk.start}, ${chunk.end})")
             finally st2.close()
           }
           inTxn(chunk, dmlConn)

@@ -244,6 +244,28 @@ class BatchChunkerSpec extends AnyFunSuite {
     assert(launched.get() < 20, s"all ${launched.get()} chunks launched despite the failure")
   }
 
+  test("parallel chunk fan-out honors retryOn: non-retryable failures never consume the budget") {
+    import spark.implicits._
+    val table = (1L to 200L).map(i => (i, i * 2)).toDF("id", "v")
+    val bc = new BatchChunker(table, "id",
+      cfg0.copy(chunkSize = 50, minChunkPercent = 0, retryAttempts = 5,
+        retryOn = _.isInstanceOf[IllegalStateException]),
+      enableCountProbe = false)
+    bc.calculateRanges()
+    val attemptsOnPoisoned = new java.util.concurrent.atomic.AtomicInteger()
+    val boom = intercept[RuntimeException] {
+      bc.foreachChunkPar(parallelism = 2) { (chunk, _) =>
+        if (chunk.start == BigInt(1)) {
+          attemptsOnPoisoned.incrementAndGet()
+          throw new RuntimeException("config error: not transient")
+        }
+      }
+    }
+    assert(boom.getMessage.contains("not transient"))
+    assert(attemptsOnPoisoned.get() == 1,
+      s"non-retryable failure retried ${attemptsOnPoisoned.get()} times in the parallel path")
+  }
+
   test("distributed per-row dispatch processes all rows on executors") {
     val acc = spark.sparkContext.longAccumulator("rows")
     val bc = new BatchChunker(gappyDf, "id", cfg0.copy(chunkSize = 25, minChunkPercent = 0))

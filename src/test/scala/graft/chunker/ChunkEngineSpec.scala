@@ -236,6 +236,54 @@ class ChunkEngineSpec extends AnyFunSuite {
     }
   }
 
+  test("retryOn classification: a non-retryable failure propagates on attempt 1, budget intact") {
+    // The reference's retry_handler hook (lib/DBIx/BatchChunker.pm:236-288):
+    // only failures the classifier accepts earn the budget. Here only
+    // IllegalStateException is retryable; anything else is terminal at once.
+    val ids = (BigInt(1) to BigInt(10)).toVector
+    val eng = new ChunkEngine(
+      cfg0.copy(chunkSize = 10, minChunkPercent = 0, retryAttempts = 10,
+        retryOn = _.isInstanceOf[IllegalStateException]),
+      Some(src(ids)))
+    eng.calculateRanges()
+    var calls = 0
+    intercept[RuntimeException] {
+      eng.execute { _ => calls += 1; throw new RuntimeException("not transient") }
+    }
+    assert(calls == 1, s"non-retryable failure consumed $calls attempts of the budget")
+  }
+
+  test("retryOn classification: the accepted class still uses the full retry law") {
+    val ids = (BigInt(1) to BigInt(10)).toVector
+    val eng = new ChunkEngine(
+      cfg0.copy(chunkSize = 10, minChunkPercent = 0, retryAttempts = 3,
+        retryOn = _.isInstanceOf[IllegalStateException]),
+      Some(src(ids)))
+    eng.calculateRanges()
+    var calls = 0
+    val rpt = eng.execute { _ =>
+      calls += 1
+      if (calls <= 2) throw new IllegalStateException("transient")
+    }
+    assert(calls == 3 && rpt.processed.size == 1)
+  }
+
+  test("fatal JVM errors and cancellation are never retried by default (NonFatal)") {
+    // Retrying an OutOfMemoryError burns the budget on a doomed run and
+    // masks the real failure; an InterruptedException is a cancelled run.
+    for (fatal <- Seq[Throwable](new OutOfMemoryError("synthetic"), new InterruptedException)) {
+      val ids = (BigInt(1) to BigInt(10)).toVector
+      val eng = new ChunkEngine(cfg0.copy(chunkSize = 10, minChunkPercent = 0, retryAttempts = 10), Some(src(ids)))
+      eng.calculateRanges()
+      var calls = 0
+      val thrown = intercept[Throwable] {
+        eng.execute { _ => calls += 1; throw fatal }
+      }
+      assert(thrown eq fatal)
+      assert(calls == 1, s"${fatal.getClass.getSimpleName} was retried $calls times")
+    }
+  }
+
   test("sleep is honored between chunks (t/dbh.t:89-95)") {
     val clock = new ManualClock
     val ids = (BigInt(1) to BigInt(30)).toVector

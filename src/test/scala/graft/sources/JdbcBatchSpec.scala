@@ -238,6 +238,107 @@ class JdbcBatchSpec extends AnyFunSuite {
     }
   }
 
+  test("executeChunkedDml: journal-derived resume is exactly-once across restarts under ADAPTIVE sizing") {
+    seeded
+    // The hole this closes: the state file is written AFTER the commit ack,
+    // so a process can die with chunk (s, e) durable but the file stale.
+    // With runtime targeting on, the restart re-plans from the RESET
+    // chunkSize — boundaries shift, the exact-match journal probe misses,
+    // and a non-idempotent template double-applies over the overlap. The
+    // journal's MAX(chunk_end) commits atomically WITH the work, so
+    // resuming from it is exact no matter how sizing diverged.
+    val stateDir = java.nio.file.Files.createTempDirectory("jdbc-jresume").toString
+    val src = (1L to 200L).map(i => (i, 0L)).toDF("id", "done")
+    src.write.mode("overwrite").jdbc(url, "txn_jresume", new java.util.Properties)
+    // targetTime > 0 with near-instant chunks: after 5 timings the engine
+    // doubles chunkSize (3 -> 6), so run 1 commits chunks of BOTH sizes.
+    val cfgA = ChunkerConfig(chunkSize = BigInt(3), targetTime = 30, sleep = 0,
+      minChunkPercent = 0, retryAttempts = 1, log = quiet, stateDir = Some(stateDir))
+    val chunks1 = scala.collection.mutable.ArrayBuffer.empty[(BigInt, BigInt)]
+    intercept[RuntimeException] {
+      JdbcBatch.executeChunkedDml(url,
+        """UPDATE txn_jresume SET "done" = "done" + 1 WHERE "id" BETWEEN {start} AND {end}""",
+        "id", "txn_jresume", cfgA,
+        inTxn = { (chunk, _) =>
+          chunks1 += ((chunk.start, chunk.end))
+          Thread.sleep(2) // a measurable >0 runtime for the targeting law
+          if (chunks1.size == 9) throw new RuntimeException("process killed")
+        },
+        commitLog = Some("txn_jresume_j"))
+    }
+    val committed = chunks1.init // chunk 9 threw before its commit
+    assert(committed.map(c => c._2 - c._1 + 1).distinct.size > 1,
+      s"chunk size never grew — the test premise is broken: $committed")
+    // Simulate dying after the last COMMIT but before the state-file write:
+    // rewind the resume file to an earlier committed chunk's end. (Deleting
+    // it outright is the same scenario one death earlier.)
+    graft.chunker.ResumeState.write(stateDir, committed(1)._2)
+    // Restart: fresh loop, chunkSize back at 3. Without the journal-derived
+    // resume it would re-enter at the stale state point, fail the
+    // exact-match probe on the GROWN chunks' boundaries, and double-apply.
+    val starts2 = scala.collection.mutable.ArrayBuffer.empty[BigInt]
+    JdbcBatch.executeChunkedDml(url,
+      """UPDATE txn_jresume SET "done" = "done" + 1 WHERE "id" BETWEEN {start} AND {end}""",
+      "id", "txn_jresume", cfgA,
+      inTxn = (chunk, _) => starts2 += chunk.start,
+      commitLog = Some("txn_jresume_j"))
+    assert(starts2.head == committed.last._2 + 1,
+      s"resume point ${starts2.head} is not the journal high-water mark + 1")
+    // Exactly-once key coverage under the non-idempotent increment.
+    val back = spark.read.jdbc(url, "txn_jresume", new java.util.Properties)
+    assert(back.filter(col("done") === 1).count() == 200)
+    assert(back.filter(col("done") =!= 1).count() == 0)
+  }
+
+  test("executeChunkedDml: run_id scopes the journal — a second logical run applies, a resumed one skips") {
+    seeded
+    val src = (1L to 60L).map(i => (i, 0L)).toDF("id", "done")
+    src.write.mode("overwrite").jdbc(url, "txn_runid", new java.util.Properties)
+    def run(id: String): Seq[BigInt] = {
+      val starts = scala.collection.mutable.ArrayBuffer.empty[BigInt]
+      JdbcBatch.executeChunkedDml(url,
+        """UPDATE txn_runid SET "done" = "done" + 1 WHERE "id" BETWEEN {start} AND {end}""",
+        "id", "txn_runid", cfg(20),
+        inTxn = (chunk, _) => starts += chunk.start,
+        commitLog = Some("txn_runid_j"), runId = id)
+      starts.toSeq
+    }
+    // Logical run 1 under one run_id; run 2 is a LEGITIMATE re-application
+    // under a fresh run_id — it must apply fully, not no-op on run 1's rows.
+    assert(run("2026-07").size == 3)
+    assert(run("2026-08").size == 3)
+    val back = spark.read.jdbc(url, "txn_runid", new java.util.Properties)
+    assert(back.filter(col("done") === 2).count() == 60)
+    // Re-entering a COMPLETED run's run_id is a resume: the journal
+    // high-water mark covers the whole keyspace, so nothing re-applies.
+    assert(run("2026-08").isEmpty)
+    assert(spark.read.jdbc(url, "txn_runid", new java.util.Properties)
+      .filter(col("done") === 2).count() == 60)
+  }
+
+  test("ProbeConnection: a dropped probe handle is rebuilt and the read re-issued, not failed") {
+    seeded
+    // The probe side (range discovery, count probes, journal point-SELECTs)
+    // serves EVERY chunk of executeChunkedDml, so a single dropped socket
+    // must not fail the whole run while the DML side reconnects happily.
+    val pc = new ProbeConnection(url, new java.util.Properties)
+    try {
+      def countSrc(): Long = pc { c =>
+        val rs = c.createStatement().executeQuery("SELECT COUNT(*) FROM chunk_src")
+        rs.next(); rs.getLong(1)
+      }
+      assert(countSrc() == 500)
+      val before = pc.current
+      // Fault-inject the drop: Derby embedded has no server-side kill, so
+      // closing the handle out from under the caller is the equivalent
+      // client-visible failure (statement throws connection-class).
+      before.close()
+      assert(countSrc() == 500) // same idempotent read, re-issued transparently
+      assert(pc.current ne before, "probe read succeeded on the dead handle?")
+      assert(!pc.current.isClosed)
+    } finally pc.close()
+  }
+
   test("executeChunkedDml: crash-resume re-enters after the last committed transaction") {
     seeded
     val stateDir = java.nio.file.Files.createTempDirectory("jdbc-resume").toString
