@@ -55,13 +55,24 @@ object ExactSelection {
     *               location runs inside the distributed histogram pass —
     *               and so callers that re-derive the same ranks downstream
     *               reuse literally the same expressions.
+    * @param broadcastThreshold max needed-set rows (>= 1 per non-empty
+    *               group) the driver will broadcast. The needed-set is
+    *               histogram-sized, but its row count scales with GROUP
+    *               cardinality — past ~tens of millions of groups a
+    *               broadcast stops fitting, so above the threshold the
+    *               pruning join degrades automatically to a shuffled
+    *               sort-merge join (same rows, same ranks; one extra
+    *               exchange). The needed-set is persisted either way — the
+    *               gate needs its exact count, and the join reuses the
+    *               cached histogram instead of recomputing the aggregation.
     */
   def rankedCandidates(
       df: DataFrame,
       groupCol: String,
       valueCol: String,
       tieBreak: Seq[Column],
-      nBuckets: Int = 256
+      nBuckets: Int = 256,
+      broadcastThreshold: Long = 10000000L
   )(wanted: Column => Column): DataFrame = {
     val bounds = df.agg(min(col(valueCol)), max(col(valueCol))).head()
     if (bounds.isNullAt(0)) return df.limit(0)
@@ -86,10 +97,21 @@ object ExactSelection {
       .filter(exists(wanted(col("n")), r => r > col("off") && r <= col("off") + col("c")))
       .select(col(groupCol), col("bkt"), col("off"), col("n"))
 
+    // Auto-degrade: broadcasting is only legal while the needed-set fits
+    // the driver. Its exact count is one cheap job over the (persisted)
+    // histogram relation; past the threshold, hint a sort-merge join
+    // explicitly — leaving it unhinted would let AQE re-broadcast the very
+    // relation we just measured as too big to broadcast.
+    val neededPinned = needed.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val neededRows = neededPinned.count()
+    val pruneJoin =
+      if (neededRows <= broadcastThreshold) broadcast(neededPinned)
+      else neededPinned.hint("merge")
+
     val wLocal = Window.partitionBy(col(groupCol), col("bkt"))
       .orderBy(col(valueCol) +: tieBreak: _*)
     bucketed
-      .join(broadcast(needed), Seq(groupCol, "bkt"))
+      .join(pruneJoin, Seq(groupCol, "bkt"))
       .withColumn("rn_local", row_number().over(wLocal))
       .withColumn("rn", col("rn_local") + col("off"))
       .drop("bkt", "off", "rn_local")

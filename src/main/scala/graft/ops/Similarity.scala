@@ -210,6 +210,15 @@ object Similarity {
     * 0.76; 4 -> 0.63 / 0.95; 8 -> 0.82 / 0.995 (half the clusters). 4 is
     * the balanced default; the x_ann_ivf_recall audit reports exact counts. */
   private val IVF_NPROBE = 4
+  /** LCG hash-sample parameters for centroid training (see [[ivfTrainSet]]):
+    * keep (id*MULT + ADD) mod MOD < KEEP, i.e. a deterministic 50% sample.
+    * Raising the corpus 1000x, you'd lower KEEP instead of paying more
+    * full-corpus Lloyd passes — centroid quality is set by the sample SIZE,
+    * not the sampling RATE. */
+  private val IVF_TRAIN_MULT = 1103515245L
+  private val IVF_TRAIN_ADD = 12345L
+  private val IVF_TRAIN_MOD = 2048L
+  private val IVF_TRAIN_KEEP = 1024L
 
   /** Centroids as ONE 2D array literal. Inlining k separate 64-double
     * literals into the expression tree made every training job pay seconds
@@ -245,11 +254,26 @@ object Similarity {
   private[ops] def trainIvfCentroids(s: SparkSession, d: String): Array[Array[Double]] =
     cached(centroidCache, s, d)(trainIvfCentroidsUncached(s, d))
 
+  /** Deterministic hash-sample the Lloyd passes train on. At 100 TB you do
+    * not run k-means over the corpus — centroid quality converges on a
+    * sample long before the corpus is exhausted, and each avoided pass is a
+    * full-corpus scan. The predicate is a fixed LCG mix of the key in plain
+    * 64-bit arithmetic (no overflow at any realistic id, no engine-specific
+    * hash), so the DuckDB oracle inlines the SAME filter and the
+    * correctness gate stays exact. */
+  private[ops] def ivfTrainSet(s: SparkSession, d: String): DataFrame =
+    vectors(s, d).select(col("vec_id"), col("v")).filter(
+      (col("vec_id") * lit(IVF_TRAIN_MULT) + lit(IVF_TRAIN_ADD)) % lit(IVF_TRAIN_MOD)
+        < lit(IVF_TRAIN_KEEP))
+
   private[ops] def trainIvfCentroidsUncached(s: SparkSession, d: String): Array[Array[Double]] = {
     // Training is eager (each Lloyd iteration collects centroid sums), so a
     // persist here genuinely caches across iterations — without it every
     // iteration re-reads the parquet and re-derives the projection.
-    val vecs = vectors(s, d).select(col("vec_id"), col("v")).persist()
+    // Seeding stays full-corpus (one cheap IN-pushdown scan, no iteration);
+    // only the repeated Lloyd passes read the sample.
+    val vecs = vectors(s, d).select(col("vec_id"), col("v"))
+    val train = ivfTrainSet(s, d).persist()
     val n = vecs.count()
     val stride = math.max(1L, n / IVF_K)
     val seedIds = (0 until IVF_K).map(i => i * stride)
@@ -258,7 +282,7 @@ object Similarity {
       .orderBy(col("vec_id")).limit(IVF_K)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to IVF_ITERS) {
-      val assigned = vecs.withColumn("cluster", assignCluster(col("v"), cents))
+      val assigned = train.withColumn("cluster", assignCluster(col("v"), cents))
       val sums = assigned
         .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "x")))
         .groupBy(col("cluster"), col("pos"))
@@ -282,7 +306,7 @@ object Similarity {
         }
       }
     }
-    vecs.unpersist(blocking = false)
+    train.unpersist(blocking = false)
     cents
   }
 
@@ -474,15 +498,17 @@ object Similarity {
   /** Unrolled Lloyd loop: c0 = strided seeds, a{t} = argmax-sim assignment
     * (ties to the lowest cluster id, like array_position), c{t} = exact
     * DECIMAL(28,12) per-dimension sums cast to double THEN divided — the
-    * same arithmetic trainIvfCentroids performs. Empty clusters keep their
-    * previous centroid. */
+    * same arithmetic trainIvfCentroids performs. Training iterations read
+    * the SAME deterministic LCG hash-sample (`ts`) the Spark trainer reads;
+    * the final assignment covers the full corpus. Empty clusters keep
+    * their previous centroid. */
   private def ivfCtes: String = {
-    def assign(cPrev: String, aName: String, extra: String = "") =
+    def assign(cPrev: String, aName: String, extra: String = "", from: String = "n") =
       s"""$aName AS (SELECT vec_id, v,$extra cl FROM (
          |  SELECT n.vec_id, n.v,$extra c.cl,
          |         row_number() OVER (PARTITION BY n.vec_id
          |           ORDER BY list_dot_product(n.v, c.cent) DESC, c.cl) AS rn
-         |  FROM n, $cPrev c) WHERE rn = 1)""".stripMargin
+         |  FROM $from n, $cPrev c) WHERE rn = 1)""".stripMargin
     def recompute(aName: String, cPrev: String, cName: String) =
       s"""$cName AS (
          |  SELECT cl, list(cv ORDER BY pos) AS cent FROM (
@@ -493,9 +519,12 @@ object Similarity {
          |  UNION ALL
          |  SELECT cl, cent FROM $cPrev WHERE cl NOT IN (SELECT DISTINCT cl FROM $aName))""".stripMargin
     val iters = (1 to IVF_ITERS).map { i =>
-      assign(s"c${i - 1}", s"a$i") + ",\n" + recompute(s"a$i", s"c${i - 1}", s"c$i")
+      assign(s"c${i - 1}", s"a$i", from = "ts") + ",\n" +
+        recompute(s"a$i", s"c${i - 1}", s"c$i")
     }.mkString(",\n")
     s"""$baseCtes,
+       |ts AS (SELECT vec_id, v FROM n
+       |       WHERE (vec_id * $IVF_TRAIN_MULT + $IVF_TRAIN_ADD) % $IVF_TRAIN_MOD < $IVF_TRAIN_KEEP),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cent
        |       FROM n WHERE vec_id IN (
        |         SELECT i.i * (SELECT greatest(1, count(*) // $IVF_K) FROM n)

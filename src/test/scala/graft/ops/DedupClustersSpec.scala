@@ -59,6 +59,26 @@ class DedupClustersSpec extends AnyFunSuite {
     assert(fast == loop)
   }
 
+  test("connectedComponents: reliable-checkpoint path yields identical labels on the distributed loop") {
+    // checkpointDir on: every Nth round writes a RELIABLE checkpoint
+    // (executor-loss-safe) instead of localCheckpoint every round. Same
+    // labels, and the checkpoint directory must actually be written to.
+    val ckpt = java.nio.file.Files.createTempDirectory("cc-ckpt").toString
+    // chain of 40 forces > checkpointInterval rounds of pointer doubling
+    val pairs = (1L until 40L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val plain = Dedup.connectedComponents(pairs, smallGraphThreshold = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ck = Dedup.connectedComponents(pairs, smallGraphThreshold = 0L,
+      checkpointDir = Some(ckpt), checkpointInterval = 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ck == plain)
+    assert(ck.values.toSet == Set(1L))
+    def rddFiles(f: java.io.File): Long =
+      if (f.isFile) 1L else Option(f.listFiles()).map(_.map(rddFiles).sum).getOrElse(0L)
+    assert(rddFiles(new java.io.File(ckpt)) > 0,
+      s"no reliable checkpoint was ever written under $ckpt")
+  }
+
   test("dedupClusters: full-corpus assignment is consistent with the pair graph") {
     val d = SparkTestSession.sfDir
     val cc = Dedup.dedupClusters(spark, d)

@@ -53,6 +53,33 @@ class ExactSelectionSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("past the broadcast threshold the pruning join degrades to sort-merge, rank-identical") {
+    // 4000 distinct groups: the needed-set has >= 4000 rows, so a
+    // threshold of 0 forces the degraded (shuffled) pruning join — the
+    // shape the operator takes when group cardinality outgrows what the
+    // driver can broadcast. Ranks must be identical to the broadcast path.
+    val rows = (1L to 20000L).map { i =>
+      val g = "G" + (i % 4000)
+      (g, ((i * 2654435761L) % 1009).toDouble, i)
+    }
+    val df = rows.toDF("g", "v", "id")
+    val wanted: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+      n => array(floor((n + lit(1)) / lit(2)))
+    val viaBroadcast = ExactSelection.rankedCandidates(df, "g", "v", Seq(col("id")), nBuckets = 32)(wanted)
+    val viaShuffle = ExactSelection.rankedCandidates(df, "g", "v", Seq(col("id")), nBuckets = 32,
+      broadcastThreshold = 0L)(wanted)
+    // the degraded plan really is a shuffled sort-merge pruning join (not
+    // an AQE re-broadcast of the relation we measured as too big)
+    val plan = viaShuffle.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"degrade path did not sort-merge:\n$plan")
+    assert(viaBroadcast.queryExecution.executedPlan.toString.contains("BroadcastHashJoin"))
+    def medians(d: org.apache.spark.sql.DataFrame) =
+      d.filter(col("rn") === expr("(n + 1) div 2"))
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val (b, s) = (medians(viaBroadcast), medians(viaShuffle))
+    assert(b.size == 4000 && b == s)
+  }
+
   test("high-cardinality group column: rank location stays distributed and exact") {
     // 4000 distinct groups x 5 rows: the (group x bucket) histogram is
     // 4000+ rows — with the old driver-side collect this was the memory

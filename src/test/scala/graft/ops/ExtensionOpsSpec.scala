@@ -100,6 +100,15 @@ class ExtensionOpsSpec extends AnyFunSuite {
     val c1 = Similarity.trainIvfCentroidsUncached(spark, sfDir)
     val c2 = Similarity.trainIvfCentroidsUncached(spark, sfDir)
     assert(c1.map(_.toSeq).toSeq == c2.map(_.toSeq).toSeq)
+    // sample-based training: the Lloyd passes read a strict, deterministic
+    // LCG hash-subset of the corpus (the 100 TB training shape), filtered
+    // in-plan — not the full vector table
+    val train = Similarity.ivfTrainSet(spark, sfDir)
+    val m = train.count()
+    val full = spark.read.parquet(s"$sfDir/embeddings.parquet").count()
+    assert(m > 0 && m < full, s"training sample $m of $full is not a strict subset")
+    assert(train.queryExecution.executedPlan.toString.contains("1103515245"),
+      "LCG sample filter missing from the training plan")
   }
 
   test("multimodal: mapPartitions stub decode == expression-only fast path") {
