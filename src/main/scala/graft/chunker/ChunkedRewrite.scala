@@ -109,10 +109,22 @@ object ChunkedRewrite {
   /** Materialize a TINY (control-plane-sized) frame as a driver-local one,
     * severing every dependency on the distributed inputs that produced it —
     * the step that lets a caller release those inputs (temp directory, demo
-    * table, in-memory database) before returning a still-usable result. */
-  def pinLocal(df: DataFrame): DataFrame =
-    df.sparkSession.createDataFrame(
-      java.util.Arrays.asList(df.collect(): _*), df.schema)
+    * table, in-memory database) before returning a still-usable result.
+    *
+    * The collect is guarded: a caller that accidentally passes a
+    * non-aggregating, corpus-sized frame gets a clear IllegalArgumentException
+    * at `maxRows` instead of an unbounded driver collect that OOMs with no
+    * explanation. The guard costs one extra LIMIT job only on the failure
+    * path — the success path's limit(maxRows+1) IS the materialization. */
+  def pinLocal(df: DataFrame, maxRows: Int = 1 << 20): DataFrame = {
+    val rows = df.limit(maxRows + 1).collect()
+    require(
+      rows.length <= maxRows,
+      s"pinLocal: frame exceeds $maxRows rows — it is not control-plane-sized. " +
+        "Aggregate it first, or keep it distributed (readBackCommitted) and " +
+        "own the backing directory's lifetime instead of pinning.")
+    df.sparkSession.createDataFrame(java.util.Arrays.asList(rows: _*), df.schema)
+  }
 
   /** Best-effort recursive delete; a cleanup failure must never mask the
     * caller's result or exception, but it must not be silent either. */

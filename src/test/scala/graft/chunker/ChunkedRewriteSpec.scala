@@ -172,6 +172,21 @@ class ChunkedRewriteSpec extends AnyFunSuite {
     assert(result.select(max(col("id"))).head().getLong(0) == 110)
   }
 
+  test("pinLocal pins a tiny frame but refuses a corpus-sized one with a clear error") {
+    val small = (1L to 10L).toDF("id")
+    val pinned = ChunkedRewrite.pinLocal(small)
+    assert(pinned.count() == 10)
+    assert(pinned.select(sum(col("id"))).head().getLong(0) == 55L)
+
+    // A non-aggregating "audit" over a big frame must fail loudly at the cap,
+    // not OOM the driver silently.
+    val big = spark.range(1, 1001).toDF("id")
+    val e = intercept[IllegalArgumentException] {
+      ChunkedRewrite.pinLocal(big, maxRows = 100)
+    }
+    assert(e.getMessage.contains("not control-plane-sized"))
+  }
+
   test("readBackCommitted skips a torn non-atomic rename (data present, marker absent)") {
     val dir = java.nio.file.Files.createTempDirectory("cow-torn").toString
     val src = (1L to 100L).toDF("id")
