@@ -117,27 +117,35 @@ object Dedup {
   /** MinHash-LSH near-duplicate pairs: band the signature (8 bands x 4 rows),
     * bucket-join on (band, bandHash), then estimate Jaccard as the fraction
     * of agreeing minhashes; emit pairs with estimated similarity >= 0.5. */
+  /** Band explode over a signature relation — shared by the self-join sketch
+    * and the incremental delta-vs-index variant. Band key = a fixed-width
+    * 60-bit fingerprint (md5 of the slice's comma-joined rendering, first 15
+    * hex digits as a BIGINT — the engine-portable hash contract, see
+    * [[baseHash]]): an 8-byte shuffle key instead of a ~40-byte string in
+    * the widest exchange. Collisions are ~n²/2⁶⁰ — nonexistent in practice,
+    * and any would only ADD a candidate pair that the est-Jaccard filter
+    * re-checks anyway. */
+  private def mhBands(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"), col("mh"),
+      posexplode(array((0 until BANDS).map { b =>
+        conv(substring(md5(
+          concat_ws(",", (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)): _*)
+        ), 1, 15), 16, 10).cast("long")
+      }: _*)).as(Seq("band_idx", "band_hash")))
+
+  /** Estimated Jaccard from two signature array columns already in hand. */
+  private def mhEstJaccard: Column =
+    size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => (x === y).cast("int")),
+      v => v === 1)).cast("double") / K
+
   def dedupMinhashLsh(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame = {
     // One linear plan: the signature array rides along through the band
     // explode so the candidate join already has both signatures in hand — no
     // re-join back to the signature relation (which would recompute the
     // shingle aggregation; caching is useless in a lazily-returned plan), and
     // the self-join's two sides reuse one shuffle exchange.
-    val sigs = minhashSignatures(s, d, maxDocId)
-    // Band key = a fixed-width 60-bit fingerprint (md5 of the slice's
-    // comma-joined rendering, first 15 hex digits as a BIGINT — the
-    // engine-portable hash contract, see [[baseHash]]): an 8-byte shuffle
-    // key instead of a ~40-byte string in the widest exchange. Collisions
-    // are ~n²/2⁶⁰ — nonexistent in practice, and any would only ADD a
-    // candidate pair that the est-Jaccard filter re-checks anyway.
-    val bands = sigs.select(col("doc_id"), col("mh"),
-      posexplode(array((0 until BANDS).map { b =>
-        conv(substring(md5(
-          concat_ws(",", (0 until 4).map(r => element_at(col("mh"), b * 4 + r + 1)): _*)
-        ), 1, 15), 16, 10).cast("long")
-      }: _*)).as(Seq("band_idx", "band_hash")))
-    val est = size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => (x === y).cast("int")),
-      v => v === 1)).cast("double") / K
+    val bands = mhBands(minhashSignatures(s, d, maxDocId))
+    val est = mhEstJaccard
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -149,6 +157,35 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Incremental (delta-vs-index) near-dup dedup — the shape a production
+    * pipeline actually runs day to day: a new batch of documents is checked
+    * against the EXISTING corpus without re-deduping the corpus itself.
+    * Here the split is doc_id parity (odd = incoming delta, even = existing
+    * index); in production the existing side's signatures are a persisted
+    * table maintained across runs, so the per-run cost is
+    * O(delta signatures + bucket join), never O(corpus). The join is
+    * banded exactly like [[dedupMinhashLsh]] — incoming bands probe existing
+    * bands on the 8-byte (band, fingerprint) key, so the delta never meets
+    * the index outside matching buckets. Output: each incoming doc that
+    * near-dups the index, its canonical match (min existing doc_id), and
+    * how many index docs it matched. */
+  def dedupIncremental(s: SparkSession, d: String): DataFrame = {
+    val bands = mhBands(minhashSignatures(s, d))
+    val existing = bands.filter(col("doc_id") % 2 === 0)
+    val incoming = bands.filter(col("doc_id") % 2 === 1)
+    incoming.as("a")
+      .join(existing.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_doc"),
+        col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
+      .distinct()
+      .filter(mhEstJaccard >= 0.5)
+      .groupBy(col("doc_id"))
+      .agg(min(col("match_doc")).as("match_id"), count(lit(1)).as("n_matches"))
+      .orderBy(col("doc_id"))
   }
 
   private val SIMHASH_BITS = 60
@@ -521,6 +558,7 @@ object Dedup {
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_keep_list" -> (dedupKeepList _),
     "x_dedup_minhash" -> ((s, d) => dedupMinhashLsh(s, d)),
+    "x_dedup_incremental" -> (dedupIncremental _),
     "x_dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
     "x_dedup_minhash_precision" -> (minhashPrecision _),
     "x_dedup_simhash_precision" -> (simhashPrecision _),
@@ -593,6 +631,19 @@ object Dedup {
     "x_dedup_simhash" ->
       s"""WITH ${simhashCtes()}
          |SELECT doc_a, doc_b, hamming FROM scand""".stripMargin,
+    // Incremental: incoming (odd doc_id) bands probe existing (even) bands;
+    // same signature/band CTEs, asymmetric join instead of the self-join.
+    "x_dedup_incremental" ->
+      s"""WITH ${minhashCtes()},
+         |ipair AS (
+         |  SELECT doc_id, match_doc FROM (
+         |    SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_doc, a.mh AS mh_a, b.mh AS mh_b
+         |    FROM band a JOIN band b
+         |      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    WHERE a.doc_id % 2 = 1 AND b.doc_id % 2 = 0)
+         |  WHERE CAST(list_sum(list_transform(range(1,${K + 1}), j -> CASE WHEN mh_a[j] = mh_b[j] THEN 1 ELSE 0 END)) AS DOUBLE)/$K >= 0.5)
+         |SELECT doc_id, min(match_doc) AS match_id, count(*) AS n_matches
+         |FROM ipair GROUP BY doc_id""".stripMargin,
     // Chunked dedup materialization: survivors = docs that are not a
     // non-canonical member of some near-dup component (same walk CTEs as
     // the CC oracle below).

@@ -96,6 +96,26 @@ object MoreQueries {
       .select(date_format(col("window_start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("total_value"))
 
+  /** Batch twin of the streaming exact-dedup stage
+    * (graft.streaming.EventStream.dedupEvents): an at-least-once delivery
+    * feed — every 97th event re-delivered, the duplicate injection both
+    * engines replay identically — collapsed back to exactly-once by keying
+    * on event_id. The streaming face bounds its state with
+    * dropDuplicatesWithinWatermark (ids age out past the lateness bound);
+    * the batch face is the same logical dedup as one hash aggregate. Output
+    * audits both sides of the collapse: delivered vs unique counts per
+    * event type (EventStreamSpec proves the stream/batch row parity). */
+  def qStreamDedupParity(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+    val feed = ev.unionAll(ev.filter(col("event_id") % 97 === 0))
+    val feedCounts = feed.groupBy(col("event_type")).agg(count(lit(1)).as("n_feed"))
+    val uniq = feed.dropDuplicates("event_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_unique"),
+        sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
+    feedCounts.join(uniq, "event_type")
+  }
+
   /** Batch sessionization via window functions — the same 30-minute-gap
     * semantics as graft.streaming.EventStream.sessionize, expressed as a
     * lag/cumulative-sum window query (the classic batch formulation). Gap
@@ -208,7 +228,8 @@ object MoreQueries {
     "q_math_funcs" -> (qMathFuncs _),
     "q_string_funcs2" -> (qStringFuncs2 _),
     "q_null_handling" -> (qNullHandling _),
-    "q_stream_hourly_parity" -> (qStreamHourlyParity _)
+    "q_stream_hourly_parity" -> (qStreamHourlyParity _),
+    "q_stream_dedup_parity" -> (qStreamDedupParity _)
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -301,6 +322,17 @@ object MoreQueries {
     "q_stream_hourly_parity" ->
       """SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H') AS hour, event_type, count(*) AS n,
         |       CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
-        |FROM events GROUP BY 1, 2""".stripMargin
+        |FROM events GROUP BY 1, 2""".stripMargin,
+    // Duplicated rows are byte-identical, so DISTINCT * is the exact dedup.
+    "q_stream_dedup_parity" ->
+      """WITH feed AS (
+        |  SELECT * FROM events
+        |  UNION ALL SELECT * FROM events WHERE event_id % 97 = 0),
+        |ded AS (SELECT DISTINCT * FROM feed)
+        |SELECT event_type, f.n_feed, u.n_unique, u.total_value
+        |FROM (SELECT event_type, count(*) AS n_feed FROM feed GROUP BY 1) f
+        |JOIN (SELECT event_type, count(*) AS n_unique,
+        |             CAST(SUM(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS total_value
+        |      FROM ded GROUP BY 1) u USING (event_type)""".stripMargin
   )
 }

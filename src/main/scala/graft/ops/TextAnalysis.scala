@@ -352,7 +352,115 @@ object TextAnalysis {
         sum(col("n_tokens")).as("bin_tokens"))
   }
 
+  /** PII patterns shared by the scrub operator and its oracle. [0-9] instead
+    * of \d and explicit classes throughout: the Java regex engine (Spark)
+    * and RE2 (DuckDB) agree on this subset bit-for-bit. */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\b555-01[0-9]{2}\\b"
+  private val IpPat = "\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+
+  /** PII detection + redaction — the scrubbing stage every public training
+    * pipeline runs before anything else touches the text. The corpus is
+    * synthetic word-salad, so the PII is planted deterministically from
+    * doc_id (both engines plant the identical strings); the operator under
+    * test is the detect/redact pass: count emails/phones/IPs per source and
+    * measure the scrubbed output. Pure per-row regex expressions — codegen'd,
+    * zero shuffles before the tiny per-source aggregate; at 100 TB this runs
+    * at scan speed. */
+  def piiScrub(s: SparkSession, d: String): DataFrame = {
+    val planted = concat(
+      col("text"),
+      when(col("doc_id") % 3 === 0,
+        concat(lit(" contact user"), col("doc_id").cast("string"), lit("@example.com now")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 5 === 0,
+        concat(lit(" call 555-01"), lpad((col("doc_id") % 100).cast("string"), 2, "0"), lit(" today")))
+        .otherwise(lit("")),
+      when(col("doc_id") % 7 === 0,
+        concat(lit(" from 10.0."), (col("doc_id") % 256).cast("string"),
+          lit("."), (col("doc_id") % 100).cast("string")))
+        .otherwise(lit("")))
+    val nEmail = size(regexp_extract_all(col("raw"), lit(EmailPat), lit(0)))
+    val nPhone = size(regexp_extract_all(col("raw"), lit(PhonePat), lit(0)))
+    val nIp = size(regexp_extract_all(col("raw"), lit(IpPat), lit(0)))
+    val scrubbed = regexp_replace(
+      regexp_replace(
+        regexp_replace(col("raw"), EmailPat, "[EMAIL]"),
+        PhonePat, "[PHONE]"),
+      IpPat, "[IP]")
+    documents(s, d)
+      .select(col("doc_id"), col("source"), planted.as("raw"))
+      .select(col("source"), col("raw"), nEmail.as("ne"), nPhone.as("np"), nIp.as("ni"),
+        scrubbed.as("clean"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("ne")).as("n_emails"),
+        sum(col("np")).as("n_phones"),
+        sum(col("ni")).as("n_ips"),
+        sum(when(col("ne") + col("np") + col("ni") === 0, 1L).otherwise(0L)).as("n_clean"),
+        sum(length(col("clean"))).as("scrubbed_chars"))
+  }
+
+  /** HTML boilerplate stripping — the extraction stage between a web crawl
+    * and every text operator above. Deterministic markup is wrapped around
+    * each document inline (same string in both engines), and the operator
+    * under test is the strip: script blocks (with their CONTENT) removed
+    * first, then tags, then entity decode and whitespace normalization.
+    * Emits the md5 of each cleaned document, so the oracle verifies the
+    * exact output text, not just lengths. Per-row regex chain — scan speed
+    * at any scale. */
+  def htmlStrip(s: SparkSession, d: String): DataFrame = {
+    val raw = concat(
+      lit("<html><head><title>Doc "), col("doc_id").cast("string"),
+      lit("</title><script type=\"text/javascript\">var x = 1; if (x < 2) { x++; }</script></head><body><p>"),
+      col("text"),
+      lit("</p><br/><div class=\"footer\">&copy; 2024 Example Corp &amp; Partners</div></body></html>"))
+    val noScript = regexp_replace(col("raw"), "(?s)<script[^>]*>.*?</script>", " ")
+    val noTags = regexp_replace(noScript, "<[^>]+>", " ")
+    val decoded = call_function("replace",
+      call_function("replace", noTags, lit("&copy;"), lit("(c)")),
+      lit("&amp;"), lit("&"))
+    val clean = trim(regexp_replace(decoded, "\\s+", " "))
+    documents(s, d)
+      .filter(col("doc_id") < 50)
+      .select(col("doc_id"), raw.as("raw"))
+      .select(col("doc_id"),
+        length(col("raw")).as("raw_len"),
+        length(clean).as("clean_len"),
+        md5(clean).as("clean_hash"))
+  }
+
+  /** Temperature-based source mixing — the multinomial reweighting used to
+    * assemble training mixes (weight per source ∝ tokens^α, here α = 0.5):
+    * upsamples small sources relative to their natural share. All arithmetic
+    * is engine-portable by construction: sqrt is IEEE-correctly-rounded,
+    * and the weight is floor'd to an INTEGER micro-weight before any
+    * cross-source sum, so the normalization never depends on float
+    * summation order. Output: per source, its natural share and its
+    * temperature-adjusted document budget out of 100k. */
+  def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    val BUDGET = 100000L
+    val perSource = documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountCol(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("w_micro", floor(sqrt(col("n_tokens").cast("double")) * 1000000).cast("long"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("w_micro")).as("tot_w"))
+    perSource.crossJoin(broadcast(totals))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"),
+        (col("n_tokens").cast("double") / col("tot_tokens")).as("natural_share"),
+        (col("w_micro").cast("double") / col("tot_w")).as("temp_share"),
+        floor(col("w_micro") * BUDGET / col("tot_w")).cast("long").as("target_docs"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_pii_scrub" -> (piiScrub _),
+    "x_html_strip" -> (htmlStrip _),
+    "x_mix_temperature" -> (mixTemperature _),
     "x_pack_bins" -> (packBins _),
     "x_pipeline_e2e" -> (pipelineE2e _),
     "x_repetition" -> (repetitionStats _),
@@ -371,6 +479,68 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // Same planted PII, same regexes (the [0-9]/explicit-class subset both
+    // engines implement identically), same scrub order.
+    "x_pii_scrub" ->
+      """WITH raw AS (
+        |  SELECT doc_id, source,
+        |         text ||
+        |         CASE WHEN doc_id % 3 = 0 THEN ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END ||
+        |         CASE WHEN doc_id % 5 = 0 THEN ' call 555-01' || lpad(CAST(doc_id % 100 AS VARCHAR), 2, '0') || ' today' ELSE '' END ||
+        |         CASE WHEN doc_id % 7 = 0 THEN ' from 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR) ELSE '' END AS raw
+        |  FROM documents),
+        |m AS (
+        |  SELECT source,
+        |         len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS ne,
+        |         len(regexp_extract_all(raw, '\b555-01[0-9]{2}\b')) AS np,
+        |         len(regexp_extract_all(raw, '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS ni,
+        |         length(regexp_replace(regexp_replace(regexp_replace(raw,
+        |           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+        |           '\b555-01[0-9]{2}\b', '[PHONE]', 'g'),
+        |           '\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b', '[IP]', 'g')) AS clean_len
+        |  FROM raw)
+        |SELECT source, count(*) AS n_docs,
+        |       CAST(sum(ne) AS BIGINT) AS n_emails,
+        |       CAST(sum(np) AS BIGINT) AS n_phones,
+        |       CAST(sum(ni) AS BIGINT) AS n_ips,
+        |       CAST(sum(CASE WHEN ne + np + ni = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_clean,
+        |       CAST(sum(clean_len) AS BIGINT) AS scrubbed_chars
+        |FROM m GROUP BY source""".stripMargin,
+    "x_html_strip" ->
+      """WITH raw AS (
+        |  SELECT doc_id,
+        |         '<html><head><title>Doc ' || CAST(doc_id AS VARCHAR) ||
+        |         '</title><script type="text/javascript">var x = 1; if (x < 2) { x++; }</script></head><body><p>' ||
+        |         text ||
+        |         '</p><br/><div class="footer">&copy; 2024 Example Corp &amp; Partners</div></body></html>' AS raw
+        |  FROM documents WHERE doc_id < 50),
+        |c AS (
+        |  SELECT doc_id, raw,
+        |         trim(regexp_replace(
+        |           replace(replace(
+        |             regexp_replace(regexp_replace(raw, '(?s)<script[^>]*>.*?</script>', ' ', 'g'),
+        |               '<[^>]+>', ' ', 'g'),
+        |             '&copy;', '(c)'), '&amp;', '&'),
+        |           '\s+', ' ', 'g')) AS clean
+        |  FROM raw)
+        |SELECT doc_id, CAST(length(raw) AS INTEGER) AS raw_len,
+        |       CAST(length(clean) AS INTEGER) AS clean_len, md5(clean) AS clean_hash
+        |FROM c""".stripMargin,
+    // Integer micro-weights before the cross-source sum: the normalization
+    // is exact integer arithmetic, so no float-summation-order hazard; the
+    // only doubles are single correctly-rounded sqrt/divide ops.
+    "x_mix_temperature" ->
+      """WITH ps AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000000) AS BIGINT) AS w_micro FROM ps),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens, CAST(sum(w_micro) AS BIGINT) AS tot_w FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |       CAST(n_tokens AS DOUBLE) / tot_tokens AS natural_share,
+        |       CAST(w_micro AS DOUBLE) / tot_w AS temp_share,
+        |       CAST(floor(w_micro * 100000 / tot_w) AS BIGINT) AS target_docs
+        |FROM w, t""".stripMargin,
     // The oracle states the same semantics relationally (explode + two
     // aggregates + join) — deliberately a DIFFERENT formulation than the
     // codegen'd run-length scan it checks.

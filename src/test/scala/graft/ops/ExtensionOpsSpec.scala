@@ -47,6 +47,62 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(!pairs.exists { case (a, b, _) => a == 20 || b == 20 }, s"unrelated doc paired: $pairs")
   }
 
+  test("incremental dedup: incoming near-dups of the index match, fresh docs pass through") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val near = (1 to 58).map(i => s"tok$i").mkString(" ") + " xnova ynova"
+    val fresh = (1 to 60).map(i => s"zzz$i").mkString(" ")
+    // even ids = existing index, odd ids = incoming delta
+    val docs = Seq(
+      (2L, base), (4L, (1 to 60).map(i => s"other$i").mkString(" ")), // index
+      (3L, base), (5L, near), (7L, fresh) // delta: exact dup, near dup, fresh
+    ).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("incdd").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val out = Dedup.dedupIncremental(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toList
+    assert(out.forall { case (d, m, _) => d % 2 == 1 && m % 2 == 0 },
+      s"incremental output must map incoming (odd) to index (even): $out")
+    assert(out.exists { case (d, m, _) => d == 3 && m == 2 }, s"exact dup not matched: $out")
+    assert(out.exists { case (d, m, _) => d == 5 && m == 2 }, s"near dup not matched: $out")
+    assert(!out.exists(_._1 == 7), s"fresh doc falsely matched: $out")
+  }
+
+  test("PII scrub counts exactly the planted PII and redacts it from the output") {
+    val docs = (0L until 15L).map(i => (i, "plain clean words only"))
+      .toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("pii").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.piiScrub(spark, dir).head()
+    val ids = 0L until 15L
+    assert(r.getAs[Long]("n_emails") == ids.count(_ % 3 == 0))
+    assert(r.getAs[Long]("n_phones") == ids.count(_ % 5 == 0))
+    assert(r.getAs[Long]("n_ips") == ids.count(_ % 7 == 0))
+    assert(r.getAs[Long]("n_clean") == ids.count(i => i % 3 != 0 && i % 5 != 0 && i % 7 != 0))
+    // redaction happened: scrubbed output must not be longer than raw with
+    // every email replaced (emails are the longest planted tokens)
+    assert(r.getAs[Long]("scrubbed_chars") > 0)
+  }
+
+  test("HTML strip recovers exactly the wrapped text plus decoded boilerplate (known answer)") {
+    val docs = Seq((0L, "hello world")).toDF("doc_id", "text")
+    val dir = java.nio.file.Files.createTempDirectory("html").toString
+    docs.withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextAnalysis.htmlStrip(spark, dir).head()
+    val expected = "Doc 0 hello world (c) 2024 Example Corp & Partners"
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val expectedHash = md.digest(expected.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    assert(r.getAs[Int]("clean_len") == expected.length,
+      s"clean_len ${r.getAs[Int]("clean_len")} != ${expected.length}")
+    assert(r.getAs[String]("clean_hash") == expectedHash,
+      "stripped text differs from the known answer (script content leaked or entities undecoded)")
+  }
+
   test("simhash: identical docs hamming 0, unrelated docs never within threshold") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base), (3L, (1 to 40).map(i => s"q${i}x").mkString(" ")))

@@ -64,6 +64,39 @@ class EventStreamSpec extends AnyFunSuite {
     } finally query.stop()
   }
 
+  test("streaming at-least-once feed dedup equals the batch dedup-parity aggregates on real events") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val d = "/root/testdata/sf0.001"
+    // The catalog query's at-least-once feed (every 97th event re-delivered),
+    // played in timestamp order across two micro-batches so some duplicates
+    // arrive in a later batch than their original — the cross-batch state the
+    // watermarked dedup exists to handle.
+    val ev = graft.ops.Tables.events(spark, d)
+      .select(col("event_id"), col("ts"), col("user_id"), col("event_type"), col("value"))
+    val feed = ev.unionAll(ev.filter(col("event_id") % 97 === 0))
+      .collect().map(r => (r.getLong(0), r.getTimestamp(1), r.getLong(2), r.getString(3), r.getDouble(4)))
+      .sortBy(t => (t._2.getTime, t._1))
+    assert(feed.length > ev.count(), "feed must contain injected duplicates")
+    val input = MemoryStream[(Long, java.sql.Timestamp, Long, String, Double)]
+    val events = input.toDF().toDF("event_id", "ts", "user_id", "event_type", "value")
+    val q = EventStream.dedupEvents(events).writeStream
+      .format("memory").queryName("dedup_parity").outputMode("append").start()
+    val streamed = try {
+      val (a, b) = feed.splitAt(feed.length / 2)
+      input.addData(a.toSeq); q.processAllAvailable()
+      input.addData(b.toSeq); q.processAllAvailable()
+      spark.table("dedup_parity").groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"),
+          sum(col("value").cast("decimal(18,4)")).cast("double").as("total_value"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    } finally q.stop()
+    val batch = graft.ops.MoreQueries.qStreamDedupParity(spark, d)
+      .select(col("event_type"), col("n_unique"), col("total_value"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(streamed == batch, s"stream/batch dedup divergence: $streamed vs $batch")
+  }
+
   test("streaming sessionization equals the batch window-function formulation on real events") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
