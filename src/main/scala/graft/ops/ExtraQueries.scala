@@ -429,7 +429,35 @@ object ExtraQueries {
       events(s, d).select(col("event_id"), col("event_type"), col("value")), dim)
   }
 
+  /** SCD type-2 dimension-history build — the islands problem: collapse each
+    * customer's date-ordered priority sequence into [valid_from, valid_to)
+    * intervals, open-ended for the current run. The standard CDC/warehouse
+    * shape (gaps-and-islands via lag + cumulative run counter + run
+    * aggregate + lead), all windows over the same (customer, date, orderkey)
+    * ordering so Spark plans ONE shuffle on o_custkey and sorts once per
+    * window family. Unique tiebreak (o_orderkey) makes every run boundary —
+    * and therefore every interval — deterministic cross-engine. */
+  def qScd2Intervals(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).filter(col("o_custkey") < 500)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+    val w = Window.partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+    val prev = lag(col("o_orderpriority"), 1).over(w)
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val runs = o
+      .withColumn("new_run", when(prev.isNull || prev =!= col("o_orderpriority"), 1).otherwise(0))
+      .withColumn("run_id", sum(col("new_run")).over(cum))
+      .groupBy(col("o_custkey"), col("run_id"), col("o_orderpriority"))
+      .agg(min(col("o_orderdate")).as("valid_from"), count(lit(1)).as("n_orders"))
+    val wr = Window.partitionBy(col("o_custkey")).orderBy(col("run_id"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(wr))
+      .select(col("o_custkey"), col("o_orderpriority").as("priority"),
+        col("valid_from"), col("valid_to"), col("n_orders"),
+        col("valid_to").isNull.cast("int").as("is_current"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_scd2_intervals" -> (qScd2Intervals _),
     "q_enrich_dim" -> (qEnrichDim _),
     "q_zorder_layout" -> (qZorderLayout _),
     "q_gapfill_hours" -> (qGapfillHours _),
@@ -472,6 +500,30 @@ object ExtraQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    "q_scd2_intervals" ->
+      """WITH o AS (
+        |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
+        |  FROM orders WHERE o_custkey < 500),
+        |g AS (
+        |  SELECT *,
+        |         CASE WHEN lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) IS NULL
+        |                OR lag(o_orderpriority) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) <> o_orderpriority
+        |              THEN 1 ELSE 0 END AS new_run
+        |  FROM o),
+        |r AS (
+        |  SELECT *, CAST(SUM(new_run) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+        |              ROWS UNBOUNDED PRECEDING) AS BIGINT) AS run_id
+        |  FROM g),
+        |runs AS (
+        |  SELECT o_custkey, run_id, o_orderpriority,
+        |         min(o_orderdate) AS valid_from, count(*) AS n_orders
+        |  FROM r GROUP BY o_custkey, run_id, o_orderpriority)
+        |SELECT o_custkey, o_orderpriority AS priority, valid_from,
+        |       lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) AS valid_to,
+        |       n_orders,
+        |       CAST(CASE WHEN lead(valid_from) OVER (PARTITION BY o_custkey ORDER BY run_id) IS NULL
+        |                 THEN 1 ELSE 0 END AS INTEGER) AS is_current
+        |FROM runs""".stripMargin,
     "q_enrich_dim" ->
       """SELECT e.event_id, e.event_type,
         |       e.value * COALESCE(dim.weight, 0.0) AS weighted_value
