@@ -7,6 +7,12 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // The generated-class cache defaults to 100 entries; a 115-query
+      // session evicts early compilations mid-run, re-paying multi-second
+      // codegen for the widest aggregates (measured: x_dedup_cc 2.1 s warm
+      // vs ~4.8 s after its simhash sketch class aged out). Any long-lived
+      // multi-query driver wants this raised; static conf, so set here.
+      .config("spark.sql.codegen.cache.maxEntries", "1000")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")
