@@ -1,8 +1,12 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-/** Throwaway: time one catalog query N times in a fresh session. */
+/** Dev harness: time one catalog query N times in a fresh session —
+  * separates true (warm) operator cost from one-time codegen/JIT cost,
+  * which bench-session numbers conflate (that distinction is how the
+  * codegen-cache eviction at 115 queries was isolated).
+  * Usage: Test/runMain graft.tools.TimeOne <sfDir> <name> [reps] */
 object TimeOne {
   def main(args: Array[String]): Unit = {
     val sfDir = args(0); val name = args(1)
@@ -19,7 +23,7 @@ object TimeOne {
     spark.range(1000000).selectExpr("sum(id)").collect()
     (1 to n).foreach { i =>
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
+      graft.SparkEntry.queries(name)(spark, sfDir).count()
       println(f"TIMEONE $name run$i ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     spark.stop()
