@@ -125,7 +125,7 @@ object Dedup {
     * the widest exchange. Collisions are ~n²/2⁶⁰ — nonexistent in practice,
     * and any would only ADD a candidate pair that the est-Jaccard filter
     * re-checks anyway. */
-  private def mhBands(sigs: DataFrame): DataFrame =
+  private[ops] def mhBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("mh"),
       posexplode(array((0 until BANDS).map { b =>
         conv(substring(md5(
@@ -173,8 +173,16 @@ object Dedup {
     * how many index docs it matched. */
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val bands = mhBands(minhashSignatures(s, d))
-    val existing = bands.filter(col("doc_id") % 2 === 0)
-    val incoming = bands.filter(col("doc_id") % 2 === 1)
+    incrementalMatches(
+      bands.filter(col("doc_id") % 2 === 1),
+      bands.filter(col("doc_id") % 2 === 0))
+  }
+
+  /** The probe kernel of [[dedupIncremental]], split out so the existing
+    * side can come from a PERSISTED signature index (signatures written
+    * once, `mhBands`-exploded at probe time — the parquet roundtrip is
+    * spec-proven lossless) instead of being recomputed with the delta. */
+  private[ops] def incrementalMatches(incoming: DataFrame, existing: DataFrame): DataFrame =
     incoming.as("a")
       .join(existing.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
@@ -186,7 +194,6 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(min(col("match_doc")).as("match_id"), count(lit(1)).as("n_matches"))
       .orderBy(col("doc_id"))
-  }
 
   private val SIMHASH_BITS = 60
   private val SIMHASH_BANDS = 6 // 10 bits each

@@ -69,6 +69,26 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(!out.exists(_._1 == 7), s"fresh doc falsely matched: $out")
   }
 
+  test("incremental dedup against a PERSISTED signature index equals the inline computation") {
+    val dir = java.nio.file.Files.createTempDirectory("incidx").toString
+    // real corpus slice as the fixture
+    val d = "/root/testdata/sf0.001"
+    val inline = Dedup.dedupIncremental(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // production shape: the existing side's SIGNATURES are written once and
+    // probed from disk — no recompute of the index corpus at probe time
+    Dedup.minhashSignatures(spark, d)
+      .filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$dir/sig_index.parquet")
+    val fromIndex = Dedup.incrementalMatches(
+      Dedup.mhBands(Dedup.minhashSignatures(spark, d).filter(col("doc_id") % 2 === 1)),
+      Dedup.mhBands(spark.read.parquet(s"$dir/sig_index.parquet"))).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(inline.nonEmpty, "fixture produced no incremental matches — spec is vacuous")
+    assert(fromIndex == inline,
+      s"persisted-index probe diverges from inline: ${fromIndex.diff(inline)} / ${inline.diff(fromIndex)}")
+  }
+
   test("PII scrub counts exactly the planted PII and redacts it from the output") {
     val docs = (0L until 15L).map(i => (i, "plain clean words only"))
       .toDF("doc_id", "text")
