@@ -13,7 +13,11 @@ import java.util.concurrent.atomic.LongAdder
   * independent implementations agreeing edge-for-edge is the oracle at a
   * scale where the DuckDB recursive-CTE replay is impractical.
   *
-  * Usage: GRAFT_CC_DEBUG=1 sbt "Test/runMain graft.tools.CcWorkout <sfDir>"
+  * With a second argument, also times the RELIABLE-checkpoint variant of
+  * the loop (checkpoint every 5 rounds into that directory) — quantifying
+  * what executor-loss insurance costs relative to localCheckpoint-only.
+  *
+  * Usage: GRAFT_CC_DEBUG=1 sbt "Test/runMain graft.tools.CcWorkout <sfDir> [ckptDir]"
   */
 object CcWorkout {
   def main(args: Array[String]): Unit = {
@@ -56,6 +60,24 @@ object CcWorkout {
     }
     val loopShufW = shufWrite.sum; val loopShufR = shufRead.sum; val loopStages = stages.sum
 
+    // Optional: the executor-loss-safe loop (reliable checkpoint every 5
+    // rounds). Same labels by construction; the delta vs loopSec is the
+    // insurance premium.
+    val (ckptInfo, ckptMism) = args.lift(1) match {
+      case Some(ckptDir) =>
+        val (ckptLabels, ckptSec) = t("distributed CC loop (ckpt)") {
+          val l = graft.ops.Dedup.connectedComponents(pairs,
+            checkpointDir = Some(ckptDir))
+          l.persist(); l.count(); l
+        }
+        val m = loopLabels.as("a").join(ckptLabels.as("b"), col("a.id") === col("b.id"), "full_outer")
+          .filter(col("a.label").isNull || col("b.label").isNull
+            || col("a.label") =!= col("b.label"))
+          .count()
+        (f""","ckpt_loop_sec":$ckptSec%.2f,"ckpt_label_mismatches":$m""", m)
+      case None => ("", 0L)
+    }
+
     val (fastLabels, fastSec) = t("union-find fast path (forced)") {
       val l = graft.ops.Dedup.connectedComponents(pairs, smallGraphThreshold = Long.MaxValue)
       l.persist(); l.count(); l
@@ -72,8 +94,9 @@ object CcWorkout {
       s"""CCWORKOUT {"dir":"$d","n_pairs":$nPairs,"n_nodes":$nNodes,"n_clusters":$nClusters,""" +
       f""""sketch_sec":$sketchSec%.2f,"loop_sec":$loopSec%.2f,"fast_sec":$fastSec%.2f,""" +
       s""""loop_stages":$loopStages,"loop_shuffle_write_bytes":$loopShufW,""" +
-      s""""loop_shuffle_read_bytes":$loopShufR,"label_mismatches":$mism}""")
+      s""""loop_shuffle_read_bytes":$loopShufR,"label_mismatches":$mism$ckptInfo}""")
     require(mism == 0, s"distributed loop disagrees with union-find on $mism ids")
+    require(ckptMism == 0, s"checkpointed loop disagrees with plain loop on $ckptMism ids")
     spark.stop()
   }
 }
