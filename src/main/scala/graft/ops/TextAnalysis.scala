@@ -457,7 +457,39 @@ object TextAnalysis {
         floor(col("w_micro") * BUDGET / col("tot_w")).cast("long").as("target_docs"))
   }
 
+  /** Heavy hitters via a mergeable Misra-Gries sketch, k = 64: which terms
+    * exceed 1/(k+1) of all token occurrences. The production pattern at
+    * 100 TB is sketch-prune + exact-verify: the bounded-memory sketch
+    * (partial-aggregated, at most k counters per partition and k overall —
+    * no full-cardinality state) nominates <= k candidates, and only those
+    * are joined against exact counts. The MG guarantee (every item with
+    * count > N/(k+1) survives any merge tree — property-proven in
+    * HeavyHittersSpec) makes the final output DETERMINISTIC even though
+    * sketch internals depend on merge order: it is exactly the true
+    * heavy-hitter set with exact counts, which is what the oracle checks.
+    * The exact join here aggregates the corpus only because the oracle
+    * needs replayability; a pure-Spark consumer joins the candidates
+    * against the token stream with an isin filter instead. */
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val K = 64
+    val toks = documents(s, d).select(explode(tokensCol(lower(col("text")))).as("tok"))
+    val hh = udaf(graft.functions.HeavyHittersAggregator(K))
+    val cands = toks.agg(hh(col("tok")).as("sketch"))
+      .select(explode(col("sketch")).as(Seq("tok", "lb")))
+    // N comes from a window over the Zipf-bounded vocab relation (one
+    // single-partition pass over ~thousands of rows), not a third scan of
+    // the token stream.
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_occurrences"))
+      .withColumn("n_total", sum(col("n_occurrences")).over(w))
+    cands.join(exact, "tok")
+      .filter(col("n_occurrences") * (K + 1) > col("n_total"))
+      .select(col("tok").as("term"), col("n_occurrences"))
+      .orderBy(col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_heavy_hitters" -> (heavyHitters _),
     "x_pii_scrub" -> (piiScrub _),
     "x_html_strip" -> (htmlStrip _),
     "x_mix_temperature" -> (mixTemperature _),
@@ -479,6 +511,15 @@ object TextAnalysis {
   )
 
   val oracleSql: Map[String, String] = Map(
+    // The sketch's guarantee makes the output the exact heavy-hitter set,
+    // so the oracle is the direct relational statement of that set.
+    "x_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM tk),
+        |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
+        |SELECT tok AS term, CAST(cnt AS BIGINT) AS n_occurrences
+        |FROM c, n WHERE cnt * 65 > n_total""".stripMargin,
     // Same planted PII, same regexes (the [0-9]/explicit-class subset both
     // engines implement identically), same scrub order.
     "x_pii_scrub" ->
