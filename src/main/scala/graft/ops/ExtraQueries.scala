@@ -456,7 +456,28 @@ object ExtraQueries {
         col("valid_to").isNull.cast("int").as("is_current"))
   }
 
+  /** Recursive CTE (Spark 4's WITH RECURSIVE): walk a 10-ary hierarchy
+    * derived from the customer keyspace (parent = key div 10, rooted at 1)
+    * and audit each depth level — the BOM-explosion / org-chart shape that
+    * needed iterative driver loops before recursive CTEs landed. The walk
+    * is depth-bounded by construction (log10 of the keyspace) and each
+    * iteration is an ordinary equi-join the optimizer plans like any
+    * other, so the recursion adds rounds, not state. */
+  def qRecursiveCte(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("g_rc_customer")
+    s.sql(
+      """WITH RECURSIVE org(key, depth) AS (
+        |  SELECT c_custkey, 0 FROM g_rc_customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, o.depth + 1
+        |  FROM g_rc_customer c JOIN org o
+        |    ON c.c_custkey DIV 10 = o.key AND c.c_custkey > o.key)
+        |SELECT depth, count(*) AS n_nodes, CAST(SUM(key) AS BIGINT) AS key_sum
+        |FROM org GROUP BY depth""".stripMargin)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_recursive_cte" -> (qRecursiveCte _),
     "q_scd2_intervals" -> (qScd2Intervals _),
     "q_enrich_dim" -> (qEnrichDim _),
     "q_zorder_layout" -> (qZorderLayout _),
@@ -500,6 +521,16 @@ object ExtraQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // DuckDB spells integer division // where Spark SQL says DIV.
+    "q_recursive_cte" ->
+      """WITH RECURSIVE org(key, depth) AS (
+        |  SELECT c_custkey, 0 FROM customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey, o.depth + 1
+        |  FROM customer c JOIN org o
+        |    ON c.c_custkey // 10 = o.key AND c.c_custkey > o.key)
+        |SELECT depth, count(*) AS n_nodes, CAST(SUM(key) AS BIGINT) AS key_sum
+        |FROM org GROUP BY depth""".stripMargin,
     "q_scd2_intervals" ->
       """WITH o AS (
         |  SELECT o_custkey, o_orderkey, o_orderdate, o_orderpriority
