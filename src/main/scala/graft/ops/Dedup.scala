@@ -203,12 +203,33 @@ object Dedup {
 
   /** 60-bit SimHash per document: hash each token (60 md5 bits — replicable
     * in any engine, see [[baseHash]] contract), sum +/-1 per bit position
-    * over all tokens, take the sign bit vector. One explode + one groupBy.
-    * 60 bits, not 32: on ~50-token documents a 32-bit signature put random
-    * pairs within hamming 4 at ~1.6% (731 false candidates per 7 true on
-    * the audit sample); at 60 bits the same truth set sits at hamming <= 5
-    * with ~11 false — measured precision 0.39 at recall 1.0. */
+    * over all tokens, take the sign bit vector. 60 bits, not 32: on
+    * ~50-token documents a 32-bit signature put random pairs within hamming
+    * 4 at ~1.6% (731 false candidates per 7 true on the audit sample); at
+    * 60 bits the same truth set sits at hamming <= 5 with ~11 false —
+    * measured precision 0.39 at recall 1.0.
+    *
+    * Computed by the native `SimhashBits` expression: one codegen'd pass
+    * per DOCUMENT over its token array — the signature relation is
+    * produced at scan speed with no Generate, no 60-column aggregate, and
+    * NO shuffle (the explode + groupBy formulation it replaced multiplied
+    * the row count by tokens-per-doc before aggregating it back down; kept
+    * as [[simhashSignaturesViaExplode]] and spec-pinned row-identical).
+    * The `size(toks) > 0` filter preserves the explode semantics exactly:
+    * token-less documents produce no signature row. */
   def simhashSignatures(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame = {
+    val base = maxDocId.foldLeft(documents(s, d))((df, m) => df.filter(col("doc_id") < m))
+    base.select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"),
+        org.apache.spark.sql.graftbridge.simhashBits(col("toks")).as("simhash"))
+  }
+
+  /** The explode + 60-column-aggregate formulation [[simhashSignatures]]
+    * replaced — retained as the independent reference implementation its
+    * parity spec pins the native expression against. */
+  private[ops] def simhashSignaturesViaExplode(
+      s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame = {
     val base = maxDocId.foldLeft(documents(s, d))((df, m) => df.filter(col("doc_id") < m))
     val toks = base
       .select(col("doc_id"), explode(tokensCol(col("text"))).as("tok"))

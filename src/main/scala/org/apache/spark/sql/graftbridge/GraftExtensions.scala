@@ -44,6 +44,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SortedIntersectCount(args.head, args(1))
       }))
     ext.injectFunction((
+      new FunctionIdentifier("graft_simhash_bits"),
+      new ExpressionInfo(classOf[SimhashBits].getName, "graft_simhash_bits"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "graft_simhash_bits(tokens) takes exactly 1 argument")
+        SimhashBits(args.head)
+      }))
+    ext.injectFunction((
       new FunctionIdentifier("graft_max_element_count"),
       new ExpressionInfo(classOf[MaxElementCount].getName, "graft_max_element_count"),
       (args: Seq[Expression]) => {

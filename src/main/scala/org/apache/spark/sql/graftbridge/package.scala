@@ -40,4 +40,9 @@ package object graftbridge {
     * codegen-friendly hash pass (see [[graftbridge.MaxElementCount]]). */
   def maxElementCount(c: Column): Column =
     ExpressionUtils.column(MaxElementCount(ExpressionUtils.expression(c)))
+
+  /** Full 60-bit SimHash of a token array in one codegen'd pass (see
+    * [[graftbridge.SimhashBits]]). */
+  def simhashBits(c: Column): Column =
+    ExpressionUtils.column(SimhashBits(ExpressionUtils.expression(c)))
 }

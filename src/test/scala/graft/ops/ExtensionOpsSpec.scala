@@ -123,6 +123,42 @@ class ExtensionOpsSpec extends AnyFunSuite {
       "stripped text differs from the known answer (script content leaked or entities undecoded)")
   }
 
+  test("native SimhashBits equals the explode + 60-column-aggregate formulation on real corpus data") {
+    val d = "/root/testdata/sf0.001"
+    val native = Dedup.simhashSignatures(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    val viaExplode = Dedup.simhashSignaturesViaExplode(spark, d).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(native.nonEmpty && native == viaExplode,
+      s"native/explode simhash divergence on ${native.keySet.diff(viaExplode.keySet)} / value diffs: ${
+        native.collect { case (k, v) if viaExplode.get(k).exists(_ != v) => k }.take(5)}")
+  }
+
+  test("SimhashBits agrees between codegen and interpreted evaluation, and on edge tokens") {
+    import org.apache.spark.sql.graftbridge
+    val df = Seq(
+      (1L, Seq("alpha", "beta", "alpha")),
+      (2L, Seq("")),                      // empty-string token still hashes
+      (3L, Seq("单字", "øü", "a b"))       // multi-byte UTF-8, space inside token
+    ).toDF("id", "toks")
+    val fromExpr = df.select(col("id"), graftbridge.simhashBits(col("toks")).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // interpreted path: force eval through the expression directly
+    val interp = df.collect().map { r =>
+      val arr = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(
+        r.getSeq[String](1).map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray)
+      (r.getLong(0), org.apache.spark.sql.graftbridge.SimhashBits.simhash(arr))
+    }.toMap
+    assert(fromExpr == interp)
+    // and the oracle-contract arithmetic for a known token: the 60-bit hash
+    // of a single-token doc IS its signature (sign of +/-1 per bit = the bit)
+    val single = Seq((9L, Seq("alpha"))).toDF("id", "toks")
+      .select(graftbridge.simhashBits(col("toks"))).head().getLong(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest("alpha".getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+    assert(single == java.lang.Long.parseLong(hex, 16))
+  }
+
   test("simhash: identical docs hamming 0, unrelated docs never within threshold") {
     val base = (1 to 40).map(i => s"w$i").mkString(" ")
     val docs = Seq((1L, base), (2L, base), (3L, (1 to 40).map(i => s"q${i}x").mkString(" ")))
