@@ -94,6 +94,28 @@ class ExamplesSpec extends AnyFunSuite {
     assert(clusters.filter(col("doc_id") === 1).head().getLong(1) == 0L) // 1 clusters under 0
   }
 
+  test("example 6: a training-data pipeline — scrub, quality-gate, dedup, count the budget") {
+    val d = "/root/testdata/sf0.001"
+    // each stage is a declarative transform over the documents table; the
+    // catalog entries (x_pii_scrub, x_quality_score, x_dedup_exact,
+    // x_token_count, x_pack_bins, ...) are these stages run standalone
+    val docs = graft.ops.Tables.documents(spark, d)
+    val scrubbed = docs.withColumn("text",
+      regexp_replace(col("text"), "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}", "[EMAIL]"))
+    val quality = scrubbed.filter(
+      graft.ops.TextAnalysis.tokenCountCol(col("text")) >= 10)
+    val keep = quality
+      .groupBy(graft.ops.TextAnalysis.fingerprintCol(col("text")).as("fp"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val corpus = quality.join(keep, "doc_id")
+    val budget = corpus.agg(
+      count(lit(1)).as("n_docs"),
+      sum(graft.ops.TextAnalysis.tokenCountCol(col("text"))).as("n_tokens")).head()
+    assert(budget.getLong(0) > 0 && budget.getLong(1) > budget.getLong(0))
+    assert(corpus.count() <= docs.count())
+  }
+
   test("example 5: similarity search — brute-force oracle now, bucketed ANN at scale") {
     val dir = tmp("ex-ann")
     val rnd = new scala.util.Random(7)
