@@ -25,6 +25,15 @@ import org.apache.spark.sql.expressions.Aggregator
   * relation is never aggregated at full cardinality when only heads are
   * needed. Counters are LOWER bounds; anything needing exact numbers does
   * the verify join (as x_heavy_hitters does).
+  *
+  * Cost model: the buffer must round-trip through a Spark encoder, so it
+  * is an immutable Map and the decrement-all eviction rebuilds it — O(k)
+  * per TAIL item while the buffer is full. That is the right trade for
+  * the heads-detection regime this exists for (k in the tens-to-hundreds,
+  * threshold N/(k+1) high); for huge k, the exact-cleanup invariant that
+  * preserves the completeness guarantee makes per-eviction work
+  * unavoidable without a stream-summary structure, which cannot live in
+  * an encodable buffer — shard the stream and verify-join instead.
   */
 final case class HeavyHittersAggregator(k: Int)
     extends Aggregator[String, Map[String, Long], Map[String, Long]] {
