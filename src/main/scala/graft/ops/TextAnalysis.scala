@@ -467,23 +467,31 @@ object TextAnalysis {
     * HeavyHittersSpec) makes the final output DETERMINISTIC even though
     * sketch internals depend on merge order: it is exactly the true
     * heavy-hitter set with exact counts, which is what the oracle checks.
-    * The exact join here aggregates the corpus only because the oracle
-    * needs replayability; a pure-Spark consumer joins the candidates
-    * against the token stream with an isin filter instead. */
+    *
+    * The verify side honors the sketch's whole point: the exact groupBy
+    * aggregates ONLY tokens that survive a semi-join against the broadcast
+    * <= K candidate set — the full (quasi-unbounded at web scale)
+    * vocabulary is never shuffled. N comes from a plain count() riding the
+    * SAME partial aggregate as the sketch pass, so the stream is scanned
+    * exactly twice: once to nominate, once to verify. The <= K+1 values
+    * pinned on the driver are control-plane sized (same regime as the IVF
+    * centroids). */
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
     val K = 64
     val toks = documents(s, d).select(explode(tokensCol(lower(col("text")))).as("tok"))
     val hh = udaf(graft.functions.HeavyHittersAggregator(K))
-    val cands = toks.agg(hh(col("tok")).as("sketch"))
-      .select(explode(col("sketch")).as(Seq("tok", "lb")))
-    // N comes from a window over the Zipf-bounded vocab relation (one
-    // single-partition pass over ~thousands of rows), not a third scan of
-    // the token stream.
-    val w = org.apache.spark.sql.expressions.Window.partitionBy()
-    val exact = toks.groupBy(col("tok")).agg(count(lit(1)).as("n_occurrences"))
-      .withColumn("n_total", sum(col("n_occurrences")).over(w))
-    cands.join(exact, "tok")
-      .filter(col("n_occurrences") * (K + 1) > col("n_total"))
+    // One sketch job: <= K candidate terms + the exact stream length.
+    val sk = toks.agg(hh(col("tok")).as("sketch"), count(lit(1)).as("n_total")).head()
+    val nTotal = sk.getLong(1)
+    val candTerms = sk.getMap[String, Long](0).keys.toSeq.sorted
+    val cands = s.createDataFrame(
+      s.sparkContext.parallelize(candTerms.map(org.apache.spark.sql.Row(_)), 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("tok", org.apache.spark.sql.types.StringType, nullable = false))
+    // Prune BEFORE aggregating: exact counts exist only for candidates.
+    toks.join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * (K + 1) > nTotal)
       .select(col("tok").as("term"), col("n_occurrences"))
       .orderBy(col("term"))
   }
