@@ -206,15 +206,28 @@ final class ChunkEngine(
     true
   }
 
-  private def withRetry[A](f: () => A, ls: LoopState, markTimer: Boolean): A = {
+  private def withRetry[A](f: () => A, ls: LoopState, markTimer: Boolean): A =
+    retrying("Chunk") {
+      if (markTimer) ls.markChunkTimer() // reset timer on each (re)try
+      f()
+    }
+
+  /** The engine's retry policy (budget `cfg.retryAttempts`, classification
+    * `cfg.retryOn`) applied to an arbitrary action. Public so the per-run
+    * STARTUP work — range discovery, a journal high-water-mark probe —
+    * enjoys the same budget as the chunks themselves: the reference wraps
+    * its whole run in `DBIx::Connector::Retry->run` (reference
+    * lib/DBIx/BatchChunker.pm:236-288), so a DB that flaps twice while a
+    * run is starting up must not kill a job whose per-chunk path would
+    * have survived ten attempts.
+    */
+  def retrying[A](what: String)(f: => A): A = {
     var attempt = 0
     var result: Option[A] = None
     while (result.isEmpty) {
       attempt += 1
-      try {
-        if (markTimer) ls.markChunkTimer() // reset timer on each (re)try
-        result = Some(f())
-      } catch {
+      try result = Some(f)
+      catch {
         // A failure only earns a retry when the budget allows AND the
         // failure class is retryable (cfg.retryOn, default NonFatal) — the
         // reference's retry_handler classification hook
@@ -222,7 +235,7 @@ final class ChunkEngine(
         // or a cancellation burns the budget on a doomed run and masks the
         // real failure.
         case e: Throwable if attempt < cfg.retryAttempts && cfg.retryOn(e) =>
-          cfg.log(s"Chunk attempt $attempt/${cfg.retryAttempts} failed, retrying: ${e.getMessage}")
+          cfg.log(s"$what attempt $attempt/${cfg.retryAttempts} failed, retrying: ${e.getMessage}")
       }
     }
     result.get

@@ -91,7 +91,7 @@ final case class ChunkerConfig(
 final case class ChunkOutcome(
     chunk: Chunk,
     count: Option[BigInt],
-    action: String, // "processed" | "skipped"
+    action: String, // "processed" | "skipped" | "skipped-journal"
     runtime: Double,
     chunkSizeAtRun: BigInt
 )
@@ -107,4 +107,12 @@ final case class ExecutionReport(
 ) {
   def processed: Vector[ChunkOutcome] = outcomes.filter(_.action == "processed")
   def skipped: Vector[ChunkOutcome] = outcomes.filter(_.action == "skipped")
+
+  /** Chunks whose DML body was NOT executed because their journal row was
+    * already committed (a lost-ack retry or a prior process of the same
+    * run_id — see `JdbcBatch.executeChunkedDml`'s `commitLog`). Distinct
+    * from [[processed]] so an operator auditing an exactly-once resume can
+    * tell replayed-and-skipped from executed: `processed` ++ `skipped*`
+    * together tile the keyspace the loop walked. */
+  def skippedJournal: Vector[ChunkOutcome] = outcomes.filter(_.action == "skipped-journal")
 }

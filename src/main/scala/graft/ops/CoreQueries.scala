@@ -452,12 +452,16 @@ object CoreQueries {
       // commitLog on: the template is non-idempotent in effect (a re-run
       // after a lost commit ack would double-apply the 5% bump), so the
       // demo runs the journaled exactly-once path it would need in
-      // production — one indexed point-SELECT per chunk of overhead.
+      // production — one indexed point-SELECT per chunk of overhead. The
+      // runId scopes the journal to this logical run (required whenever
+      // commitLog is set); the database here is per-call, but a production
+      // caller re-uses the id to resume a crash and mints a fresh one for
+      // each new logical application.
       graft.sources.JdbcBatch.executeChunkedDml(url,
         """UPDATE part_live SET "p_retailprice" = "p_retailprice" * 1.05 """ +
           """WHERE "p_size" > 25 AND "p_partkey" BETWEEN {start} AND {end}""",
         "p_partkey", "part_live", cfg, props,
-        commitLog = Some("part_live_chunklog"))
+        commitLog = Some("part_live_chunklog"), runId = "bump5pct-demo")
       // Audit = chunk-partitioned JDBC read of the mutated table, pinned on
       // the driver (brand-cardinality rows) so the result outlives the
       // dropped database without a snapshot directory to leak.

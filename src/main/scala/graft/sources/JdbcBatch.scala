@@ -177,15 +177,19 @@ object JdbcBatch {
     *                 true high-water mark even when the process dies between
     *                 COMMIT and the state-file write. The table is created
     *                 if missing.
-    * @param runId   logical-run scope for the journal. Journal rows are
-    *                 keyed by (run_id, chunk_start, chunk_end) and are never
-    *                 purged by the loop, so a SECOND legitimate run of the
-    *                 same template over the same keyspace (a periodic
-    *                 re-application) MUST use a fresh runId (or a fresh
-    *                 journal table) — otherwise the first run's rows make it
-    *                 a silent no-op. A crashed run resumes by re-using its
-    *                 runId. Cleanup is the caller's: DELETE FROM journal
-    *                 WHERE run_id = ... once a run is confirmed complete.
+    * @param runId   logical-run scope for the journal — REQUIRED (non-empty)
+    *                 whenever `commitLog` is set, enforced with a fail-fast
+    *                 `require`: with an implicit shared default, a second
+    *                 legitimate run re-using defaults would silently no-op
+    *                 every chunk against the first run's journal rows.
+    *                 Journal rows are keyed by (run_id, chunk_start,
+    *                 chunk_end) and are never purged by the loop, so a
+    *                 SECOND legitimate run of the same template over the
+    *                 same keyspace (a periodic re-application) MUST use a
+    *                 fresh runId (or a fresh journal table). A crashed run
+    *                 resumes by re-using its runId. Cleanup is the caller's:
+    *                 DELETE FROM journal WHERE run_id = ... once a run is
+    *                 confirmed complete.
     */
   def executeChunkedDml(
       url: String,
@@ -199,6 +203,11 @@ object JdbcBatch {
       commitLog: Option[String] = None,
       runId: String = ""
   ): ExecutionReport = {
+    require(commitLog.isEmpty || runId.nonEmpty,
+      "commitLog is set but runId is empty: journal rows are scoped by run_id, and an " +
+        "implicit shared default would make a second legitimate run a silent no-op " +
+        "against the first run's journal. Pass an explicit runId (re-use it to resume " +
+        "a crashed run; use a fresh one for a new logical run).")
     val probeConn = new ProbeConnection(url, props)
     var dmlConn = DriverManager.getConnection(url, props)
     val runIdSql = "'" + runId.replace("'", "''") + "'"
@@ -273,7 +282,11 @@ object JdbcBatch {
           }
         }
       val engine = new ChunkEngine(cfg, Some(source), probe)
-      engine.calculateRanges()
+      // Startup probes run under the SAME retry budget as the chunks:
+      // ProbeConnection only survives one rebuild-and-reissue per call, so
+      // without this a DB that flaps twice at startup kills a run whose
+      // per-chunk path would have survived cfg.retryAttempts attempts.
+      engine.retrying("Startup range probe")(engine.calculateRanges())
       // Cross-process resume in the reference's own deployment shape: with
       // a configured stateDir the engine persists prevEnd per committed
       // chunk, and a restarted run re-enters after the last COMMITTED
@@ -292,7 +305,7 @@ object JdbcBatch {
       // increasing, so MAX(chunk_end) for this run is the true high-water
       // mark. Resume from whichever of the two is further along.
       commitLog.foreach { tbl =>
-        val hwm = probeConn { c =>
+        val hwm = engine.retrying("Journal high-water-mark probe")(probeConn { c =>
           val st = c.createStatement()
           try {
             val rs = st.executeQuery(
@@ -300,20 +313,26 @@ object JdbcBatch {
             if (!rs.next()) None
             else Option(rs.getBigDecimal(1)).map(d => BigInt(d.toBigInteger))
           } finally st.close()
-        }
+        })
         for (m <- hwm) {
           val next = m + 1
           if (engine.minId.forall(_ < next)) engine.minId = Some(next)
         }
       }
-      engine.execute { chunk =>
+      // Chunks whose body was skipped because their journal row was already
+      // committed (lost-ack retry or a prior process): the engine records
+      // them as dispatched, so they are re-labelled in the report below —
+      // an operator auditing an exactly-once resume must be able to tell
+      // replayed-and-skipped from executed.
+      val journalSkipped = scala.collection.mutable.Set.empty[Chunk]
+      val report = engine.execute { chunk =>
         if (reconnectPending) {
           try dmlConn.close() catch { case _: Throwable => () }
           dmlConn = DriverManager.getConnection(url, props)
           dmlConn.setAutoCommit(false)
           reconnectPending = false
         }
-        if (alreadyCommitted(chunk)) () // lost-ack commit or prior process
+        if (alreadyCommitted(chunk)) journalSkipped += chunk // lost-ack commit or prior process
         else try {
           val sql = template
             .replace("{start}", chunk.start.toString)
@@ -340,6 +359,11 @@ object JdbcBatch {
             throw e
         }
       }
+      // A lost-ack chunk can journal-skip on its RETRY after a first attempt
+      // did the work — "skipped-journal" still describes the final dispatch
+      // (the body did not run on the attempt that succeeded).
+      report.copy(outcomes = report.outcomes.map(o =>
+        if (journalSkipped(o.chunk)) o.copy(action = "skipped-journal") else o))
     } finally {
       try probeConn.close() finally dmlConn.close()
     }

@@ -178,7 +178,7 @@ class JdbcBatchSpec extends AnyFunSuite {
       val src = (1L to 100L).map(i => (i, 0L)).toDF("id", "done")
       src.write.mode("overwrite").jdbc(url, table, new java.util.Properties)
       val attempts = scala.collection.mutable.Map.empty[Long, Int].withDefaultValue(0)
-      JdbcBatch.executeChunkedDml(url,
+      val rpt = JdbcBatch.executeChunkedDml(url,
         s"""UPDATE $table SET "done" = "done" + 1 WHERE "id" BETWEEN {start} AND {end}""",
         "id", table, cfg(25).copy(retryAttempts = 3),
         inTxn = { (chunk, conn) =>
@@ -186,22 +186,30 @@ class JdbcBatchSpec extends AnyFunSuite {
           attempts(st) += 1
           if (st == 51L && attempts(st) == 1) { conn.commit(); conn.close() }
         },
-        commitLog = log)
-      (attempts, spark.read.jdbc(url, table, new java.util.Properties))
+        commitLog = log, runId = if (log.isDefined) "ack-run" else "")
+      (attempts, rpt, spark.read.jdbc(url, table, new java.util.Properties))
     }
     // Negative control — plain retry re-runs the already-committed chunk:
     // the non-idempotent increment lands TWICE on the poisoned range.
-    val (attemptsPlain, backPlain) = lostAck("txn_ack_plain", None)
+    val (attemptsPlain, _, backPlain) = lostAck("txn_ack_plain", None)
     assert(attemptsPlain(51L) == 2)
     assert(backPlain.filter(col("done") === 2).count() == 25) // ids 51-75 double-applied
     // With the journal: the retry sees the committed journal row and skips
     // the chunk whole — exactly-once even though the ack was lost.
-    val (attemptsLog, backLog) = lostAck("txn_ack_log_t", Some("txn_ack_journal"))
+    val (attemptsLog, rptLog, backLog) = lostAck("txn_ack_log_t", Some("txn_ack_journal"))
     assert(attemptsLog(51L) == 1) // the chunk body never re-ran
     assert(backLog.filter(col("done") === 1).count() == 100)
     assert(backLog.filter(col("done") =!= 1).count() == 0)
     val j = spark.read.jdbc(url, "txn_ack_journal", new java.util.Properties)
     assert(j.count() == 4) // one journal row per chunk
+    // Observability: the replayed-and-skipped chunk is reported DISTINCT
+    // from executed ones, and processed + skipped-via-journal tile the
+    // keyspace — an exactly-once audit can see what actually re-ran.
+    assert(rptLog.skippedJournal.map(_.chunk.start) == Vector(BigInt(51)))
+    assert(rptLog.processed.size == 3)
+    val covered = (rptLog.processed ++ rptLog.skippedJournal).map(_.chunk)
+      .sortBy(_.start).flatMap(c => c.start.toLong to c.end.toLong)
+    assert(covered == (1L to 100L).toVector)
   }
 
   test("executeChunkedDml: journaled exactly-once holds for EVERY chunk x both death modes") {
@@ -227,7 +235,7 @@ class JdbcBatchSpec extends AnyFunSuite {
             conn.close()
           }
         },
-        commitLog = Some(s"${table}_j"))
+        commitLog = Some(s"${table}_j"), runId = "x-run")
       val label = s"chunk $poisonStart afterCommit=$afterCommit"
       // ack-lost: journal row visible, retry skips the body entirely;
       // death-before-commit: nothing durable, retry re-runs the body once
@@ -264,7 +272,7 @@ class JdbcBatchSpec extends AnyFunSuite {
           Thread.sleep(2) // a measurable >0 runtime for the targeting law
           if (chunks1.size == 9) throw new RuntimeException("process killed")
         },
-        commitLog = Some("txn_jresume_j"))
+        commitLog = Some("txn_jresume_j"), runId = "jresume-run")
     }
     val committed = chunks1.init // chunk 9 threw before its commit
     assert(committed.map(c => c._2 - c._1 + 1).distinct.size > 1,
@@ -281,7 +289,7 @@ class JdbcBatchSpec extends AnyFunSuite {
       """UPDATE txn_jresume SET "done" = "done" + 1 WHERE "id" BETWEEN {start} AND {end}""",
       "id", "txn_jresume", cfgA,
       inTxn = (chunk, _) => starts2 += chunk.start,
-      commitLog = Some("txn_jresume_j"))
+      commitLog = Some("txn_jresume_j"), runId = "jresume-run")
     assert(starts2.head == committed.last._2 + 1,
       s"resume point ${starts2.head} is not the journal high-water mark + 1")
     // Exactly-once key coverage under the non-idempotent increment.
@@ -314,6 +322,55 @@ class JdbcBatchSpec extends AnyFunSuite {
     assert(run("2026-08").isEmpty)
     assert(spark.read.jdbc(url, "txn_runid", new java.util.Properties)
       .filter(col("done") === 2).count() == 60)
+  }
+
+  test("executeChunkedDml: commitLog without a runId fails fast (silent-no-op footgun)") {
+    seeded
+    // Journal rows are scoped by run_id; with an implicit shared default, a
+    // second legitimate run would silently no-op every chunk against the
+    // first run's rows. The API refuses the call shape outright.
+    val e = intercept[IllegalArgumentException] {
+      JdbcBatch.executeChunkedDml(url,
+        """UPDATE chunk_src SET "val" = "val" WHERE "id" BETWEEN {start} AND {end}""",
+        "id", "chunk_src", cfg(100), commitLog = Some("no_runid_journal"))
+    }
+    assert(e.getMessage.contains("runId"))
+  }
+
+  test("startup probes run under the engine retry budget: a DB that flaps twice at startup still completes") {
+    // The JdbcBatch startup shape exactly: range discovery wrapped in
+    // engine.retrying. ProbeConnection only survives ONE rebuild-and-reissue
+    // per call, so a source that fails twice (rebuild also refused) used to
+    // kill the run before the first chunk; under the chunk retry budget it
+    // completes.
+    val failures = new java.util.concurrent.atomic.AtomicInteger(2)
+    val source = new graft.chunker.RangeSource {
+      private def flaky[A](v: A): A =
+        if (failures.getAndDecrement() > 0)
+          throw new java.sql.SQLTransientConnectionException("startup flap")
+        else v
+      override def minId(): Option[BigInt] = flaky(Some(BigInt(1)))
+      override def maxId(): Option[BigInt] = Some(BigInt(100))
+    }
+    val engine = new graft.chunker.ChunkEngine(cfg(25).copy(retryAttempts = 5), Some(source))
+    assert(engine.retrying("Startup range probe")(engine.calculateRanges()))
+    val starts = scala.collection.mutable.ArrayBuffer.empty[BigInt]
+    engine.execute(c => starts += c.start)
+    assert(starts.toList == List(BigInt(1), BigInt(26), BigInt(51), BigInt(76)))
+    // With a budget of 2 the same double flap exhausts it and propagates —
+    // the classification and budget are the engine's, not a bottomless loop.
+    val failures2 = new java.util.concurrent.atomic.AtomicInteger(2)
+    val source2 = new graft.chunker.RangeSource {
+      override def minId(): Option[BigInt] =
+        if (failures2.getAndDecrement() > 0)
+          throw new java.sql.SQLTransientConnectionException("startup flap")
+        else Some(BigInt(1))
+      override def maxId(): Option[BigInt] = Some(BigInt(100))
+    }
+    val engine2 = new graft.chunker.ChunkEngine(cfg(25).copy(retryAttempts = 2), Some(source2))
+    intercept[java.sql.SQLTransientConnectionException] {
+      engine2.retrying("Startup range probe")(engine2.calculateRanges())
+    }
   }
 
   test("ProbeConnection: a dropped probe handle is rebuilt and the read re-issued, not failed") {
