@@ -200,6 +200,12 @@ object Dedup {
   /** Pigeonhole-complete threshold: hamming <= BANDS-1 guarantees at least
     * one band matches exactly, so banding loses nothing. */
   private val SIMHASH_MAX_HAMMING = SIMHASH_BANDS - 1
+  /** Wide-family defaults: 2 words = 120 signature bits, 8 bands x 15 bits
+    * -> 32768 buckets/band (32x the 60-bit default's 1024), recall-complete
+    * for hamming <= 7. See [[simhashBandedPairs]] for the sizing rule. */
+  private[ops] val SIMHASH_WIDE_WORDS = 2
+  private[ops] val SIMHASH_WIDE_BAND_BITS = 15
+  private[ops] val SIMHASH_WIDE_MAX_HAMMING = 7
 
   /** 60-bit SimHash per document: hash each token (60 md5 bits — replicable
     * in any engine, see [[baseHash]] contract), sum +/-1 per bit position
@@ -247,27 +253,95 @@ object Dedup {
   /** SimHash near-duplicate candidates: band the 60-bit signature into 6
     * exact-match 10-bit slices (any pair within hamming BANDS-1 must agree
     * on at least one band — pigeonhole, no candidates lost), then verify
-    * with bit_count(xor) <= 5. */
+    * with bit_count(xor) <= 5. The band space is the parameterized
+    * [[simhashBandedPairs]] kernel at its 60-bit oracled default; at
+    * corpora past ~10^6 docs use [[dedupSimhashWide]], whose wider bands
+    * keep the candidate volume linear (the sizing rule lives on the
+    * kernel). */
   def dedupSimhash(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame =
     simhashPairs(s, d, maxDocId).orderBy(col("doc_a"), col("doc_b"))
 
   /** The unordered pair set behind [[dedupSimhash]] — also the edge source
     * for [[dedupClusters]], where a final sort would be wasted work. */
-  private def simhashPairs(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame = {
-    val sigs = simhashSignatures(s, d, maxDocId)
-    val bands = sigs.select(col("doc_id"), col("simhash"),
-      posexplode(array((0 until SIMHASH_BANDS).map(b =>
-        shiftright(col("simhash"), b * 10).bitwiseAND(0x3ff)): _*)).as(Seq("band_idx", "band_val")))
+  private def simhashPairs(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame =
+    simhashBandedPairs(
+      simhashSignatures(s, d, maxDocId).withColumnRenamed("simhash", "w0"),
+      words = 1, bandBits = SIMHASH_BITS / SIMHASH_BANDS, maxHamming = SIMHASH_MAX_HAMMING)
+
+  /** The parameterized SimHash banding kernel over a word-column signature
+    * relation `(doc_id, w0[, w1])` (each word 60 bits).
+    *
+    * THE SIZING RULE (the same law this repo measured twice on the
+    * minhash/hyperplane LSH families — bits ~ log2(n)): each band is an
+    * exact-match `bandBits`-bit slice, so expected bucket occupancy is
+    * n / 2^bandBits and banded candidate volume grows as
+    * bands * n^2 / 2^bandBits — QUADRATIC in corpus size for any FIXED
+    * band width. Keeping candidates O(n) therefore needs
+    * `bandBits ~ log2(n)`, while pigeonhole recall (any pair within
+    * `maxHamming` must agree on >= 1 band) needs
+    * `bands >= maxHamming + 1` — so the signature itself must widen to
+    * `(maxHamming+1) * bandBits` bits as the corpus grows. 60 bits
+    * (6x10, 1024 buckets/band) holds to ~10^5-10^6 docs; 120 bits (8x15,
+    * 32768 buckets/band) to ~10^7; past that, grow `words` (the
+    * `SimhashWide` expression carries up to 2 words per md5 — beyond 120
+    * bits chain a second hash family). Both knobs are validated here so a
+    * mis-sized call fails fast instead of silently losing recall.
+    *
+    * Bands never straddle words (bandBits must divide 60): band b covers
+    * word b / bandsPerWord, bit offset (b % bandsPerWord) * bandBits. */
+  private[ops] def simhashBandedPairs(
+      sigs: DataFrame, words: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    require(SIMHASH_BITS % bandBits == 0,
+      s"bandBits must divide $SIMHASH_BITS so bands never straddle words, got $bandBits")
+    val bandsPerWord = SIMHASH_BITS / bandBits
+    require(words * bandsPerWord >= maxHamming + 1,
+      s"recall incomplete: ${words * bandsPerWord} bands cannot pigeonhole hamming <= $maxHamming " +
+        s"(need >= ${maxHamming + 1} bands — widen the signature or narrow the bands)")
+    val mask = (1L << bandBits) - 1
+    val bandExprs = for { w <- 0 until words; b <- 0 until bandsPerWord }
+      yield shiftright(col(s"w$w"), b * bandBits).bitwiseAND(mask)
+    val wordCols = (0 until words).map(w => col(s"w$w"))
+    val bands = sigs.select(col("doc_id") +: wordCols :+
+      posexplode(array(bandExprs: _*)).as(Seq("band_idx", "band_val")): _*)
+    val hamming = (0 until words)
+      .map(w => bit_count(col(s"a.w$w").bitwiseXOR(col(s"b.w$w"))))
+      .reduce(_ + _)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        hamming.as("hamming"))
       .distinct()
-      .filter(col("hamming") <= SIMHASH_MAX_HAMMING)
+      .filter(col("hamming") <= maxHamming)
   }
+
+  /** Wide-signature relation `(doc_id, w0, w1, ...)`: `words` independent
+    * 60-bit SimHash words per document, one md5 per token feeding all
+    * words (native `SimhashWide` expression — still one codegen'd pass at
+    * scan speed, no explode, no shuffle). Word 0 is bit-identical to
+    * [[simhashSignatures]]'s signature, spec-pinned. */
+  def simhashWideSignatures(
+      s: SparkSession, d: String, words: Int = SIMHASH_WIDE_WORDS): DataFrame = {
+    val sig = org.apache.spark.sql.graftbridge.simhashWideBits(col("toks"), words)
+    documents(s, d).select(col("doc_id"), tokensCol(col("text")).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id") +:
+        (0 until words).map(w => element_at(sig, w + 1).as(s"w$w")): _*)
+  }
+
+  /** The wide SimHash family end-to-end: 120-bit signatures banded as
+    * 8 x 15 bits — 32768 buckets per band, 32x the 60-bit default's 1024,
+    * so the banded candidate volume that grows quadratically under the
+    * fixed 60-bit space stays linear ~32x further into the corpus (the
+    * measured fix for the sf5 superlinear step). Recall-complete for
+    * hamming <= 7 of 120 bits (~94% bit agreement — the same similarity
+    * regime as hamming <= 5 of 60). */
+  def dedupSimhashWide(s: SparkSession, d: String): DataFrame =
+    simhashBandedPairs(simhashWideSignatures(s, d),
+      SIMHASH_WIDE_WORDS, SIMHASH_WIDE_BAND_BITS, SIMHASH_WIDE_MAX_HAMMING)
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** Near-dup clustering: connected components over the SimHash pair graph,
     * materialized as the full-corpus assignment table a dedup pipeline
@@ -588,6 +662,7 @@ object Dedup {
     "x_dedup_minhash" -> ((s, d) => dedupMinhashLsh(s, d)),
     "x_dedup_incremental" -> (dedupIncremental _),
     "x_dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
+    "x_dedup_simhash_wide" -> (dedupSimhashWide _),
     "x_dedup_minhash_precision" -> (minhashPrecision _),
     "x_dedup_simhash_precision" -> (simhashPrecision _),
     "x_dedup_cc" -> (dedupClusters _),
@@ -659,6 +734,33 @@ object Dedup {
     "x_dedup_simhash" ->
       s"""WITH ${simhashCtes()}
          |SELECT doc_a, doc_b, hamming FROM scand""".stripMargin,
+    // Wide family: two 60-bit words from the SAME md5 (hex chars 1-15 and
+    // 16-30), 8 bands x 15 bits, hamming over both words <= 7. Band idx is
+    // word-major: bands 0-3 slice w0, bands 4-7 slice w1.
+    "x_dedup_simhash_wide" ->
+      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,'\\S+')) AS tok FROM documents),
+         |h2 AS (SELECT doc_id,
+         |              CAST('0x' || substring(md5(tok),1,15) AS BIGINT) AS h0,
+         |              CAST('0x' || substring(md5(tok),16,15) AS BIGINT) AS h1 FROM tok),
+         |wbits AS (SELECT doc_id, i.i AS i,
+         |                 SUM(CASE WHEN (h0 >> CAST(i.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+         |                 SUM(CASE WHEN (h1 >> CAST(i.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s1
+         |          FROM h2, (SELECT unnest(range(0,$SIMHASH_BITS)) AS i) i GROUP BY doc_id, i.i),
+         |wsig AS (SELECT doc_id,
+         |                CAST(SUM(CASE WHEN s0 > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS w0,
+         |                CAST(SUM(CASE WHEN s1 > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS w1
+         |         FROM wbits GROUP BY doc_id),
+         |wband AS (SELECT doc_id, w0, w1, b.b AS band_idx,
+         |                 CASE WHEN b.b < 4 THEN (w0 >> CAST(b.b*$SIMHASH_WIDE_BAND_BITS AS INTEGER)) & ${(1 << SIMHASH_WIDE_BAND_BITS) - 1}
+         |                      ELSE (w1 >> CAST((b.b-4)*$SIMHASH_WIDE_BAND_BITS AS INTEGER)) & ${(1 << SIMHASH_WIDE_BAND_BITS) - 1} END AS band_val
+         |          FROM wsig, (SELECT unnest(range(0,8)) AS b) b),
+         |wcand AS (
+         |  SELECT doc_a, doc_b, hamming FROM (
+         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INTEGER) AS hamming
+         |    FROM wband a JOIN wband b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |  WHERE hamming <= $SIMHASH_WIDE_MAX_HAMMING)
+         |SELECT doc_a, doc_b, hamming FROM wcand""".stripMargin,
     // Incremental: incoming (odd doc_id) bands probe existing (even) bands;
     // same signature/band CTEs, asymmetric join instead of the self-join.
     "x_dedup_incremental" ->

@@ -45,4 +45,10 @@ package object graftbridge {
     * [[graftbridge.SimhashBits]]). */
   def simhashBits(c: Column): Column =
     ExpressionUtils.column(SimhashBits(ExpressionUtils.expression(c)))
+
+  /** `words`-word (60 bits each) wide SimHash signature of a token array —
+    * one codegen'd pass, one md5 per token (see
+    * [[graftbridge.SimhashWide]] for the width-vs-corpus sizing rule). */
+  def simhashWideBits(c: Column, words: Int): Column =
+    ExpressionUtils.column(SimhashWide(ExpressionUtils.expression(c), words))
 }
