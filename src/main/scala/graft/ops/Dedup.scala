@@ -92,13 +92,19 @@ object Dedup {
   /** Per-document K minhash values as an array column. One md5 per shingle,
     * then K exact integer permutations `(a_i*h + b_i) mod P` — one pass over
     * exploded shingles computes all K mins (map-side combined). */
-  def minhashSignatures(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame = {
+  def minhashSignatures(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame =
+    minhashSignaturesOf(
+      maxDocId.foldLeft(documents(s, d))((df, m) => df.filter(col("doc_id") < m)))
+
+  /** [[minhashSignatures]] over an arbitrary documents frame — the seam the
+    * incremental pipeline uses to sketch a DELTA batch on its own
+    * (IncrementalDedupSpec drives the composition). */
+  private[ops] def minhashSignaturesOf(base: DataFrame): DataFrame = {
     // Explode with the shingle expression INLINE in the generator: exploding
     // a pre-projected array column routes rows through a ~6x slower
     // interpreted projection path (measured 10.8s vs 1.8s on 5k docs).
     // array_distinct is skipped on purpose: min(hash) over a multiset equals
     // min(hash) over its set.
-    val base = maxDocId.foldLeft(documents(s, d))((df, m) => df.filter(col("doc_id") < m))
     val exploded = base
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"),
@@ -138,13 +144,20 @@ object Dedup {
     size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => (x === y).cast("int")),
       v => v === 1)).cast("double") / K
 
-  def dedupMinhashLsh(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame = {
+  def dedupMinhashLsh(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame =
+    dedupMinhashLshOver(
+      maxDocId.foldLeft(documents(s, d))((df, m) => df.filter(col("doc_id") < m)))
+
+  /** [[dedupMinhashLsh]] over an arbitrary documents frame — lets the
+    * incremental pipeline self-dedup a DELTA batch (its documented
+    * intra-batch blind spot) with the exact same sketch. */
+  private[ops] def dedupMinhashLshOver(base: DataFrame): DataFrame = {
     // One linear plan: the signature array rides along through the band
     // explode so the candidate join already has both signatures in hand — no
     // re-join back to the signature relation (which would recompute the
     // shingle aggregation; caching is useless in a lazily-returned plan), and
     // the self-join's two sides reuse one shuffle exchange.
-    val bands = mhBands(minhashSignatures(s, d, maxDocId))
+    val bands = mhBands(minhashSignaturesOf(base))
     val est = mhEstJaccard
     bands.as("a")
       .join(bands.as("b"),
@@ -170,7 +183,27 @@ object Dedup {
     * bands on the 8-byte (band, fingerprint) key, so the delta never meets
     * the index outside matching buckets. Output: each incoming doc that
     * near-dups the index, its canonical match (min existing doc_id), and
-    * how many index docs it matched. */
+    * how many index docs it matched.
+    *
+    * INDEX-FRESHNESS CONTRACT (what this operator does and does NOT find —
+    * spec-proven by IncrementalDedupSpec):
+    *  - delta-vs-index pairs: FOUND — the probe's whole job.
+    *  - delta-vs-delta pairs (two docs of the SAME batch near-duping each
+    *    other but nothing in the index): NOT found. The probe is
+    *    asymmetric by design; the batch must self-dedup with the sketch
+    *    self-join ([[dedupMinhashLsh]] over the delta alone — O(delta²
+    *    within buckets), cheap at batch size) before or alongside the
+    *    probe.
+    *  - index-vs-index pairs: ASSUMED handled when the index was built —
+    *    the probe never re-examines the corpus.
+    *  - index lag: matches are only as fresh as the persisted signature
+    *    snapshot; documents ingested after it are invisible as match
+    *    targets. The operational rule that keeps the union exact: append
+    *    each batch's signatures to the index only AFTER probing, so
+    *    batches are totally ordered — every cross-batch pair is found
+    *    when the LATER batch probes, and intra-batch pairs belong to the
+    *    batch's own self-dedup. Probing two batches concurrently against
+    *    the same snapshot loses their cross-pairs. */
   def dedupIncremental(s: SparkSession, d: String): DataFrame = {
     val bands = mhBands(minhashSignatures(s, d))
     incrementalMatches(

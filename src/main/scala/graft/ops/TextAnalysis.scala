@@ -475,7 +475,17 @@ object TextAnalysis {
     * SAME partial aggregate as the sketch pass, so the stream is scanned
     * exactly twice: once to nominate, once to verify. The <= K+1 values
     * pinned on the driver are control-plane sized (same regime as the IVF
-    * centroids). */
+    * centroids).
+    *
+    * SNAPSHOT SEMANTICS: the sketch job runs EAGERLY at construction time
+    * (the `.head()` below) and embeds N and the candidate list as driver
+    * constants in the returned plan — the one catalog query that needs
+    * live data at build time. Re-executing the returned DataFrame after
+    * the source changed recomputes only the exact counts, silently
+    * combining them with the STALE N/candidates; a consumer that
+    * re-executes over changing data must call this method again (or fold
+    * N and the candidates in via a scalar subquery of the sketch
+    * aggregate, trading the broadcast-semi-join plan pinned by spec). */
   def heavyHitters(s: SparkSession, d: String): DataFrame = {
     val K = 64
     val toks = documents(s, d).select(explode(tokensCol(lower(col("text")))).as("tok"))
