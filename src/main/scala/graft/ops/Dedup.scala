@@ -392,7 +392,13 @@ object Dedup {
     * (id, label) longs, and `localCheckpoint` truncates the lineage so the
     * plan does not grow with the iteration count. The full corpus is
     * touched exactly once, by the final left join that fills in singleton
-    * clusters. */
+    * clusters.
+    *
+    * Edge source: the 60-bit default family (oracled). Past ~10^6 docs
+    * swap in the wide pair set — `simhashBandedPairs(
+    * simhashWideSignatures(...), ...)` — the CC kernel is
+    * source-agnostic and the quadratic risk lives entirely in the band
+    * space (see the sizing rule on [[simhashBandedPairs]]). */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
     val labels = connectedComponents(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
     documents(s, d).select(col("doc_id"))
