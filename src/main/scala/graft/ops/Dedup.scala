@@ -99,7 +99,7 @@ object Dedup {
   /** [[minhashSignatures]] over an arbitrary documents frame — the seam the
     * incremental pipeline uses to sketch a DELTA batch on its own
     * (IncrementalDedupSpec drives the composition). */
-  private[ops] def minhashSignaturesOf(base: DataFrame): DataFrame = {
+  private[graft] def minhashSignaturesOf(base: DataFrame): DataFrame = {
     // Explode with the shingle expression INLINE in the generator: exploding
     // a pre-projected array column routes rows through a ~6x slower
     // interpreted projection path (measured 10.8s vs 1.8s on 5k docs).
@@ -131,7 +131,7 @@ object Dedup {
     * the widest exchange. Collisions are ~n²/2⁶⁰ — nonexistent in practice,
     * and any would only ADD a candidate pair that the est-Jaccard filter
     * re-checks anyway. */
-  private[ops] def mhBands(sigs: DataFrame): DataFrame =
+  private[graft] def mhBands(sigs: DataFrame): DataFrame =
     sigs.select(col("doc_id"), col("mh"),
       posexplode(array((0 until BANDS).map { b =>
         conv(substring(md5(
@@ -140,7 +140,7 @@ object Dedup {
       }: _*)).as(Seq("band_idx", "band_hash")))
 
   /** Estimated Jaccard from two signature array columns already in hand. */
-  private def mhEstJaccard: Column =
+  private[graft] def mhEstJaccard: Column =
     size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => (x === y).cast("int")),
       v => v === 1)).cast("double") / K
 
@@ -151,13 +151,20 @@ object Dedup {
   /** [[dedupMinhashLsh]] over an arbitrary documents frame — lets the
     * incremental pipeline self-dedup a DELTA batch (its documented
     * intra-batch blind spot) with the exact same sketch. */
-  private[ops] def dedupMinhashLshOver(base: DataFrame): DataFrame = {
+  private[ops] def dedupMinhashLshOver(base: DataFrame): DataFrame =
+    lshSelfPairs(mhBands(minhashSignaturesOf(base)))
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** The banded self-join kernel of [[dedupMinhashLsh]] over an
+    * already-banded signature relation — shared with the streaming
+    * incremental pipeline's per-micro-batch self-dedup
+    * ([[graft.streaming.DedupStream]]). Unordered output. */
+  private[graft] def lshSelfPairs(bands: DataFrame): DataFrame = {
     // One linear plan: the signature array rides along through the band
     // explode so the candidate join already has both signatures in hand — no
     // re-join back to the signature relation (which would recompute the
     // shingle aggregation; caching is useless in a lazily-returned plan), and
     // the self-join's two sides reuse one shuffle exchange.
-    val bands = mhBands(minhashSignaturesOf(base))
     val est = mhEstJaccard
     bands.as("a")
       .join(bands.as("b"),
@@ -169,8 +176,31 @@ object Dedup {
       .distinct()
       .select(col("doc_a"), col("doc_b"), est.as("est_jaccard"))
       .filter(col("est_jaccard") >= 0.5)
-      .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Cross pairs between a (small) incoming band relation and a (large)
+    * index band relation — the probe kernel of the STREAMING incremental
+    * pipeline, pair-level where [[incrementalMatches]] aggregates per doc.
+    * The incoming side is broadcast: at production scale the delta batch is
+    * orders of magnitude smaller than the persisted index, so the probe is
+    * ONE scan of the index with a hash lookup per band row — the index is
+    * never shuffled (and the candidate distinct shuffles only matched
+    * pairs). The two sides are disjoint by construction (a batch probes the
+    * index BEFORE its own signatures are appended), so each pair surfaces in
+    * exactly one orientation; doc_a/doc_b are normalized min/max to match
+    * the self-join's `a.doc_id < b.doc_id` convention. */
+  private[graft] def lshCrossPairs(incomingBands: DataFrame, indexBands: DataFrame): DataFrame =
+    indexBands.as("b")
+      .join(broadcast(incomingBands.as("a")),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_hash") === col("b.band_hash"))
+      .select(col("a.doc_id").as("in_id"), col("b.doc_id").as("ix_id"),
+        col("a.mh").as("mh_a"), col("b.mh").as("mh_b"))
+      .distinct()
+      .select(least(col("in_id"), col("ix_id")).as("doc_a"),
+        greatest(col("in_id"), col("ix_id")).as("doc_b"),
+        mhEstJaccard.as("est_jaccard"))
+      .filter(col("est_jaccard") >= 0.5)
 
   /** Incremental (delta-vs-index) near-dup dedup — the shape a production
     * pipeline actually runs day to day: a new batch of documents is checked
@@ -227,6 +257,29 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(min(col("match_doc")).as("match_id"), count(lit(1)).as("n_matches"))
       .orderBy(col("doc_id"))
+
+  /** Catalog face of [[graft.streaming.DedupStream]] — the incremental
+    * pipeline run as a REAL Structured Streaming query. Stages the documents
+    * table as three parquet files (doc_id mod 3, interleaved so every batch
+    * both self-dedups and probes non-trivially), drains them one file per
+    * micro-batch under `Trigger.AvailableNow`, and returns the accumulated
+    * pair sink. By the parity theorem on [[graft.streaming.DedupStream]]
+    * the union of self-pairs and probe-pairs equals [[dedupMinhashLsh]]'s
+    * one-shot pair set no matter how the trigger slices the backlog, so the
+    * DuckDB oracle is the SAME CTE pile as `x_dedup_minhash` — the oracle
+    * checks the theorem, not just the rows. */
+  def dedupStreamIncremental(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val stage = s"$work/stage"
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    (0 until 3).foreach { b =>
+      docs.filter(col("doc_id") % 3 === b)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    graft.streaming.DedupStream.runIncremental(s, stage, work)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
 
   private val SIMHASH_BITS = 60
   private val SIMHASH_BANDS = 6 // 10 bits each
@@ -700,6 +753,7 @@ object Dedup {
     "x_dedup_keep_list" -> (dedupKeepList _),
     "x_dedup_minhash" -> ((s, d) => dedupMinhashLsh(s, d)),
     "x_dedup_incremental" -> (dedupIncremental _),
+    "x_stream_dedup_incremental" -> (dedupStreamIncremental _),
     "x_dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
     "x_dedup_simhash_wide" -> (dedupSimhashWide _),
     "x_dedup_minhash_precision" -> (minhashPrecision _),
@@ -768,6 +822,12 @@ object Dedup {
     * rows-only checks left in this module. */
   val oracleSql: Map[String, String] = Map(
     "x_dedup_minhash" ->
+      s"""WITH ${minhashCtes()}
+         |SELECT doc_a, doc_b, est_jaccard FROM cand""".stripMargin,
+    // The streaming incremental union must equal the one-shot batch pair set
+    // (the parity theorem on graft.streaming.DedupStream) — the oracle IS
+    // the x_dedup_minhash oracle, which is the point.
+    "x_stream_dedup_incremental" ->
       s"""WITH ${minhashCtes()}
          |SELECT doc_a, doc_b, est_jaccard FROM cand""".stripMargin,
     "x_dedup_simhash" ->
