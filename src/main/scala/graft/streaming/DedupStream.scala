@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 import org.apache.spark.sql.types._
@@ -57,7 +57,8 @@ object DedupStream {
 
   private val sigSchema: StructType = StructType(Seq(
     StructField("doc_id", LongType),
-    StructField("mh", ArrayType(LongType))))
+    StructField("mh", ArrayType(LongType)),
+    StructField("batch_id", LongType)))
 
   private val matchSchema: StructType = StructType(Seq(
     StructField("doc_a", LongType),
@@ -69,7 +70,22 @@ object DedupStream {
   /** The per-micro-batch body: self-dedup, probe, then append signatures.
     * Public seam so a deployment can wire it to any streaming source
     * (Kafka, file drop, Delta CDF); the spec drives it both through a real
-    * file stream and directly for the batch-count audit. */
+    * file stream and directly for the replay audit.
+    *
+    * EXACTLY-ONCE UNDER REPLAY: Structured Streaming guarantees at-least-
+    * once execution of foreachBatch — a batch that crashes mid-body (even
+    * between the two writes below) is re-run with the SAME batchId. Both
+    * sinks are therefore partitioned by batch_id and written with dynamic
+    * partition overwrite: a replay replaces exactly its own partition
+    * instead of appending a duplicate, and since the batch body is
+    * deterministic, at-least-once execution + idempotent partition
+    * replacement = an exactly-once sink with no transaction log. The probe
+    * reads only STRICTLY EARLIER batch partitions — semantically that is
+    * the append-after-probe total order (a batch must never see its own
+    * signatures, or a replay after its append landed would re-find every
+    * intra-batch pair a second time through the probe), and physically the
+    * batch_id predicate is a partition filter, so the replayed probe does
+    * not even scan its own partition. */
   def incrementalBatch(indexDir: String, matchesDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     // Signatures are used three times (self-join's bands, probe, append);
@@ -80,15 +96,21 @@ object DedupStream {
       val bands = graft.ops.Dedup.mhBands(sigs)
       val self = graft.ops.Dedup.lshSelfPairs(bands)
         .withColumn("via", lit("self"))
-      val indexBands = graft.ops.Dedup.mhBands(s.read.schema(sigSchema).parquet(indexDir))
+      val indexBands = graft.ops.Dedup.mhBands(
+        s.read.schema(sigSchema).parquet(indexDir)
+          .filter(col("batch_id") < batchId)
+          .select(col("doc_id"), col("mh")))
       val probe = graft.ops.Dedup.lshCrossPairs(bands, indexBands)
         .withColumn("via", lit("probe"))
       // One action lands both pair families; the append below only starts
       // after it returns, which is the probe-before-append total order.
       self.unionByName(probe)
         .withColumn("batch_id", lit(batchId))
-        .write.mode("append").parquet(matchesDir)
-      sigs.write.mode("append").parquet(indexDir)
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(matchesDir)
+      sigs.withColumn("batch_id", lit(batchId))
+        .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+        .partitionBy("batch_id").parquet(indexDir)
     } finally sigs.unpersist()
   }
 
@@ -101,12 +123,11 @@ object DedupStream {
   def runIncremental(s: SparkSession, stageDir: String, workDir: String): DataFrame = {
     val indexDir = s"$workDir/sig_index"
     val matchesDir = s"$workDir/matches"
-    // Seed both sinks with their (empty) schemas: batch 0 must be able to
-    // probe an empty index, and a match-less run must still read back.
-    s.createDataFrame(s.sparkContext.emptyRDD[Row], sigSchema)
-      .write.mode("overwrite").parquet(indexDir)
-    s.createDataFrame(s.sparkContext.emptyRDD[Row], matchSchema)
-      .write.mode("append").parquet(matchesDir)
+    // Seed both sink directories: batch 0 must be able to probe an (empty)
+    // index, and a match-less run must still read back. Explicit schemas on
+    // the reads make an empty directory a valid empty relation.
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(matchesDir))
     val q = s.readStream
       .schema(docSchema)
       .option("maxFilesPerTrigger", 1)
