@@ -137,6 +137,29 @@ object MoreQueries {
         (max(col("tms")) - min(col("tms"))).as("duration_ms"))
   }
 
+  /** The REAL streaming face of sessionization — the flatMapGroupsWithState
+    * operator run as an actual Structured Streaming query (file source, one
+    * micro-batch per contiguous event-time slice, event-time timeouts flushed
+    * by a sentinel watermark advance), not the batch twin above. Sessions
+    * come back as (user, first_ms, last_ms, n_events); `sess_idx` is
+    * reconstructed as the per-user rank of the session's start, which is
+    * exactly the batch formulation's cumulative-sum numbering — so the
+    * DuckDB oracle is the SAME SQL as `q_sessionize_batch`: the oracle
+    * checks stream/batch parity, not just the rows. Ordering note: two
+    * sessions of one user can never share a start (they are separated by
+    * >30 min by construction), so the rank is total. */
+  def qStreamSessionizeParity(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_sessionize").toString
+    val sessions = graft.streaming.EventStream.runSessionizeFileStream(s, events(s, d), work)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("first_ms"))
+    sessions.select(
+      col("user_id"),
+      row_number().over(w).cast("long").as("sess_idx"),
+      col("n_events"),
+      (col("last_ms") - col("first_ms")).as("duration_ms"))
+  }
+
   /** Pivot (wide aggregation): returnflag counts as columns per linestatus.
     * Explicit value list keeps the output schema static — at scale an
     * unconstrained pivot needs a distinct-values job first. */
@@ -229,8 +252,28 @@ object MoreQueries {
     "q_string_funcs2" -> (qStringFuncs2 _),
     "q_null_handling" -> (qNullHandling _),
     "q_stream_hourly_parity" -> (qStreamHourlyParity _),
-    "q_stream_dedup_parity" -> (qStreamDedupParity _)
+    "q_stream_dedup_parity" -> (qStreamDedupParity _),
+    "q_stream_sessionize_parity" -> (qStreamSessionizeParity _)
   )
+
+  /** Shared by the batch sessionizer and its streaming twin: the stream's
+    * output is proven (SessionizeStreamSpec) to equal this window-function
+    * formulation row-for-row, so both queries check against the SAME SQL. */
+  private val sessionizeOracleSql: String =
+    """WITH g AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS tms,
+      |         CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
+      |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
+      |              THEN 1 ELSE 0 END AS new_s
+      |  FROM events),
+      |s AS (
+      |  SELECT user_id, tms,
+      |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
+      |  FROM g)
+      |SELECT user_id, sess_idx, count(*) AS n_events,
+      |       max(tms) - min(tms) AS duration_ms
+      |FROM s GROUP BY user_id, sess_idx""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_json_funcs" ->
@@ -263,21 +306,10 @@ object MoreQueries {
         |FROM orders GROUP BY o_orderstatus""".stripMargin,
     "q_pivot" ->
       "PIVOT lineitem ON l_returnflag IN ('A', 'N', 'R') USING count(*) GROUP BY l_linestatus",
-    "q_sessionize_batch" ->
-      """WITH g AS (
-        |  SELECT user_id, event_id, epoch_ms(ts) AS tms,
-        |         CASE WHEN lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) IS NULL
-        |                OR epoch_ms(ts) - lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) > 1800000
-        |              THEN 1 ELSE 0 END AS new_s
-        |  FROM events),
-        |s AS (
-        |  SELECT user_id, tms,
-        |         CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY tms, event_id
-        |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS sess_idx
-        |  FROM g)
-        |SELECT user_id, sess_idx, count(*) AS n_events,
-        |       max(tms) - min(tms) AS duration_ms
-        |FROM s GROUP BY user_id, sess_idx""".stripMargin,
+    "q_sessionize_batch" -> sessionizeOracleSql,
+    // The streaming run must reproduce the batch formulation exactly
+    // (parity theorem on EventStream.runSessionizeFileStream) — same oracle.
+    "q_stream_sessionize_parity" -> sessionizeOracleSql,
     "q_cube" ->
       "SELECT o_orderstatus, o_orderpriority, count(*) AS n FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)",
     "q_union_all" ->
