@@ -196,32 +196,41 @@ object EventStream {
     val (minMs, maxMs) = (bounds.getLong(0), bounds.getLong(1))
     val span = maxMs - minMs + 1
 
-    // Land one file per slice/sentinel under a deterministic name with a
-    // deterministic mod time (fixed base + 60s per file): the stream's batch
-    // order is then a property of the data, not of how fast the staging jobs
-    // happened to run.
+    // Stage every slice AND both sentinels in ONE partitioned write (slices
+    // and sentinels share the file schema; `slice` is a directory, not a
+    // column): one pass over the events instead of one filter-scan per
+    // slice. repartition on the slice id puts each slice wholly in one task
+    // → exactly one part file per slice directory. The files are then
+    // renamed into the stage under deterministic names with deterministic
+    // mod times (fixed base + 60s per slice): the file source orders its
+    // backlog by mod time, so the stream's batch order is a property of the
+    // data, not of how fast the staging jobs happened to run.
+    val sentinels = Seq(
+      (-1L, new java.sql.Timestamp(maxMs + 40 * 60 * 1000L), "sentinel_wm", slices),
+      (-2L, new java.sql.Timestamp(maxMs + 80 * 60 * 1000L), "sentinel_fire", slices + 1)
+    ).toDF("user_id", "ts", "event_type", "slice")
+    val tmp = new org.apache.hadoop.fs.Path(s"$workDir/.stage_tmp")
+    ev.withColumn("slice", ((unix_millis(col("ts")) - minMs) * slices / span).cast("int"))
+      .unionByName(sentinels)
+      .repartition(slices + 2, col("slice"))
+      .write.mode("overwrite").partitionBy("slice").parquet(tmp.toString)
     val mtimeBase = 1600000000000L
-    def land(df: DataFrame, name: String, seq: Int): Unit = {
-      val tmp = new org.apache.hadoop.fs.Path(s"$workDir/.stage_tmp_$name")
-      df.coalesce(1).write.mode("overwrite").parquet(tmp.toString)
-      val part = fs.listStatus(tmp)
-        .find(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
-        .getOrElse(throw new IllegalStateException(s"no part file staged for $name"))
-      val dest = new org.apache.hadoop.fs.Path(stagePath, s"$name.parquet")
-      if (!fs.rename(part.getPath, dest))
-        throw new java.io.IOException(s"stage rename failed for $dest")
-      fs.setTimes(dest, mtimeBase + seq * 60000L, -1)
-      fs.delete(tmp, true)
-    }
-    (0 until slices).foreach { i =>
-      land(ev.filter(((unix_millis(col("ts")) - minMs) * slices / span).cast("int") === i),
-        s"slice_$i", i)
-    }
-    Seq((-1L, maxMs + 40 * 60 * 1000L, "sentinel_wm"), (-2L, maxMs + 80 * 60 * 1000L, "sentinel_fire"))
-      .zipWithIndex.foreach { case ((uid, ms, et), j) =>
-        land(Seq((uid, new java.sql.Timestamp(ms), et)).toDF("user_id", "ts", "event_type"),
-          et, slices + j)
+    (0 until slices + 2).foreach { i =>
+      val dirP = new org.apache.hadoop.fs.Path(tmp, s"slice=$i")
+      // An event-time range with no events stages nothing — legal (one
+      // fewer micro-batch); the sentinel slices are non-empty by
+      // construction.
+      if (fs.exists(dirP)) {
+        val part = fs.listStatus(dirP)
+          .find(st => st.isFile && st.getPath.getName.endsWith(".parquet"))
+          .getOrElse(throw new IllegalStateException(s"no part file staged for slice $i"))
+        val dest = new org.apache.hadoop.fs.Path(stagePath, s"slice_$i.parquet")
+        if (!fs.rename(part.getPath, dest))
+          throw new java.io.IOException(s"stage rename failed for $dest")
+        fs.setTimes(dest, mtimeBase + i * 60000L, -1)
       }
+    }
+    fs.delete(tmp, true)
 
     val src = s.readStream
       .schema(StructType(Seq(
@@ -232,14 +241,23 @@ object EventStream {
       .parquet(stage)
       .withWatermark("ts", "1 minute")
       .as[SessionInput]
-    val q = sessionize(src).writeStream
-      .format("parquet")
-      .option("path", outDir)
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .outputMode(OutputMode.Append())
-      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    // The stateful operator's partition count is locked into the checkpoint
+    // at first run from spark.sql.shuffle.partitions. This demo-sized run
+    // pins a small count (per-batch state-store commit cost is per
+    // partition); a production deployment sizes it to key cardinality
+    // BEFORE the first trigger, exactly because it cannot change later.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = sessionize(src).writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(outDir).filter(col("user_id") >= 0)
   }
 
