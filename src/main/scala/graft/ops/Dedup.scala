@@ -462,6 +462,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Leakage-safe train/valid/test split (catalog `x_split_leakage_safe`):
+    * near-duplicate documents must never straddle an evaluation boundary —
+    * a test document whose near-dup twin sits in train leaks the answer
+    * into training. The unit of assignment is therefore the near-dup
+    * CLUSTER, not the document: every doc carries its connected-component
+    * label (singletons label themselves), and the split is a deterministic
+    * salted-hash residue of the CLUSTER id — 80/10/10 — so membership is a
+    * pure function of content-cluster identity: reproducible run-to-run,
+    * and leakage-free BY CONSTRUCTION (all docs of a cluster share the
+    * hash; the spec additionally re-checks zero straddling pairs against
+    * the raw candidate relation, plus residue-law proportions).
+    *
+    * At 100 TB: the label relation is pair-bounded (dup-rate × corpus,
+    * not the corpus — see [[connectedComponents]]), the corpus is touched
+    * once by the label join, and the split itself is a scan-speed hash.
+    * Nothing quadratic; past ~10⁶ docs swap the pair source for the wide
+    * family exactly as [[dedupClusters]] documents. The DuckDB oracle
+    * replays the full chain — signatures → banding → recursive-CTE
+    * transitive closure → md5 residue — exactly. */
+  def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+    val h = conv(substring(md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 7), 16, 10)
+      .cast("long") % 100
+    documents(s, d).select(col("doc_id"), col("lang"))
+      .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+      .withColumn("split",
+        when(h < 80, "train").when(h < 90, "valid").otherwise("test"))
+      .select(col("doc_id"), col("lang"), col("cluster_id"), col("split"))
+  }
+
   /** Connected components over an arbitrary undirected pair relation
     * (first two columns = the two endpoint long ids): returns (id, label)
     * for every id that appears in some pair, label = min id in its
@@ -759,6 +790,7 @@ object Dedup {
     "x_dedup_minhash_precision" -> (minhashPrecision _),
     "x_dedup_simhash_precision" -> (simhashPrecision _),
     "x_dedup_cc" -> (dedupClusters _),
+    "x_split_leakage_safe" -> (leakageSafeSplit _),
     "x_jaccard_pairs" -> (jaccardPairs _)
   )
 
@@ -911,6 +943,27 @@ object Dedup {
          |       CASE WHEN d.doc_id = COALESCE(cc.cluster_id, d.doc_id)
          |            THEN 1 ELSE 0 END AS is_canonical
          |FROM documents d LEFT JOIN cc USING (doc_id)""".stripMargin,
+    // Same transitive closure as the CC oracle, then the salted md5
+    // residue law 80/10/10 on the CLUSTER id — the whole leakage-safe
+    // split is replayed exactly.
+    "x_split_leakage_safe" ->
+      s"""WITH RECURSIVE ${simhashCtes()},
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM scand
+         |      UNION ALL SELECT doc_b, doc_a FROM scand),
+         |walk(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT w.u, e2.v FROM walk w JOIN e e2 ON w.v = e2.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM walk GROUP BY u),
+         |asg AS (SELECT d.doc_id, d.lang,
+         |               COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN cc USING (doc_id))
+         |SELECT doc_id, lang, cluster_id,
+         |       CASE WHEN CAST('0x' || substring(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 80 THEN 'train'
+         |            WHEN CAST('0x' || substring(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 90 THEN 'valid'
+         |            ELSE 'test' END AS split
+         |FROM asg""".stripMargin,
     "x_dedup_simhash_precision" ->
       s"""WITH ${simhashCtes(" WHERE doc_id < 300")},
          |$jaccardCte
