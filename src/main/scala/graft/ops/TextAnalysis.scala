@@ -352,6 +352,56 @@ object TextAnalysis {
         sum(col("n_tokens")).as("bin_tokens"))
   }
 
+  /** Globally-ordered balanced sharding (catalog `x_shard_balanced`) — the
+    * OTHER packing shape next to [[packBins]]: instead of bucket-local bins,
+    * the whole corpus is laid out in ONE deterministic pseudo-random order
+    * (salted md5 of doc_id — a reproducible global shuffle) and cut into
+    * contiguous shards of ~`BUDGET` tokens by the running token count. This
+    * is what a training run wants when shard ORDER is the data order (no
+    * second shuffle at read time) and shards must be token-balanced.
+    *
+    * The global running sum is a DISTRIBUTED PREFIX SUM, not a
+    * single-partition window: range-partition on the order key (partition p
+    * holds a contiguous slice of the global order), per-partition local
+    * cumsum under a partition-local window, then add each partition's
+    * exclusive prefix offset — computed by collecting ONE row per partition
+    * (control-plane sized, like the IVF centroid sums) and broadcast back.
+    * Every per-row step is width-bounded; parallelism is the partition
+    * count at any corpus size. The result is invariant to the partition
+    * count: (h, doc_id) is a total order, so each document's global prefix
+    * is a pure function of the data — which is exactly what lets DuckDB
+    * oracle it with a single ORDER BY window. */
+  def shardBalanced(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val BUDGET = 2048L // power of two: floor-of-double == integer division (see x_pack_bins oracle note)
+    val PARTS = 8
+    val h = md5(concat(lit("shard:"), col("doc_id").cast("string")))
+    val parted = documents(s, d)
+      .select(col("doc_id"), tokenCountCol(col("text")).cast("long").as("n_tokens"), h.as("h"))
+      .repartitionByRange(PARTS, col("h"), col("doc_id"))
+      .persist()
+    // One row per partition → driver → exclusive prefix offsets. Partition
+    // ids are stable here: spark_partition_id reads the slice the range
+    // exchange produced, and both jobs below reuse the same persisted
+    // partitioning.
+    val partSums = parted.groupBy(spark_partition_id().as("pid"))
+      .agg(sum(col("n_tokens")).as("t")).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val offsets = (0 until PARTS).scanLeft(0L)((acc, p) => acc + partSums.getOrElse(p, 0L))
+    val offsetsDf = s.createDataFrame(
+      s.sparkContext.parallelize((0 until PARTS).map(p => org.apache.spark.sql.Row(p, offsets(p))), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("pid", org.apache.spark.sql.types.IntegerType),
+        org.apache.spark.sql.types.StructField("off", org.apache.spark.sql.types.LongType))))
+    val w = Window.partitionBy(col("pid")).orderBy(col("h"), col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    parted.withColumn("pid", spark_partition_id())
+      .join(broadcast(offsetsDf), "pid")
+      .withColumn("cum", col("off") + sum(col("n_tokens")).over(w))
+      .withColumn("shard_id", floor((col("cum") - col("n_tokens")).cast("double") / BUDGET).cast("long"))
+      .select(col("doc_id"), col("n_tokens"), col("shard_id"))
+  }
+
   /** PII patterns shared by the scrub operator and its oracle. [0-9] instead
     * of \d and explicit classes throughout: the Java regex engine (Spark)
     * and RE2 (DuckDB) agree on this subset bit-for-bit. */
@@ -512,6 +562,7 @@ object TextAnalysis {
     "x_html_strip" -> (htmlStrip _),
     "x_mix_temperature" -> (mixTemperature _),
     "x_pack_bins" -> (packBins _),
+    "x_shard_balanced" -> (shardBalanced _),
     "x_pipeline_e2e" -> (pipelineE2e _),
     "x_repetition" -> (repetitionStats _),
     "x_mix_weighted" -> (mixWeighted _),
@@ -635,6 +686,19 @@ object TextAnalysis {
         |SELECT bucket, CAST((cum - n_tokens) // 2048 AS BIGINT) AS bin,
         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
         |FROM b GROUP BY bucket, CAST((cum - n_tokens) // 2048 AS BIGINT)""".stripMargin,
+    // One global window in the oracle vs the distributed prefix sum in
+    // Spark — (h, doc_id) is a total order, so both compute the same cum.
+    "x_shard_balanced" ->
+      """WITH t AS (
+        |  SELECT doc_id, CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens,
+        |         md5('shard:' || CAST(doc_id AS VARCHAR)) AS h
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, n_tokens,
+        |         sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM t)
+        |SELECT doc_id, n_tokens, CAST((cum - n_tokens) // 2048 AS BIGINT) AS shard_id
+        |FROM c""".stripMargin,
     "x_quota_sample" ->
       """SELECT lang, doc_id, rk FROM (
         |  SELECT lang, doc_id,
