@@ -477,12 +477,20 @@ object Dedup {
     * At 100 TB: the label relation is pair-bounded (dup-rate × corpus,
     * not the corpus — see [[connectedComponents]]), the corpus is touched
     * once by the label join, and the split itself is a scan-speed hash.
-    * Nothing quadratic; past ~10⁶ docs swap the pair source for the wide
-    * family exactly as [[dedupClusters]] documents. The DuckDB oracle
-    * replays the full chain — signatures → banding → recursive-CTE
-    * transitive closure → md5 residue — exactly. */
+    * Nothing quadratic: the pair source is the WIDE SimHash family (band
+    * space sized for ~10⁷ docs), so this entry exercises the scale-path
+    * configuration end-to-end through clustering — unlike [[dedupClusters]],
+    * which keeps the 60-bit default that x_dedup_simhash oracles. The
+    * DuckDB oracle replays the full chain — wide signatures → banding →
+    * recursive-CTE transitive closure → md5 residue — exactly. */
   def leakageSafeSplit(s: SparkSession, d: String): DataFrame = {
-    val labels = connectedComponents(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+    // Pair source: the WIDE SimHash family — the ≥10⁶-doc configuration
+    // (see the sizing rule on [[simhashBandedPairs]]). The split is the
+    // catalog's end-to-end consumer of the scale-path family: signatures →
+    // wide banding → CC → split, nothing superlinear anywhere.
+    val pairs = simhashBandedPairs(simhashWideSignatures(s, d),
+      SIMHASH_WIDE_WORDS, SIMHASH_WIDE_BAND_BITS, SIMHASH_WIDE_MAX_HAMMING)
+    val labels = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
     val h = conv(substring(md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 7), 16, 10)
       .cast("long") % 100
     documents(s, d).select(col("doc_id"), col("lang"))
@@ -837,6 +845,33 @@ object Dedup {
        |    FROM sband a JOIN sband b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
        |  WHERE hamming <= $SIMHASH_MAX_HAMMING)""".stripMargin
 
+  /** Wide-family (120-bit, 8×15-bit-band) signature + candidate CTE chain,
+    * ending in `wcand(doc_a, doc_b, hamming)` — shared by the wide-dedup
+    * oracle and the leakage-safe-split oracle. */
+  private def simhashWideCtes(): String =
+    s"""tok AS (SELECT doc_id, unnest(regexp_extract_all(text,'\\S+')) AS tok FROM documents),
+       |h2 AS (SELECT doc_id,
+       |              CAST('0x' || substring(md5(tok),1,15) AS BIGINT) AS h0,
+       |              CAST('0x' || substring(md5(tok),16,15) AS BIGINT) AS h1 FROM tok),
+       |wbits AS (SELECT doc_id, i.i AS i,
+       |                 SUM(CASE WHEN (h0 >> CAST(i.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
+       |                 SUM(CASE WHEN (h1 >> CAST(i.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s1
+       |          FROM h2, (SELECT unnest(range(0,$SIMHASH_BITS)) AS i) i GROUP BY doc_id, i.i),
+       |wsig AS (SELECT doc_id,
+       |                CAST(SUM(CASE WHEN s0 > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS w0,
+       |                CAST(SUM(CASE WHEN s1 > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS w1
+       |         FROM wbits GROUP BY doc_id),
+       |wband AS (SELECT doc_id, w0, w1, b.b AS band_idx,
+       |                 CASE WHEN b.b < 4 THEN (w0 >> CAST(b.b*$SIMHASH_WIDE_BAND_BITS AS INTEGER)) & ${(1 << SIMHASH_WIDE_BAND_BITS) - 1}
+       |                      ELSE (w1 >> CAST((b.b-4)*$SIMHASH_WIDE_BAND_BITS AS INTEGER)) & ${(1 << SIMHASH_WIDE_BAND_BITS) - 1} END AS band_val
+       |          FROM wsig, (SELECT unnest(range(0,8)) AS b) b),
+       |wcand AS (
+       |  SELECT doc_a, doc_b, hamming FROM (
+       |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INTEGER) AS hamming
+       |    FROM wband a JOIN wband b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= $SIMHASH_WIDE_MAX_HAMMING)""".stripMargin
+
   private def jaccardCte: String =
     """jt AS (
       |  SELECT doc_id,
@@ -869,28 +904,7 @@ object Dedup {
     // 16-30), 8 bands x 15 bits, hamming over both words <= 7. Band idx is
     // word-major: bands 0-3 slice w0, bands 4-7 slice w1.
     "x_dedup_simhash_wide" ->
-      s"""WITH tok AS (SELECT doc_id, unnest(regexp_extract_all(text,'\\S+')) AS tok FROM documents),
-         |h2 AS (SELECT doc_id,
-         |              CAST('0x' || substring(md5(tok),1,15) AS BIGINT) AS h0,
-         |              CAST('0x' || substring(md5(tok),16,15) AS BIGINT) AS h1 FROM tok),
-         |wbits AS (SELECT doc_id, i.i AS i,
-         |                 SUM(CASE WHEN (h0 >> CAST(i.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
-         |                 SUM(CASE WHEN (h1 >> CAST(i.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s1
-         |          FROM h2, (SELECT unnest(range(0,$SIMHASH_BITS)) AS i) i GROUP BY doc_id, i.i),
-         |wsig AS (SELECT doc_id,
-         |                CAST(SUM(CASE WHEN s0 > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS w0,
-         |                CAST(SUM(CASE WHEN s1 > 0 THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0 END) AS BIGINT) AS w1
-         |         FROM wbits GROUP BY doc_id),
-         |wband AS (SELECT doc_id, w0, w1, b.b AS band_idx,
-         |                 CASE WHEN b.b < 4 THEN (w0 >> CAST(b.b*$SIMHASH_WIDE_BAND_BITS AS INTEGER)) & ${(1 << SIMHASH_WIDE_BAND_BITS) - 1}
-         |                      ELSE (w1 >> CAST((b.b-4)*$SIMHASH_WIDE_BAND_BITS AS INTEGER)) & ${(1 << SIMHASH_WIDE_BAND_BITS) - 1} END AS band_val
-         |          FROM wsig, (SELECT unnest(range(0,8)) AS b) b),
-         |wcand AS (
-         |  SELECT doc_a, doc_b, hamming FROM (
-         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         |           CAST(bit_count(xor(a.w0, b.w0)) + bit_count(xor(a.w1, b.w1)) AS INTEGER) AS hamming
-         |    FROM wband a JOIN wband b ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
-         |  WHERE hamming <= $SIMHASH_WIDE_MAX_HAMMING)
+      s"""WITH ${simhashWideCtes()}
          |SELECT doc_a, doc_b, hamming FROM wcand""".stripMargin,
     // Incremental: incoming (odd doc_id) bands probe existing (even) bands;
     // same signature/band CTEs, asymmetric join instead of the self-join.
@@ -943,13 +957,13 @@ object Dedup {
          |       CASE WHEN d.doc_id = COALESCE(cc.cluster_id, d.doc_id)
          |            THEN 1 ELSE 0 END AS is_canonical
          |FROM documents d LEFT JOIN cc USING (doc_id)""".stripMargin,
-    // Same transitive closure as the CC oracle, then the salted md5
-    // residue law 80/10/10 on the CLUSTER id — the whole leakage-safe
-    // split is replayed exactly.
+    // Same transitive closure as the CC oracle but over the WIDE pair
+    // family, then the salted md5 residue law 80/10/10 on the CLUSTER id —
+    // the whole leakage-safe split is replayed exactly.
     "x_split_leakage_safe" ->
-      s"""WITH RECURSIVE ${simhashCtes()},
-         |e AS (SELECT doc_a AS u, doc_b AS v FROM scand
-         |      UNION ALL SELECT doc_b, doc_a FROM scand),
+      s"""WITH RECURSIVE ${simhashWideCtes()},
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM wcand
+         |      UNION ALL SELECT doc_b, doc_a FROM wcand),
          |walk(u, v) AS (
          |  SELECT u, v FROM e
          |  UNION

@@ -23,12 +23,11 @@ class LeakageSafeSplitSpec extends AnyFunSuite {
   }
 
   test("no near-dup candidate pair straddles a split boundary") {
-    // Recompute the same candidate relation the operator clusters on and
-    // join each endpoint to its split: a pair with two different splits is
-    // exactly an eval-set leak.
+    // Recompute the same candidate relation the operator clusters on (the
+    // WIDE family) and join each endpoint to its split: a pair with two
+    // different splits is exactly an eval-set leak.
     val pairs = Dedup.simhashBandedPairs(
-      Dedup.simhashSignatures(spark, dir).withColumnRenamed("simhash", "w0"),
-      words = 1, bandBits = 10, maxHamming = 5)
+      Dedup.simhashWideSignatures(spark, dir), words = 2, bandBits = 15, maxHamming = 7)
     val sa = split.select(col("doc_id").as("doc_a"), col("split").as("split_a"))
     val sb = split.select(col("doc_id").as("doc_b"), col("split").as("split_b"))
     val straddling = pairs.join(sa, "doc_a").join(sb, "doc_b")
