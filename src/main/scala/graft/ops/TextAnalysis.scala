@@ -556,8 +556,39 @@ object TextAnalysis {
       .orderBy(col("term"))
   }
 
+  /** Streaming face of [[heavyHitters]] (catalog `x_stream_heavy_hitters`):
+    * the corpus is staged into micro-batches, each batch is sketched with
+    * the same Misra-Gries Aggregator, and the running sketch folds forward
+    * under the mergeable-summaries rule (see
+    * [[graft.streaming.SketchStream]] for the guarantee and the
+    * exactly-once state sink). The post-drain prune + exact-verify is
+    * identical to the batch entry's, so the output — and therefore the
+    * oracle — is identical too, for any slicing into batches. */
+  def heavyHittersStream(s: SparkSession, d: String): DataFrame = {
+    val K = 64
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_hh").toString
+    val stage = s"$work/stage"
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    (0 until 3).foreach { b =>
+      docs.filter(col("doc_id") % 3 === b).coalesce(1).write.mode("append").parquet(stage)
+    }
+    val (sketch, nTotal) = graft.streaming.SketchStream.runHeavyHitters(s, stage, work, K)
+    val candTerms = sketch.keys.toSeq.sorted
+    val cands = s.createDataFrame(
+      s.sparkContext.parallelize(candTerms.map(org.apache.spark.sql.Row(_)), 1),
+      new org.apache.spark.sql.types.StructType()
+        .add("tok", org.apache.spark.sql.types.StringType, nullable = false))
+    documents(s, d).select(explode(tokensCol(lower(col("text")))).as("tok"))
+      .join(broadcast(cands), Seq("tok"), "left_semi")
+      .groupBy(col("tok")).agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * (K + 1) > nTotal)
+      .select(col("tok").as("term"), col("n_occurrences"))
+      .orderBy(col("term"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_heavy_hitters" -> (heavyHitters _),
+    "x_stream_heavy_hitters" -> (heavyHittersStream _),
     "x_pii_scrub" -> (piiScrub _),
     "x_html_strip" -> (htmlStrip _),
     "x_mix_temperature" -> (mixTemperature _),
@@ -583,6 +614,16 @@ object TextAnalysis {
     // The sketch's guarantee makes the output the exact heavy-hitter set,
     // so the oracle is the direct relational statement of that set.
     "x_heavy_hitters" ->
+      """WITH tk AS (
+        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+        |n AS (SELECT count(*) AS n_total FROM tk),
+        |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
+        |SELECT tok AS term, CAST(cnt AS BIGINT) AS n_occurrences
+        |FROM c, n WHERE cnt * 65 > n_total""".stripMargin,
+    // Parity theorem: the streamed fold of per-batch sketches carries the
+    // same completeness guarantee, so the prune+verify output is identical
+    // to the batch entry's — SAME oracle.
+    "x_stream_heavy_hitters" ->
       """WITH tk AS (
         |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
         |n AS (SELECT count(*) AS n_total FROM tk),

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+/** Streaming face of the heavy-hitters pipeline: documents land as a
+  * stream, each micro-batch computes a bounded Misra-Gries sketch of its
+  * tokens with the SAME typed Aggregator the batch entry uses, and a
+  * RUNNING sketch is folded forward batch-by-batch with the aggregator's
+  * own mergeable-summaries rule. Agarwal et al.'s merge bound holds over
+  * ARBITRARY merge trees — a left fold across micro-batches is one such
+  * tree — so after the drain the running sketch carries the identical
+  * guarantee the one-shot batch sketch has: every term with true count
+  * c > N/(k+1) is among its ≤k candidates. Sketch-prune + exact-verify
+  * over the corpus then yields EXACTLY the batch operator's output, for
+  * any slicing of the corpus into micro-batches (catalog entry
+  * `x_stream_heavy_hitters` shares the `x_heavy_hitters` oracle — the
+  * gate checks stream/batch parity, not just rows).
+  *
+  * State shape at 100 TB: the running state is ≤ k+1 rows TOTAL (k
+  * counters + one stream-length row) per batch partition — driver-side
+  * merge of two ≤k maps is control-plane sized, same regime as the IVF
+  * centroid collect. The per-batch token aggregation is the partial-agg'd
+  * distributed sketch; nothing full-cardinality ever shuffles.
+  *
+  * EXACTLY-ONCE UNDER REPLAY: foreachBatch is at-least-once, so the state
+  * sink is partitioned by batch_id with dynamic partition overwrite, and
+  * batch b derives its state ONLY from partitions with batch_id < b (a
+  * partition-pruned read): a replayed batch deterministically recomputes
+  * and replaces exactly its own partition — the DedupStream idempotence
+  * pattern (see that scaladoc for why read-strictly-earlier is also the
+  * correct total order).
+  */
+object SketchStream {
+
+  val docSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType)))
+
+  /** `term IS NULL` rows carry the running stream length. */
+  private val stateSchema: StructType = StructType(Seq(
+    StructField("term", StringType),
+    StructField("cnt", LongType),
+    StructField("batch_id", LongType)))
+
+  /** Per-micro-batch body (public seam, spec-driven directly for the
+    * replay audit): sketch the batch, fold into the latest prior state,
+    * land as this batch's partition. */
+  def sketchBatch(k: Int, stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val agg = graft.functions.HeavyHittersAggregator(k)
+    val hh = udaf(agg)
+    val toks = batch.select(
+      explode(graft.ops.TextAnalysis.tokensCol(lower(col("text")))).as("tok"))
+    val row = toks.agg(hh(col("tok")).as("sketch"), count(lit(1)).as("n")).head()
+    val batchSketch: Map[String, Long] = row.getMap[String, Long](0).toMap
+    val batchN = row.getLong(1)
+
+    val prior = s.read.schema(stateSchema).parquet(stateDir)
+      .filter(col("batch_id") < batchId)
+    // ≤ k+1 rows per prior batch; only the LATEST prior partition is the
+    // fold state (earlier ones are its audit trail).
+    val latest = prior.groupBy().agg(max(col("batch_id")).as("b")).head()
+    val (prevSketch, prevN) =
+      if (latest.isNullAt(0)) (Map.empty[String, Long], 0L)
+      else {
+        val rows = prior.filter(col("batch_id") === latest.getLong(0)).collect()
+        (rows.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap,
+          rows.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L))
+      }
+
+    val merged = agg.merge(prevSketch, batchSketch)
+    val out = merged.toSeq.map { case (t, c) => (t, c, batchId) } :+
+      (null.asInstanceOf[String], prevN + batchN, batchId)
+    s.createDataFrame(
+        s.sparkContext.parallelize(out.map(t => org.apache.spark.sql.Row(t._1, t._2, t._3)), 1),
+        stateSchema)
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(stateDir)
+  }
+
+  /** Drain a staged document directory as a real file-source stream and
+    * return (final candidate sketch, exact stream length). */
+  def runHeavyHitters(s: SparkSession, stageDir: String, workDir: String,
+      k: Int): (Map[String, Long], Long) = {
+    val stateDir = s"$workDir/hh_state"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    val q = s.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir)
+      .writeStream
+      .foreachBatch(sketchBatch(k, stateDir) _)
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val state = s.read.schema(stateSchema).parquet(stateDir)
+    val last = state.agg(max(col("batch_id"))).head().getLong(0)
+    val rows = state.filter(col("batch_id") === last).collect()
+    (rows.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap,
+      rows.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L))
+  }
+}
