@@ -8,7 +8,8 @@ import Tables._
 
 /** Similarity search over the embeddings table (`Array[Float]`, dim 64):
   * brute-force cosine top-k as the exact baseline, multi-table
-  * hyperplane-LSH and IVF (deterministic k-means-lite + nprobe) as the
+  * hyperplane-LSH, IVF (deterministic k-means-lite + nprobe), and product
+  * quantization (per-subspace codebooks + ADC scan + exact rerank) as the
   * scale paths, embedding-cosine near-dup pairs, a 5-NN label-vote eval,
   * and exact recall audits of every sketch against the brute-force truth.
   *
@@ -441,12 +442,163 @@ object Similarity {
   def annIvfRecall(s: SparkSession, d: String): DataFrame =
     recallAgainstExact(annIvf(s, d), exactTop3(s, d, 200))
 
+  // ---------------------------------------------------------------------
+  // Product quantization (PQ): the memory-bounded ANN scale path. The
+  // 64-dim normalized vector is cut into PQ_M = 8 subspaces of 8 dims;
+  // each subspace gets its own PQ_K = 16 codebook (per-subspace Lloyd on
+  // the shared deterministic train sample, exact DECIMAL means like IVF),
+  // and every corpus vector is stored as 8 four-bit codes — 4 bytes
+  // instead of 512: the representation that lets a 100 TB corpus' index
+  // fit in cluster memory. Queries score by ASYMMETRIC DISTANCE (ADC):
+  // the query's exact subvectors dot the centroid each code names, summed
+  // in fixed subspace order — so the whole scan is 8 table lookups + adds
+  // per candidate, no full-vector arithmetic. Cosine comes out directly
+  // because codes are built over norm-1 vectors. Training, encoding, and
+  // ADC are all replayed by the DuckDB oracle (same Lloyd seeding/decimal
+  // arithmetic contract as [[trainIvfCentroidsUncached]]).
+  // ---------------------------------------------------------------------
+  private val PQ_M = 8
+  private val PQ_SUBDIM = 8
+  private val PQ_K = 16
+  private val PQ_ITERS = 2
+
+  /** Elementwise v / ||v||: PQ codes quantize the unit sphere, so ADC's
+    * inner product IS cosine. Plain IEEE division — oracle-replicable. */
+  private def unit(v: Column, nrm: Column): Column = transform(v, x => x / nrm)
+
+  private def unitVectors(s: SparkSession, d: String): DataFrame =
+    vectors(s, d).select(col("vec_id"), unit(col("v"), col("nrm")).as("w"))
+
+  /** Nearest sub-centroid of subspace `m`, ties to the lowest code. */
+  private def assignSubCluster(w: Column, books: Array[Array[Array[Double]]], m: Int): Column = {
+    val sub = slice(w, m * PQ_SUBDIM + 1, PQ_SUBDIM)
+    val sims = transform(centsLit(books(m)),
+      c => org.apache.spark.sql.graftbridge.dotProduct(sub, c))
+    (array_position(sims, array_max(sims)) - 1).cast("int")
+  }
+
+  private val pqBookCache = new SessionCache[Array[Array[Array[Double]]]]()
+
+  /** Per-subspace codebooks `[m][code][subdim]`, trained like the IVF
+    * centroids (strided seeds over the corpus, Lloyd on the hash sample,
+    * decimal-exact means) but per subspace — ONE assignment+sum job per
+    * iteration covers all 8 subspaces at once. */
+  private[ops] def trainPqCodebooks(s: SparkSession, d: String): Array[Array[Array[Double]]] =
+    cached(pqBookCache, s, d) {
+      val nv = unitVectors(s, d)
+      val train = nv.filter(
+        (col("vec_id") * lit(IVF_TRAIN_MULT) + lit(IVF_TRAIN_ADD)) % lit(IVF_TRAIN_MOD)
+          < lit(IVF_TRAIN_KEEP)).persist()
+      val n = nv.count()
+      val stride = math.max(1L, n / PQ_K)
+      val seedIds = (0 until PQ_K).map(i => i * stride)
+      val seedRows = nv.filter(col("vec_id").isin(seedIds: _*))
+        .orderBy(col("vec_id")).limit(PQ_K)
+        .collect().map(_.getSeq[Double](1).toArray)
+      var books: Array[Array[Array[Double]]] = Array.tabulate(PQ_M)(m =>
+        seedRows.map(_.slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM)))
+      for (_ <- 1 to PQ_ITERS) {
+        val codeCols = (0 until PQ_M).map(m => assignSubCluster(col("w"), books, m).as(s"c$m"))
+        val assigned = train.select(col("w") +: codeCols: _*)
+        val sums = assigned
+          .select(array((0 until PQ_M).map(m => col(s"c$m")): _*).as("cs"),
+            posexplode(col("w")).as(Seq("pos", "x")))
+          .withColumn("m", (col("pos") / PQ_SUBDIM).cast("int"))
+          .withColumn("cl", element_at(col("cs"), col("m") + 1))
+          .groupBy(col("m"), col("cl"), col("pos"))
+          .agg(sum(col("x").cast(DecimalType(28, 12))).as("sx"), count(lit(1)).as("cn"))
+          .collect()
+        val byKey = sums.groupBy(r => (r.getInt(0), r.getInt(1)))
+        books = Array.tabulate(PQ_M) { m =>
+          Array.tabulate(PQ_K) { c =>
+            byKey.get((m, c)) match {
+              case Some(rows) =>
+                val arr = new Array[Double](PQ_SUBDIM)
+                rows.foreach(r =>
+                  arr(r.getInt(2) - m * PQ_SUBDIM) = r.getDecimal(3).doubleValue / r.getLong(4))
+                arr
+              case None => books(m)(c) // empty cluster keeps its centroid
+            }
+          }
+        }
+      }
+      train.unpersist(blocking = false)
+      books
+    }
+
+  /** Corpus encoded as 8 sub-codes, persisted per directory: x_ann_pq and
+    * its recall audit share one encoding pass. At scale this IS the index
+    * a deployment materializes — 4 bytes/vector + the 8×16×8 codebook. */
+  private val pqCodesCache = new SessionCache[DataFrame]()
+
+  private[ops] def pqCodes(s: SparkSession, d: String): DataFrame =
+    cached(pqCodesCache, s, d) {
+      val books = trainPqCodebooks(s, d)
+      unitVectors(s, d).select(
+          col("vec_id") +: (0 until PQ_M).map(m => assignSubCluster(col("w"), books, m).as(s"c$m")): _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** ADC top-`k` per query: 8 codebook lookups + a fixed-order sum per
+    * candidate row — the PQ scan. Queries keep exact subvectors (the
+    * asymmetric side). */
+  private[ops] def pqTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    val books = trainPqCodebooks(s, d)
+    val codes = pqCodes(s, d)
+    val q = unitVectors(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id").as("q_id"), col("w").as("qw"))
+    val sim = (0 until PQ_M).map { m =>
+      org.apache.spark.sql.graftbridge.dotProduct(
+        slice(col("qw"), m * PQ_SUBDIM + 1, PQ_SUBDIM),
+        element_at(centsLit(books(m)), col(s"c$m") + 1))
+    }.reduceLeft(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("nn_id"))
+    broadcast(q).join(codes, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"), sim.as("approx_sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+  }
+
+  /** ADC-shortlist size for the exact rerank — the knob trading recall
+    * against full-vector reads per query. */
+  private val PQ_RERANK = 16
+
+  /** PQ nearest neighbor, production shape: the 4-byte-code ADC scan
+    * shortlists PQ_RERANK candidates per query, then ONLY those rows'
+    * full vectors are read for an exact cosine rerank — the 100 TB
+    * pattern where the corpus index lives in memory as codes and the
+    * full-precision vectors stay on cheap storage, touched
+    * 16-rows-per-query. (Pure ADC top-1 on THIS corpus — random vectors,
+    * near-tied cosines — lands ~11% recall@1: 32-bit codes cannot
+    * separate near-ties, which is exactly why the rerank stage exists.) */
+  def annPq(s: SparkSession, d: String): DataFrame = {
+    val short = pqTopK(s, d, PQ_RERANK).select(col("q_id"), col("nn_id"))
+    val all = vectors(s, d)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+    short
+      .join(all.select(col("vec_id").as("nn_id"), col("v").as("bv"), col("nrm").as("bn")), "nn_id")
+      .join(all.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), "q_id")
+      .select(col("q_id"), col("nn_id"),
+        (dot(col("qv"), col("bv")) / (col("qn") * col("bn"))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("nn_id"), col("sim"))
+  }
+
+  /** PQ recall audit: the reranked top-1 scored against the exact cosine
+    * top-3 — measures whether the true neighbor survives into the ADC
+    * shortlist. */
+  def annPqRecall(s: SparkSession, d: String): DataFrame =
+    recallAgainstExact(annPq(s, d), exactTop3(s, d, 200))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_ann_bruteforce" -> (annBruteforce _),
     "x_ann_lsh" -> (annLsh _),
     "x_ann_ivf" -> (annIvf _),
     "x_ann_lsh_recall" -> (annLshRecall _),
     "x_ann_ivf_recall" -> (annIvfRecall _),
+    "x_ann_pq" -> (annPq _),
+    "x_ann_pq_recall" -> (annPqRecall _),
     "x_dedup_embedding" -> (dedupEmbedding _),
     "x_knn_label_vote" -> (knnLabelVote _)
   )
@@ -619,6 +771,82 @@ object Similarity {
     "x_ann_ivf_recall" ->
       s"""WITH $ivfCtes,
          |$exactTop3Cte
-         |${recallSelect("ivf")}""".stripMargin
+         |${recallSelect("ivf")}""".stripMargin,
+    "x_ann_pq" ->
+      s"""WITH $pqCtes
+         |SELECT q_id, nn_id, sim FROM rr WHERE rrnk = 1""".stripMargin,
+    "x_ann_pq_recall" ->
+      s"""WITH $pqCtes,
+         |pq AS (SELECT q_id, nn_id FROM rr WHERE rrnk = 1),
+         |$exactTop3Cte
+         |${recallSelect("pq")}""".stripMargin
   )
+
+  /** PQ oracle: re-runs per-subspace Lloyd (same seeding/decimal contract
+    * as [[ivfCtes]]), encodes the corpus, and scores ADC with the same
+    * fixed-order eight-term sum the Spark side uses. Ends at
+    * `pqr(q_id, nn_id, approx_sim, rnk)`. */
+  private def pqCtes: String = {
+    def sub(rel: String, m: String) = s"$rel.w[$m*$PQ_SUBDIM+1 : $m*$PQ_SUBDIM+$PQ_SUBDIM]"
+    def assign(cPrev: String, aName: String, from: String) =
+      s"""$aName AS (SELECT vec_id, m, cl FROM (
+         |  SELECT s.vec_id, c.m, c.cl,
+         |         row_number() OVER (PARTITION BY s.vec_id, c.m
+         |           ORDER BY list_dot_product(${sub("s", "c.m")}, c.cent) DESC, c.cl) AS rn
+         |  FROM $from s, $cPrev c) WHERE rn = 1)""".stripMargin
+    def recompute(aName: String, cPrev: String, cName: String) =
+      s"""$cName AS (
+         |  SELECT m, cl, list(cv ORDER BY pos) AS cent FROM (
+         |    SELECT a.m, a.cl, p.p AS pos,
+         |           CAST(SUM(CAST(s.w[a.m*$PQ_SUBDIM + p.p] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cv
+         |    FROM $aName a JOIN ts s USING (vec_id), (SELECT unnest(range(1,${PQ_SUBDIM + 1})) AS p) p
+         |    GROUP BY a.m, a.cl, p.p) GROUP BY m, cl
+         |  UNION ALL
+         |  SELECT c.m, c.cl, c.cent FROM $cPrev c
+         |  WHERE NOT EXISTS (SELECT 1 FROM $aName a WHERE a.m = c.m AND a.cl = c.cl))""".stripMargin
+    val iters = (1 to PQ_ITERS).map { i =>
+      assign(s"pc${i - 1}", s"pa$i", "ts") + ",\n" + recompute(s"pa$i", s"pc${i - 1}", s"pc$i")
+    }.mkString(",\n")
+    val adcSum = (0 until PQ_M).map(m =>
+      s"list_dot_product(q.w[${m * PQ_SUBDIM + 1}:${(m + 1) * PQ_SUBDIM}], f$m.cent)").mkString("\n         + ")
+    val codeJoins = (0 until PQ_M).map(m =>
+      s"JOIN pc$PQ_ITERS f$m ON f$m.m = $m AND f$m.cl = x.k$m").mkString("\n  ")
+    val pivot = (0 until PQ_M).map(m =>
+      s"MAX(CASE WHEN m = $m THEN cl END) AS k$m").mkString(",\n         ")
+    s"""$baseCtes,
+       |nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS w FROM n),
+       |ts AS (SELECT vec_id, w FROM nv
+       |       WHERE (vec_id * $IVF_TRAIN_MULT + $IVF_TRAIN_ADD) % $IVF_TRAIN_MOD < $IVF_TRAIN_KEEP),
+       |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, w
+       |       FROM nv WHERE vec_id IN (
+       |         SELECT i.i * (SELECT greatest(1, count(*) // $PQ_K) FROM nv)
+       |         FROM (SELECT unnest(range(0,$PQ_K)) AS i) i)
+       |       ORDER BY vec_id LIMIT $PQ_K),
+       |pc0 AS (SELECT m.m AS m, cl, ${sub("sd", "m.m").replace("sd.w", "w")} AS cent
+       |        FROM sd, (SELECT unnest(range(0,$PQ_M)) AS m) m),
+       |$iters,
+       |${assign(s"pc$PQ_ITERS", "codes", "nv")},
+       |cw AS (SELECT vec_id,
+       |         $pivot
+       |       FROM codes GROUP BY vec_id),
+       |adc AS (
+       |  SELECT q.vec_id AS q_id, x.vec_id AS nn_id,
+       |         $adcSum AS approx_sim
+       |  FROM nv q
+       |  JOIN cw x ON x.vec_id <> q.vec_id
+       |  $codeJoins
+       |  WHERE q.vec_id < 200),
+       |pqr AS (SELECT q_id, nn_id, approx_sim,
+       |               row_number() OVER (PARTITION BY q_id
+       |                 ORDER BY approx_sim DESC, nn_id) AS rnk
+       |        FROM adc),
+       |rr AS (SELECT q_id, nn_id, sim,
+       |              row_number() OVER (PARTITION BY q_id
+       |                ORDER BY sim DESC, nn_id) AS rrnk FROM (
+       |  SELECT p.q_id, p.nn_id,
+       |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+       |  FROM pqr p JOIN n a ON a.vec_id = p.q_id
+       |             JOIN n b ON b.vec_id = p.nn_id
+       |  WHERE p.rnk <= $PQ_RERANK))""".stripMargin
+  }
 }
