@@ -495,6 +495,10 @@ object Similarity {
       val seedRows = nv.filter(col("vec_id").isin(seedIds: _*))
         .orderBy(col("vec_id")).limit(PQ_K)
         .collect().map(_.getSeq[Double](1).toArray)
+      // fail fast instead of an index error from the empty-cluster
+      // fallback below — a corpus this small has no business being PQ'd
+      require(seedRows.length == PQ_K,
+        s"PQ needs at least $PQ_K vectors to seed its codebooks; found ${seedRows.length}")
       var books: Array[Array[Array[Double]]] = Array.tabulate(PQ_M)(m =>
         seedRows.map(_.slice(m * PQ_SUBDIM, (m + 1) * PQ_SUBDIM)))
       for (_ <- 1 to PQ_ITERS) {

@@ -371,15 +371,25 @@ object TextAnalysis {
     * count: (h, doc_id) is a total order, so each document's global prefix
     * is a pure function of the data — which is exactly what lets DuckDB
     * oracle it with a single ORDER BY window. */
+  /** The range-partitioned (doc_id, n_tokens, h) relation both sharding
+    * jobs read, persisted once per (session, directory) — a per-call
+    * persist would pin a fresh copy every bench invocation and never
+    * release it. The persist also guarantees both jobs observe the SAME
+    * partition slices (pid stability). */
+  private val shardPartedCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def shardBalanced(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val BUDGET = 2048L // power of two: floor-of-double == integer division (see x_pack_bins oracle note)
     val PARTS = 8
     val h = md5(concat(lit("shard:"), col("doc_id").cast("string")))
-    val parted = documents(s, d)
-      .select(col("doc_id"), tokenCountCol(col("text")).cast("long").as("n_tokens"), h.as("h"))
-      .repartitionByRange(PARTS, col("h"), col("doc_id"))
-      .persist()
+    shardPartedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val parted = shardPartedCache.computeIfAbsent((s, d), _ =>
+      documents(s, d)
+        .select(col("doc_id"), tokenCountCol(col("text")).cast("long").as("n_tokens"), h.as("h"))
+        .repartitionByRange(PARTS, col("h"), col("doc_id"))
+        .persist())
     // One row per partition → driver → exclusive prefix offsets. Partition
     // ids are stable here: spark_partition_id reads the slice the range
     // exchange produced, and both jobs below reuse the same persisted
@@ -536,24 +546,34 @@ object TextAnalysis {
     * re-executes over changing data must call this method again (or fold
     * N and the candidates in via a scalar subquery of the sketch
     * aggregate, trading the broadcast-semi-join plan pinned by spec). */
-  def heavyHitters(s: SparkSession, d: String): DataFrame = {
-    val K = 64
-    val toks = documents(s, d).select(explode(tokensCol(lower(col("text")))).as("tok"))
-    val hh = udaf(graft.functions.HeavyHittersAggregator(K))
-    // One sketch job: <= K candidate terms + the exact stream length.
-    val sk = toks.agg(hh(col("tok")).as("sketch"), count(lit(1)).as("n_total")).head()
-    val nTotal = sk.getLong(1)
-    val candTerms = sk.getMap[String, Long](0).keys.toSeq.sorted
+  private val HH_K = 64
+
+  /** The shared prune-then-exact-verify tail of BOTH heavy-hitter entries:
+    * the sketch (however it was obtained — one batch job or a streamed
+    * fold) supplies ≤K candidate terms and the exact stream length; exact
+    * counts are aggregated ONLY for tokens surviving a broadcast semi-join
+    * against those candidates, then thresholded at N/(K+1). One body ⇒
+    * the stream/batch shared-oracle parity cannot drift. */
+  private def hhExactVerify(s: SparkSession, d: String,
+      candTerms: Seq[String], nTotal: Long): DataFrame = {
     val cands = s.createDataFrame(
       s.sparkContext.parallelize(candTerms.map(org.apache.spark.sql.Row(_)), 1),
       new org.apache.spark.sql.types.StructType()
         .add("tok", org.apache.spark.sql.types.StringType, nullable = false))
-    // Prune BEFORE aggregating: exact counts exist only for candidates.
-    toks.join(broadcast(cands), Seq("tok"), "left_semi")
+    documents(s, d).select(explode(tokensCol(lower(col("text")))).as("tok"))
+      .join(broadcast(cands), Seq("tok"), "left_semi")
       .groupBy(col("tok")).agg(count(lit(1)).as("n_occurrences"))
-      .filter(col("n_occurrences") * (K + 1) > nTotal)
+      .filter(col("n_occurrences") * (HH_K + 1) > nTotal)
       .select(col("tok").as("term"), col("n_occurrences"))
       .orderBy(col("term"))
+  }
+
+  def heavyHitters(s: SparkSession, d: String): DataFrame = {
+    val toks = documents(s, d).select(explode(tokensCol(lower(col("text")))).as("tok"))
+    val hh = udaf(graft.functions.HeavyHittersAggregator(HH_K))
+    // One sketch job: <= K candidate terms + the exact stream length.
+    val sk = toks.agg(hh(col("tok")).as("sketch"), count(lit(1)).as("n_total")).head()
+    hhExactVerify(s, d, sk.getMap[String, Long](0).keys.toSeq.sorted, sk.getLong(1))
   }
 
   /** Streaming face of [[heavyHitters]] (catalog `x_stream_heavy_hitters`):
@@ -565,25 +585,14 @@ object TextAnalysis {
     * identical to the batch entry's, so the output — and therefore the
     * oracle — is identical too, for any slicing into batches. */
   def heavyHittersStream(s: SparkSession, d: String): DataFrame = {
-    val K = 64
     val work = java.nio.file.Files.createTempDirectory("graft_stream_hh").toString
     val stage = s"$work/stage"
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     (0 until 3).foreach { b =>
       docs.filter(col("doc_id") % 3 === b).coalesce(1).write.mode("append").parquet(stage)
     }
-    val (sketch, nTotal) = graft.streaming.SketchStream.runHeavyHitters(s, stage, work, K)
-    val candTerms = sketch.keys.toSeq.sorted
-    val cands = s.createDataFrame(
-      s.sparkContext.parallelize(candTerms.map(org.apache.spark.sql.Row(_)), 1),
-      new org.apache.spark.sql.types.StructType()
-        .add("tok", org.apache.spark.sql.types.StringType, nullable = false))
-    documents(s, d).select(explode(tokensCol(lower(col("text")))).as("tok"))
-      .join(broadcast(cands), Seq("tok"), "left_semi")
-      .groupBy(col("tok")).agg(count(lit(1)).as("n_occurrences"))
-      .filter(col("n_occurrences") * (K + 1) > nTotal)
-      .select(col("tok").as("term"), col("n_occurrences"))
-      .orderBy(col("term"))
+    val (sketch, nTotal) = graft.streaming.SketchStream.runHeavyHitters(s, stage, work, HH_K)
+    hhExactVerify(s, d, sketch.keys.toSeq.sorted, nTotal)
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -610,26 +619,24 @@ object TextAnalysis {
     "x_fingerprint" -> (fingerprint _)
   )
 
+  /** The sketch's guarantee makes the output the exact heavy-hitter set,
+    * so the oracle is the direct relational statement of that set — shared
+    * verbatim by the batch entry and its streaming twin (the oracle IS the
+    * parity check). */
+  private val heavyHittersOracleSql: String =
+    """WITH tk AS (
+      |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+      |n AS (SELECT count(*) AS n_total FROM tk),
+      |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
+      |SELECT tok AS term, CAST(cnt AS BIGINT) AS n_occurrences
+      |FROM c, n WHERE cnt * 65 > n_total""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // The sketch's guarantee makes the output the exact heavy-hitter set,
-    // so the oracle is the direct relational statement of that set.
-    "x_heavy_hitters" ->
-      """WITH tk AS (
-        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
-        |n AS (SELECT count(*) AS n_total FROM tk),
-        |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
-        |SELECT tok AS term, CAST(cnt AS BIGINT) AS n_occurrences
-        |FROM c, n WHERE cnt * 65 > n_total""".stripMargin,
+    "x_heavy_hitters" -> heavyHittersOracleSql,
     // Parity theorem: the streamed fold of per-batch sketches carries the
     // same completeness guarantee, so the prune+verify output is identical
     // to the batch entry's — SAME oracle.
-    "x_stream_heavy_hitters" ->
-      """WITH tk AS (
-        |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
-        |n AS (SELECT count(*) AS n_total FROM tk),
-        |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
-        |SELECT tok AS term, CAST(cnt AS BIGINT) AS n_occurrences
-        |FROM c, n WHERE cnt * 65 > n_total""".stripMargin,
+    "x_stream_heavy_hitters" -> heavyHittersOracleSql,
     // Same planted PII, same regexes (the [0-9]/explicit-class subset both
     // engines implement identically), same scrub order.
     "x_pii_scrub" ->

@@ -193,6 +193,12 @@ object EventStream {
 
     val ev = eventsDf.select(col("user_id"), col("ts"), col("event_type"))
     val bounds = ev.agg(min(unix_millis(col("ts"))).as("mn"), max(unix_millis(col("ts"))).as("mx")).head()
+    if (bounds.isNullAt(0)) {
+      // no events → no sessions, matching the batch twin on the same input
+      import s.implicits._
+      return Seq.empty[(Long, Long, Long, Long, Double)]
+        .toDF("user_id", "n_events", "first_ms", "last_ms", "duration_sec")
+    }
     val (minMs, maxMs) = (bounds.getLong(0), bounds.getLong(1))
     val span = maxMs - minMs + 1
 

@@ -47,16 +47,33 @@ object SketchStream {
 
   /** Per-micro-batch body (public seam, spec-driven directly for the
     * replay audit): sketch the batch, fold into the latest prior state,
-    * land as this batch's partition. */
+    * land as this batch's partition.
+    *
+    * DETERMINISM: a bare distributed `udaf(...).agg` would merge partial
+    * sketches in shuffle-fetch order, and the Misra-Gries merge TRUNCATES
+    * — the candidate set (never the guarantee) depends on merge order, so
+    * a replayed batch could land a different-but-equally-valid partition
+    * and break the bit-identical-replay contract. Instead each input
+    * partition reduces its own sketch (row order within a partition is
+    * deterministic for a deterministic file), the ≤P partition sketches
+    * come back as rows, and the driver folds them in ascending partition
+    * id — ONE fixed merge tree, still covered by the mergeable-summaries
+    * bound, still nothing bigger than k counters per partition anywhere. */
   def sketchBatch(k: Int, stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val agg = graft.functions.HeavyHittersAggregator(k)
     val hh = udaf(agg)
     val toks = batch.select(
       explode(graft.ops.TextAnalysis.tokensCol(lower(col("text")))).as("tok"))
-    val row = toks.agg(hh(col("tok")).as("sketch"), count(lit(1)).as("n")).head()
-    val batchSketch: Map[String, Long] = row.getMap[String, Long](0).toMap
-    val batchN = row.getLong(1)
+    val parts = toks
+      .groupBy(spark_partition_id().as("pid"))
+      .agg(hh(col("tok")).as("sketch"), count(lit(1)).as("n"))
+      .collect()
+      .sortBy(_.getInt(0))
+    val batchSketch: Map[String, Long] = parts
+      .map(_.getMap[String, Long](1).toMap)
+      .foldLeft(Map.empty[String, Long])(agg.merge)
+    val batchN = parts.map(_.getLong(2)).sum
 
     val prior = s.read.schema(stateSchema).parquet(stateDir)
       .filter(col("batch_id") < batchId)
@@ -98,9 +115,14 @@ object SketchStream {
       .start()
     q.awaitTermination()
     val state = s.read.schema(stateSchema).parquet(stateDir)
-    val last = state.agg(max(col("batch_id"))).head().getLong(0)
-    val rows = state.filter(col("batch_id") === last).collect()
-    (rows.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap,
-      rows.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L))
+    val lastRow = state.agg(max(col("batch_id"))).head()
+    // zero micro-batches (empty corpus / no staged files) → empty sketch,
+    // mirroring the batch operator's empty-corpus result
+    if (lastRow.isNullAt(0)) (Map.empty[String, Long], 0L)
+    else {
+      val rows = state.filter(col("batch_id") === lastRow.getLong(0)).collect()
+      (rows.filter(!_.isNullAt(0)).map(r => r.getString(0) -> r.getLong(1)).toMap,
+        rows.find(_.isNullAt(0)).map(_.getLong(1)).getOrElse(0L))
+    }
   }
 }
