@@ -410,6 +410,45 @@ object Similarity {
       .filter(col("cos") >= 0.5)
   }
 
+  /** Cosine threshold for the semantic (cluster-bucketed) dedup. This
+    * corpus is random with max pair cosine ~0.5-0.6, so 0.4 sits at the
+    * top of the distribution — high enough to prune the random mass,
+    * low enough that the demo keeps a verifiable nonempty pair set. A
+    * real near-dup deployment runs 0.9+. */
+  private val SEM_TAU = 0.4
+
+  /** Semantic near-duplicate dedup, SemDeDup shape (Abbas et al. 2023 —
+    * see PAPERS.md): bucket the corpus by nearest trained k-means
+    * centroid, compare pairs ONLY within a cluster, and mark a vector a
+    * duplicate when a LOWER-id vector in its cluster clears the cosine
+    * threshold — the greedy keep-first rule, reported as
+    * (vec_id, cluster, dup_of = smallest qualifying keeper, cos of that
+    * pair). Complements the LSH family with a DATA-ADAPTIVE bucket
+    * function: hyperplanes are oblivious to the corpus distribution,
+    * centroids follow it, which is why this is the published shape for
+    * pruning semantically-redundant web-scale training data.
+    *
+    * Scale: candidate space is Σ_c n_c² — with k grown ~ corpus/target
+    * cluster size (same log-rule regime the LSH families measure for
+    * bits) the per-cluster quadratic term stays bounded and total work
+    * stays ~linear; the cluster equi-join shuffles only (id, cluster,
+    * vec). Training reuses the shared deterministic Lloyd sample
+    * ([[trainIvfCentroids]]) so the DuckDB oracle replays everything —
+    * training, assignment, pairing — bit-for-bit. */
+  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
+    val a = ivfAssigned(s, d)
+    val pairs = a.as("x")
+      .join(a.as("y"),
+        col("x.cluster") === col("y.cluster") && col("y.vec_id") < col("x.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("x.cluster").as("cluster"),
+        col("y.vec_id").as("dup_of"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .filter(col("cos") >= SEM_TAU)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dup_of"))
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("vec_id"), col("cluster"), col("dup_of"), col("cos"))
+  }
+
   /** 5-NN majority-vote label prediction audited against the true labels —
     * the standard embedding-quality eval, as a confusion summary. Votes
     * tie-break to the smallest label; all counts exact. */
@@ -604,6 +643,7 @@ object Similarity {
     "x_ann_pq" -> (annPq _),
     "x_ann_pq_recall" -> (annPqRecall _),
     "x_dedup_embedding" -> (dedupEmbedding _),
+    "x_dedup_semantic" -> (dedupSemantic _),
     "x_knn_label_vote" -> (knnLabelVote _)
   )
 
@@ -658,7 +698,10 @@ object Similarity {
     * the SAME deterministic LCG hash-sample (`ts`) the Spark trainer reads;
     * the final assignment covers the full corpus. Empty clusters keep
     * their previous centroid. */
-  private def ivfCtes: String = {
+  /** Training + full-corpus assignment prefix of [[ivfCtes]], ending at
+    * `af(vec_id, v, nrm, cl)` — shared by the ANN probe path and the
+    * semantic dedup oracle. */
+  private def ivfAssignCtes: String = {
     def assign(cPrev: String, aName: String, extra: String = "", from: String = "n") =
       s"""$aName AS (SELECT vec_id, v,$extra cl FROM (
          |  SELECT n.vec_id, n.v,$extra c.cl,
@@ -687,7 +730,11 @@ object Similarity {
        |         FROM (SELECT unnest(range(0,$IVF_K)) AS i) i)
        |       ORDER BY vec_id LIMIT $IVF_K),
        |$iters,
-       |${assign(s"c$IVF_ITERS", "af", " nrm,")},
+       |${assign(s"c$IVF_ITERS", "af", " nrm,")}""".stripMargin
+  }
+
+  private def ivfCtes: String = {
+    s"""$ivfAssignCtes,
        |pr AS (SELECT q_id, cl AS cluster FROM (
        |    SELECT n.vec_id AS q_id, c.cl,
        |           row_number() OVER (PARTITION BY n.vec_id
@@ -746,6 +793,18 @@ object Similarity {
          |       list_dot_product(qa.v, qb.v) / (qa.nrm * qb.nrm) AS cos
          |FROM ecand c JOIN n qa ON qa.vec_id = c.id_a JOIN n qb ON qb.vec_id = c.id_b
          |WHERE list_dot_product(qa.v, qb.v) / (qa.nrm * qb.nrm) >= 0.5""".stripMargin,
+    "x_dedup_semantic" ->
+      s"""WITH $ivfAssignCtes,
+         |sp AS (
+         |  SELECT a.vec_id AS vec_id, a.cl AS cluster, b.vec_id AS dup_of,
+         |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+         |  FROM af a JOIN af b ON b.cl = a.cl AND b.vec_id < a.vec_id
+         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SEM_TAU)
+         |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dup_of, cos FROM (
+         |  SELECT vec_id, cluster, dup_of, cos,
+         |         row_number() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rnk
+         |  FROM sp)
+         |WHERE rnk = 1""".stripMargin,
     "x_knn_label_vote" ->
       s"""WITH $baseCtes,
          |l AS (SELECT n.vec_id, n.v, n.nrm, e.label
