@@ -141,6 +141,62 @@ object TextAnalysis {
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("rnk"))
   }
 
+  /** The fixed demo query for [[bm25Search]]. Term ORDER is part of the
+    * contract: per-document scores sum left-to-right in this order (float
+    * addition is not associative, and the oracle folds the same way). */
+  private val BM25_TERMS = Seq("spark", "merge", "window", "hash")
+
+  /** BM25 relevance search: top-10 documents for a fixed multi-term query,
+    * scored with the Robertson-Sparck Jones formula EXCEPT that the idf
+    * log is deliberately dropped, keeping its argument — the odds ratio
+    * (N - df + 0.5)/(df + 0.5) — as the term weight. Rationale: libm
+    * log() differs across engines at the ulp level (the same reason
+    * [[keywords]] is integer-only), while + * / are IEEE-correctly-rounded
+    * everywhere, so this variant is bit-replicable in DuckDB and the gate
+    * stays hash-exact. Ranking differs from textbook BM25 only in how
+    * strongly rare terms dominate (the monotone log is removed per-term);
+    * tf saturation and length normalization (k1 = 1.2, b = 0.75) are the
+    * standard BM25 shape.
+    *
+    * Scale: the explode is filtered to the query terms BEFORE the
+    * (doc, term) aggregate, so only matching postings shuffle — the
+    * inverted-index access pattern without materializing an index; df and
+    * the corpus stats ride broadcasts. Per-doc scores sum in fixed
+    * [[BM25_TERMS]] order via one pivot — no float aggregation order
+    * anywhere. */
+  def bm25Search(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+      .select(col("doc_id"), tokensCol(lower(col("text"))).as("tk"))
+      .select(col("doc_id"), size(col("tk")).as("dl"), col("tk"))
+    val stats = docs.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).cast("long").as("total_tokens"))
+    val tf = docs.select(col("doc_id"), col("dl"), explode(col("tk")).as("term"))
+      .filter(col("term").isin(BM25_TERMS: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val score =
+      ((col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5))) *
+        ((col("tf") * lit(2.2)) /
+          (col("tf") + lit(1.2) *
+            (lit(1.0) - lit(0.75) +
+              lit(0.75) * col("dl") / (col("total_tokens") / col("n_docs")))))
+    val perTerm = tf.join(broadcast(dfreq), "term")
+      .crossJoin(broadcast(stats))
+      .select(col("doc_id"), col("term"), score.as("score"))
+    val total = BM25_TERMS.map(t =>
+      coalesce(max(when(col("term") === t, col("score"))), lit(0.0)))
+      .reduceLeft(_ + _)
+    // Global top-10 via orderBy+limit — Spark plans TakeOrderedAndProject
+    // (per-partition heaps + driver merge), never a single-partition window
+    // over every matching doc; the rank window then runs over 10 rows.
+    val top10 = perTerm.groupBy(col("doc_id")).agg(total.as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+    top10
+      .withColumn("rnk", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("score"), col("rnk"))
+  }
+
   private val WIN = 50
   private val STRIDE = 25
 
@@ -609,6 +665,7 @@ object TextAnalysis {
     "x_token_rarity" -> (tokenRarity _),
     "x_quota_sample" -> (quotaSample _),
     "x_keywords" -> (keywords _),
+    "x_bm25_search" -> (bm25Search _),
     "x_doc_windows" -> (docWindows _),
     "x_decontam" -> (decontam _),
     "x_hash_sample" -> (hashSample _),
@@ -838,6 +895,38 @@ object TextAnalysis {
         |  FROM tf JOIN df USING (term), n
         |  WHERE df.df * 10 < n.n_docs)
         |WHERE rnk <= 3""".stripMargin,
+    "x_bm25_search" -> {
+      val termList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+      // The per-doc sum MUST fold in BM25_TERMS order (float addition is
+      // order-sensitive); the CASE chain below is generated from the same
+      // Seq the Spark pivot folds over.
+      val caseChain = BM25_TERMS.map(t =>
+        s"COALESCE(MAX(CASE WHEN term = '$t' THEN score END), 0.0)").mkString("\n        |       + ")
+      s"""WITH dk AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk FROM documents),
+        |docs AS (SELECT doc_id, len(tk) AS dl, tk FROM dk),
+        |stats AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM docs),
+        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+        |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM docs)
+        |       WHERE term IN ($termList)
+        |       GROUP BY doc_id, dl, term),
+        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |sc AS (SELECT doc_id, term,
+        |         ((n_docs - df + 0.5) / (df + 0.5)) *
+        |         ((tf * CAST(2.2 AS DOUBLE)) /
+        |           (tf + 1.2 *
+        |             (1.0 - 0.75 +
+        |               0.75 * dl / (total_tokens / n_docs)))) AS score
+        |       FROM tf JOIN dfreq USING (term), stats),
+        |agg AS (SELECT doc_id,
+        |         $caseChain AS score
+        |       FROM sc GROUP BY doc_id)
+        |SELECT doc_id, score, rnk FROM (
+        |  SELECT doc_id, score,
+        |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM agg)
+        |WHERE rnk <= 10""".stripMargin
+    },
     "x_token_count" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
