@@ -252,8 +252,9 @@ object Similarity {
     * instead of re-running three Lloyd jobs each. */
   private val centroidCache = new SessionCache[Array[Array[Double]]]()
 
-  private[ops] def trainIvfCentroids(s: SparkSession, d: String): Array[Array[Double]] =
-    cached(centroidCache, s, d)(trainIvfCentroidsUncached(s, d))
+  private[ops] def trainIvfCentroids(s: SparkSession, d: String,
+      k: Int = IVF_K): Array[Array[Double]] =
+    cached(centroidCache, s, s"$d#k=$k")(trainIvfCentroidsUncached(s, d, k))
 
   /** Deterministic hash-sample the Lloyd passes train on. At 100 TB you do
     * not run k-means over the corpus — centroid quality converges on a
@@ -267,7 +268,8 @@ object Similarity {
       (col("vec_id") * lit(IVF_TRAIN_MULT) + lit(IVF_TRAIN_ADD)) % lit(IVF_TRAIN_MOD)
         < lit(IVF_TRAIN_KEEP))
 
-  private[ops] def trainIvfCentroidsUncached(s: SparkSession, d: String): Array[Array[Double]] = {
+  private[ops] def trainIvfCentroidsUncached(s: SparkSession, d: String,
+      k: Int = IVF_K): Array[Array[Double]] = {
     // Training is eager (each Lloyd iteration collects centroid sums), so a
     // persist here genuinely caches across iterations — without it every
     // iteration re-reads the parquet and re-derives the projection.
@@ -276,11 +278,11 @@ object Similarity {
     val vecs = vectors(s, d).select(col("vec_id"), col("v"))
     val train = ivfTrainSet(s, d).persist()
     val n = vecs.count()
-    val stride = math.max(1L, n / IVF_K)
-    val seedIds = (0 until IVF_K).map(i => i * stride)
+    val stride = math.max(1L, n / k)
+    val seedIds = (0 until k).map(i => i * stride)
     var cents: Array[Array[Double]] = vecs
       .filter(col("vec_id").isin(seedIds: _*))
-      .orderBy(col("vec_id")).limit(IVF_K)
+      .orderBy(col("vec_id")).limit(k)
       .collect().map(_.getSeq[Double](1).toArray)
     for (_ <- 1 to IVF_ITERS) {
       val assigned = train.withColumn("cluster", assignCluster(col("v"), cents))
@@ -290,7 +292,7 @@ object Similarity {
         .agg(sum(col("x").cast(DecimalType(28, 12))).as("sx"), count(lit(1)).as("cn"))
         .collect()
       val byCluster = sums.groupBy(_.getInt(0))
-      cents = Array.tabulate(IVF_K) { c =>
+      cents = Array.tabulate(k) { c =>
         byCluster.get(c) match {
           case Some(rows) =>
             val dim = rows.map(_.getInt(1)).max + 1
@@ -322,9 +324,9 @@ object Similarity {
     * vector), the same amortization as the bucket/centroid caches. */
   private val ivfAssignedCache = new SessionCache[DataFrame]()
 
-  private def ivfAssigned(s: SparkSession, d: String): DataFrame =
-    cached(ivfAssignedCache, s, d) {
-      vectors(s, d).withColumn("cluster", assignCluster(col("v"), trainIvfCentroids(s, d)))
+  private def ivfAssigned(s: SparkSession, d: String, k: Int = IVF_K): DataFrame =
+    cached(ivfAssignedCache, s, s"$d#k=$k") {
+      vectors(s, d).withColumn("cluster", assignCluster(col("v"), trainIvfCentroids(s, d, k)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
 
@@ -435,8 +437,21 @@ object Similarity {
     * vec). Training reuses the shared deterministic Lloyd sample
     * ([[trainIvfCentroids]]) so the DuckDB oracle replays everything —
     * training, assignment, pairing — bit-for-bit. */
-  def dedupSemantic(s: SparkSession, d: String): DataFrame = {
-    val a = ivfAssigned(s, d)
+  /** Cluster count of the FINE semantic-dedup family — the scale knob.
+    * Intra-cluster pair count is Σ_c n_c² ≈ n²/k, so k grows linearly
+    * with the corpus to hold per-cluster occupancy (and with it total
+    * pair work) at a constant multiple of n: k ≈ n / target_occupancy.
+    * 16 clusters (the ANN default, occupancy ~31 at sf0.01) is the
+    * oracled default; 64 is the demo fine configuration (occupancy ~8),
+    * oracled END-TO-END by the same unrolled-Lloyd SQL with k=64
+    * literals. Recall trade: a true near-dup pair can straddle a finer
+    * boundary — SemDeDup accepts this (its published deployments run
+    * k in the tens of thousands over 10⁸+ docs for exactly this cost
+    * rule). */
+  private val SEM_FINE_K = 64
+
+  def dedupSemantic(s: SparkSession, d: String, k: Int = IVF_K): DataFrame = {
+    val a = ivfAssigned(s, d, k)
     val pairs = a.as("x")
       .join(a.as("y"),
         col("x.cluster") === col("y.cluster") && col("y.vec_id") < col("x.vec_id"))
@@ -588,12 +603,27 @@ object Similarity {
   private[ops] def pqTopK(s: SparkSession, d: String, k: Int): DataFrame = {
     val books = trainPqCodebooks(s, d)
     val codes = pqCodes(s, d)
+    // The ADC lookup table, built ONCE per query row before the join: 128
+    // entries = dot(query subvector m, codebook m entry c) for every
+    // (m, c). Candidates then score with 8 array lookups + adds instead
+    // of 8 8-dim dot products — the standard production ADC shape (the
+    // table is what FAISS calls precomputed distance tables). Same
+    // values bit-for-bit: each dot is computed once instead of once per
+    // candidate, and the per-candidate sum keeps the fixed subspace
+    // order.
+    val adcTab = array((0 until PQ_M).flatMap { m =>
+      (0 until PQ_K).map { c =>
+        org.apache.spark.sql.graftbridge.dotProduct(
+          slice(col("qw"), m * PQ_SUBDIM + 1, PQ_SUBDIM),
+          typedLit(books(m)(c).toSeq))
+      }
+    }: _*)
     val q = unitVectors(s, d).filter(col("vec_id") < 200)
       .select(col("vec_id").as("q_id"), col("w").as("qw"))
+      .withColumn("tab", adcTab)
+      .select(col("q_id"), col("tab"))
     val sim = (0 until PQ_M).map { m =>
-      org.apache.spark.sql.graftbridge.dotProduct(
-        slice(col("qw"), m * PQ_SUBDIM + 1, PQ_SUBDIM),
-        element_at(centsLit(books(m)), col(s"c$m") + 1))
+      element_at(col("tab"), lit(m * PQ_K) + col(s"c$m") + 1)
     }.reduceLeft(_ + _)
     val w = Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("nn_id"))
     broadcast(q).join(codes, col("vec_id") =!= col("q_id"))
@@ -643,7 +673,8 @@ object Similarity {
     "x_ann_pq" -> (annPq _),
     "x_ann_pq_recall" -> (annPqRecall _),
     "x_dedup_embedding" -> (dedupEmbedding _),
-    "x_dedup_semantic" -> (dedupSemantic _),
+    "x_dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
+    "x_dedup_semantic_fine" -> ((s: SparkSession, d: String) => dedupSemantic(s, d, SEM_FINE_K)),
     "x_knn_label_vote" -> (knnLabelVote _)
   )
 
@@ -701,7 +732,25 @@ object Similarity {
   /** Training + full-corpus assignment prefix of [[ivfCtes]], ending at
     * `af(vec_id, v, nrm, cl)` — shared by the ANN probe path and the
     * semantic dedup oracle. */
-  private def ivfAssignCtes: String = {
+  private def ivfAssignCtes: String = ivfAssignCtes(IVF_K)
+
+  /** The semantic-dedup oracle at cluster count `k`: the SAME SQL text
+    * modulo the Lloyd literals — both the default and the fine family are
+    * replayed end-to-end. */
+  private def semanticOracleSql(k: Int): String =
+    s"""WITH ${ivfAssignCtes(k)},
+       |sp AS (
+       |  SELECT a.vec_id AS vec_id, a.cl AS cluster, b.vec_id AS dup_of,
+       |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+       |  FROM af a JOIN af b ON b.cl = a.cl AND b.vec_id < a.vec_id
+       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SEM_TAU)
+       |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dup_of, cos FROM (
+       |  SELECT vec_id, cluster, dup_of, cos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rnk
+       |  FROM sp)
+       |WHERE rnk = 1""".stripMargin
+
+  private def ivfAssignCtes(k: Int): String = {
     def assign(cPrev: String, aName: String, extra: String = "", from: String = "n") =
       s"""$aName AS (SELECT vec_id, v,$extra cl FROM (
          |  SELECT n.vec_id, n.v,$extra c.cl,
@@ -726,9 +775,9 @@ object Similarity {
        |       WHERE (vec_id * $IVF_TRAIN_MULT + $IVF_TRAIN_ADD) % $IVF_TRAIN_MOD < $IVF_TRAIN_KEEP),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cent
        |       FROM n WHERE vec_id IN (
-       |         SELECT i.i * (SELECT greatest(1, count(*) // $IVF_K) FROM n)
-       |         FROM (SELECT unnest(range(0,$IVF_K)) AS i) i)
-       |       ORDER BY vec_id LIMIT $IVF_K),
+       |         SELECT i.i * (SELECT greatest(1, count(*) // $k) FROM n)
+       |         FROM (SELECT unnest(range(0,$k)) AS i) i)
+       |       ORDER BY vec_id LIMIT $k),
        |$iters,
        |${assign(s"c$IVF_ITERS", "af", " nrm,")}""".stripMargin
   }
@@ -793,18 +842,8 @@ object Similarity {
          |       list_dot_product(qa.v, qb.v) / (qa.nrm * qb.nrm) AS cos
          |FROM ecand c JOIN n qa ON qa.vec_id = c.id_a JOIN n qb ON qb.vec_id = c.id_b
          |WHERE list_dot_product(qa.v, qb.v) / (qa.nrm * qb.nrm) >= 0.5""".stripMargin,
-    "x_dedup_semantic" ->
-      s"""WITH $ivfAssignCtes,
-         |sp AS (
-         |  SELECT a.vec_id AS vec_id, a.cl AS cluster, b.vec_id AS dup_of,
-         |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
-         |  FROM af a JOIN af b ON b.cl = a.cl AND b.vec_id < a.vec_id
-         |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SEM_TAU)
-         |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster, dup_of, cos FROM (
-         |  SELECT vec_id, cluster, dup_of, cos,
-         |         row_number() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rnk
-         |  FROM sp)
-         |WHERE rnk = 1""".stripMargin,
+    "x_dedup_semantic" -> semanticOracleSql(IVF_K),
+    "x_dedup_semantic_fine" -> semanticOracleSql(SEM_FINE_K),
     "x_knn_label_vote" ->
       s"""WITH $baseCtes,
          |l AS (SELECT n.vec_id, n.v, n.nrm, e.label
