@@ -98,15 +98,24 @@ object CoreQueries {
 
   /** Join + group + deterministic top-k (TPC-H Q3 shape; the reference's doc
     * example is an UPDATE-with-JOIN at lib/DBIx/BatchChunker.pm:121-130 and
-    * its tests chain Track->CD->Genre joins, t/one-many.t:30). The orders and
-    * customer sides hash-join; at 100 TB customer-segment is the broadcast
-    * candidate and lineitem never moves except by its join key. */
+    * its tests chain Track->CD->Genre joins, t/one-many.t:30).
+    *
+    * Join ORDER matters at scale: the selective broadcast (customer
+    * segment, ~1/5 of customers) must land on orders BEFORE the big
+    * lineitem shuffle, not after — Catalyst keeps the syntactic join
+    * order (CBO reordering is off by default), so writing l⋈o first
+    * shuffles the FULL lineitem and orders relations and only then
+    * throws 4/5 of the rows away. With o⋈broadcast(c) first, the
+    * orders side entering the big join is already 5× smaller and the
+    * runtime bloom filter (`InjectRuntimeFilter`, on by default) built
+    * from the FILTERED orders keys prunes lineitem at the scan — with
+    * the old order the bloom side was unfiltered and pruned nothing. */
   def q3TopOrders(s: SparkSession, d: String): DataFrame = {
     val c = customer(s, d).filter(col("c_mktsegment") === "MACHINERY")
     val o = orders(s, d)
     val l = lineitem(s, d)
-    l.join(o, l("l_orderkey") === o("o_orderkey"))
-      .join(broadcast(c), o("o_custkey") === c("c_custkey"))
+    o.join(broadcast(c), o("o_custkey") === c("c_custkey"))
+      .join(l, l("l_orderkey") === o("o_orderkey"))
       .groupBy(col("o_orderkey"))
       .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount"))).cast(DecimalType(18, 4)))
         .cast(DoubleType).as("revenue"))

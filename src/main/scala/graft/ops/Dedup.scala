@@ -1,9 +1,10 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import Tables._
-import TextAnalysis.tokensCol
+import TextAnalysis.{tokensCol, tokenCountCol}
 
 /** Deduplication operators for training-data pipelines: exact (hash groupBy),
   * MinHash+LSH (shingle → minhash → band → bucket-join), SimHash (hamming
@@ -786,6 +787,101 @@ object Dedup {
           sum(col("n_chars")).as("total_chars")))
   }
 
+  // ---------------------------------------------------------------------
+  // Duplicate-SPAN detection: document-level dedup (everything above)
+  // leaves a corpus where no two DOCUMENTS are near-identical but long
+  // verbatim passages (licenses, boilerplate, quoted headers) still repeat
+  // across thousands of otherwise-distinct documents. Substring-level
+  // dedup (Lee et al. 2021, "Deduplicating Training Data Makes Language
+  // Models Better") removes those. The paper builds a suffix array —
+  // inherently sequential; the Spark-native shape is gram-positional:
+  // every token position contributes its SPAN_GRAM-token gram hash, a
+  // gram is duplicated iff it occurs in more than one document, and each
+  // document's duplicated positions are merged into maximal spans.
+  //
+  // Scale shape: the gram table is token-count-sized (linear, the same
+  // explode decontam does); "occurs in >1 doc" is min(doc_id)≠max(doc_id)
+  // — a fully map-side-combinable aggregate, deliberately NOT
+  // countDistinct (no per-group distinct expansion on the biggest
+  // relation in the plan); the join back to positions shuffles on gram
+  // hash (linear); the island merge windows only DUPLICATED positions,
+  // partitioned by doc_id — dup-fraction × corpus rows, each partition
+  // bounded by a single document's length. Nothing quadratic anywhere.
+  // ---------------------------------------------------------------------
+  private[ops] val SPAN_GRAM = 8
+
+  /** (doc_id, pos, g): the SPAN_GRAM-token gram starting at 0-based token
+    * position pos. The gram hashes come from the native
+    * [[org.apache.spark.sql.graftbridge.NgramMd5]] expression — one byte
+    * pass per document, whole-stage-codegen friendly; the transform+slice
+    * HOF formulation it replaced was CodegenFallback and paid an
+    * interpreted slice-copy + string rebuild per gram (measured 5.8
+    * µs/gram — it dominated the span plan, and this relation is built
+    * twice per query). Tokenization still materializes in its own
+    * projection first (same optimizer trap as [[bigramsFromTokens]]). */
+  private def gramPositions(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), tokensCol(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graftbridge.ngramMd5(col("toks"), SPAN_GRAM))
+          .as(Seq("pos", "g")))
+
+  /** Token positions whose gram occurs in MORE THAN ONE document. Within-
+    * doc repetition is deliberately out of scope here (that is
+    * [[TextAnalysis.repetition]]'s signal); cross-doc verbatim overlap is
+    * what substring dedup removes. */
+  private def dupPositions(s: SparkSession, d: String): DataFrame = {
+    val pos = gramPositions(s, d)
+    val dupGrams = pos.groupBy(col("g"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("g"))
+    pos.join(dupGrams, "g").select(col("doc_id"), col("pos"))
+  }
+
+  /** Maximal cross-document duplicated spans per document (catalog
+    * `x_dup_spans`): (doc_id, span_start, span_end, span_tokens), both
+    * bounds inclusive 0-based token positions. Two duplicated gram starts
+    * merge into one span when their covered token ranges overlap or are
+    * adjacent (gap ≤ SPAN_GRAM) — classic gaps-and-islands over the
+    * duplicated position stream. */
+  def dupSpans(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    dupPositions(s, d)
+      // first row of a doc: lag is null → condition null → otherwise(0);
+      // islands are 0-based running sums, identical in the oracle.
+      .withColumn("brk",
+        when(col("pos") - lag(col("pos"), 1).over(w) > SPAN_GRAM, 1).otherwise(lit(0)))
+      .withColumn("island", sum(col("brk")).over(w))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + SPAN_GRAM - 1).as("span_end"))
+      .select(col("doc_id"),
+        col("span_start").cast("int").as("span_start"),
+        col("span_end").cast("int").as("span_end"),
+        (col("span_end") - col("span_start") + 1).cast("int").as("span_tokens"))
+  }
+
+  /** Corpus-health rollup of [[dupSpans]] (catalog `x_dup_span_stats`):
+    * per source, how much of the token mass sits inside cross-document
+    * duplicated spans — the number a pipeline owner reads to decide
+    * whether substring-level scrubbing is worth a pass. Exact integer
+    * tallies; the rollup adds one broadcast-sized join (per-doc span sums)
+    * onto the span plan. */
+  def dupSpanStats(s: SparkSession, d: String): DataFrame = {
+    val perDoc = dupSpans(s, d)
+      .groupBy(col("doc_id"))
+      .agg(sum(col("span_tokens")).as("dup_tokens"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"), tokenCountCol(col("text")).as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("dup_tokens") > 0, 1).otherwise(0)).as("docs_with_dups"),
+        sum(coalesce(col("dup_tokens"), lit(0L))).as("dup_tokens"),
+        sum(col("n_tokens").cast("long")).as("total_tokens"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dml_chunked_dedup" -> (dmlChunkedDedup _),
     "x_dedup_exact" -> (dedupExact _),
@@ -799,8 +895,40 @@ object Dedup {
     "x_dedup_simhash_precision" -> (simhashPrecision _),
     "x_dedup_cc" -> (dedupClusters _),
     "x_split_leakage_safe" -> (leakageSafeSplit _),
-    "x_jaccard_pairs" -> (jaccardPairs _)
+    "x_jaccard_pairs" -> (jaccardPairs _),
+    "x_dup_spans" -> (dupSpans _),
+    "x_dup_span_stats" -> (dupSpanStats _)
   )
+
+  /** Shared CTE chain for the duplicate-span oracles: gram positions →
+    * cross-doc duplicated grams (min≠max doc) → island merge — the same
+    * algebra the Spark plan executes, token for token. */
+  private val dupSpanCtes: String =
+    s"""tok AS (
+       |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM documents),
+       |gp AS (
+       |  SELECT doc_id,
+       |         unnest(range(0, greatest(len(w) - ${SPAN_GRAM - 1}, 0))) AS pos,
+       |         unnest(list_transform(range(0, greatest(len(w) - ${SPAN_GRAM - 1}, 0)),
+       |           i -> md5(array_to_string(w[i+1 : i+$SPAN_GRAM], ' ')))) AS g
+       |  FROM tok),
+       |dupg AS (SELECT g FROM gp GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+       |p AS (SELECT doc_id, pos FROM gp JOIN dupg USING (g)),
+       |brk AS (
+       |  SELECT doc_id, pos,
+       |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $SPAN_GRAM
+       |              THEN 1 ELSE 0 END AS brk
+       |  FROM p),
+       |isl AS (
+       |  SELECT doc_id, pos,
+       |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+       |  FROM brk),
+       |spans AS (
+       |  SELECT doc_id,
+       |         CAST(min(pos) AS INTEGER) AS span_start,
+       |         CAST(max(pos) + ${SPAN_GRAM - 1} AS INTEGER) AS span_end,
+       |         CAST(max(pos) + ${SPAN_GRAM - 1} - min(pos) + 1 AS INTEGER) AS span_tokens
+       |  FROM isl GROUP BY doc_id, island)""".stripMargin
 
   /** DuckDB twin of the full MinHash pipeline (shared CTE pile for the
     * sketch query and the precision audit). The (a, b) constants are the
@@ -1003,6 +1131,20 @@ object Dedup {
         |FROM documents GROUP BY lang""".stripMargin,
     "x_dedup_keep_list" ->
       "SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)",
+    "x_dup_spans" ->
+      s"""WITH $dupSpanCtes
+         |SELECT doc_id, span_start, span_end, span_tokens FROM spans""".stripMargin,
+    "x_dup_span_stats" ->
+      s"""WITH $dupSpanCtes,
+         |per_doc AS (
+         |  SELECT doc_id, SUM(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id)
+         |SELECT d.source,
+         |       count(*) AS n_docs,
+         |       CAST(SUM(CASE WHEN p.dup_tokens > 0 THEN 1 ELSE 0 END) AS BIGINT) AS docs_with_dups,
+         |       CAST(SUM(COALESCE(p.dup_tokens, 0)) AS BIGINT) AS dup_tokens,
+         |       CAST(SUM(len(regexp_extract_all(d.text, '\\S+'))) AS BIGINT) AS total_tokens
+         |FROM documents d LEFT JOIN per_doc p USING (doc_id)
+         |GROUP BY d.source""".stripMargin,
     "x_jaccard_pairs" ->
       """WITH t AS (
         |  SELECT doc_id,

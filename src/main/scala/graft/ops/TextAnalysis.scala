@@ -230,12 +230,14 @@ object TextAnalysis {
     * and broadcast; the corpus side streams — at 100 TB this is a
     * broadcast-hash join on gram hashes, never an all-pairs comparison. */
   def decontam(s: SparkSession, d: String): DataFrame = {
+    // Gram hashes via the native NgramMd5 byte-pass expression (same
+    // md5-of-space-joined-tokens contract as the HOF formulation it
+    // replaced — see the bit contract on NgramMd5, and the duplicate-span
+    // builder in ops/Dedup for the measured interpreted-HOF cost).
     def grams(df: DataFrame): DataFrame =
       df.select(col("doc_id"), tokensCol(lower(col("text"))).as("toks"))
         .select(col("doc_id"),
-          explode(when(size(col("toks")) < 4, array().cast("array<string>"))
-            .otherwise(transform(sequence(lit(0), size(col("toks")) - 4),
-              i => md5(concat_ws(" ", slice(col("toks"), i + 1, lit(4))))))).as("g"))
+          explode(org.apache.spark.sql.graftbridge.ngramMd5(col("toks"), 4)).as("g"))
     val bench = grams(documents(s, d).filter(col("doc_id") < 10))
       .select(col("g")).distinct()
     val corpus = grams(documents(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 400))

@@ -51,4 +51,9 @@ package object graftbridge {
     * [[graftbridge.SimhashWide]] for the width-vs-corpus sizing rule). */
   def simhashWideBits(c: Column, words: Int): Column =
     ExpressionUtils.column(SimhashWide(ExpressionUtils.expression(c), words))
+
+  /** All n-token-gram md5 hex fingerprints of a token array in one
+    * codegen'd byte pass (see [[graftbridge.NgramMd5]]). */
+  def ngramMd5(c: Column, n: Int): Column =
+    ExpressionUtils.column(NgramMd5(ExpressionUtils.expression(c), n))
 }
