@@ -829,25 +829,27 @@ object Dedup {
   /** Token positions whose gram occurs in MORE THAN ONE document. Within-
     * doc repetition is deliberately out of scope here (that is
     * [[TextAnalysis.repetition]]'s signal); cross-doc verbatim overlap is
-    * what substring dedup removes. */
-  private def dupPositions(s: SparkSession, d: String): DataFrame = {
+    * what substring dedup removes. With `dropCanonical` the corpus-wide
+    * FIRST holder (min doc_id) of each gram keeps its positions — the
+    * keep-one-occurrence rule the scrub applies. */
+  private def dupPositions(s: SparkSession, d: String,
+      dropCanonical: Boolean = false): DataFrame = {
     val pos = gramPositions(s, d)
     val dupGrams = pos.groupBy(col("g"))
       .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
       .filter(col("mn") =!= col("mx"))
-      .select(col("g"))
-    pos.join(dupGrams, "g").select(col("doc_id"), col("pos"))
+      .select(col("g"), col("mn"))
+    val joined = pos.join(dupGrams, "g")
+    (if (dropCanonical) joined.filter(col("doc_id") =!= col("mn")) else joined)
+      .select(col("doc_id"), col("pos"))
   }
 
-  /** Maximal cross-document duplicated spans per document (catalog
-    * `x_dup_spans`): (doc_id, span_start, span_end, span_tokens), both
-    * bounds inclusive 0-based token positions. Two duplicated gram starts
-    * merge into one span when their covered token ranges overlap or are
-    * adjacent (gap ≤ SPAN_GRAM) — classic gaps-and-islands over the
-    * duplicated position stream. */
-  def dupSpans(s: SparkSession, d: String): DataFrame = {
+  /** Gaps-and-islands merge of gram-start positions into maximal spans:
+    * two duplicated gram starts merge when their covered token ranges
+    * overlap or are adjacent (gap ≤ SPAN_GRAM). */
+  private def islandSpans(positions: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    dupPositions(s, d)
+    positions
       // first row of a doc: lag is null → condition null → otherwise(0);
       // islands are 0-based running sums, identical in the oracle.
       .withColumn("brk",
@@ -859,6 +861,46 @@ object Dedup {
         col("span_start").cast("int").as("span_start"),
         col("span_end").cast("int").as("span_end"),
         (col("span_end") - col("span_start") + 1).cast("int").as("span_tokens"))
+  }
+
+  /** Maximal cross-document duplicated spans per document (catalog
+    * `x_dup_spans`): (doc_id, span_start, span_end, span_tokens), both
+    * bounds inclusive 0-based token positions. */
+  def dupSpans(s: SparkSession, d: String): DataFrame =
+    islandSpans(dupPositions(s, d))
+
+  /** The consuming transformation (catalog `x_dup_span_scrub`): rewrite
+    * each document with its duplicated spans REMOVED, keeping the
+    * corpus-wide first occurrence — a token position is scrubbed iff the
+    * gram starting there is cross-doc duplicated AND this document is not
+    * the minimum doc_id holding that gram (Lee et al. 2021's
+    * all-but-one-occurrence rule at document granularity). Emits exact
+    * before/after token counts plus the md5 of the surviving token stream
+    * so the oracle verifies the REWRITE, not just the arithmetic.
+    *
+    * Scale: the span relation rolls up to ≤ one array per affected doc
+    * (dup-fraction-bounded) before touching the corpus, which is then
+    * rewritten in a single scan-speed pass — the per-row HOF filter is
+    * O(tokens × spans) with spans per doc tiny by construction. */
+  def dupSpanScrub(s: SparkSession, d: String): DataFrame = {
+    val spanArr = islandSpans(dupPositions(s, d, dropCanonical = true))
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    documents(s, d)
+      .select(col("doc_id"), tokensCol(lower(col("text"))).as("toks"))
+      .join(spanArr, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("toks"),
+        coalesce(col("sp"),
+          array().cast("array<struct<span_start:int,span_end:int>>")).as("sp"))
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens_before"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("sp"),
+            sp => i >= sp("span_start") && i <= sp("span_end"))).as("kept"))
+      .select(col("doc_id"),
+        col("n_tokens_before"),
+        size(col("kept")).as("n_tokens_after"),
+        md5(concat_ws(" ", col("kept"))).as("kept_hash"))
   }
 
   /** Corpus-health rollup of [[dupSpans]] (catalog `x_dup_span_stats`):
@@ -897,13 +939,15 @@ object Dedup {
     "x_split_leakage_safe" -> (leakageSafeSplit _),
     "x_jaccard_pairs" -> (jaccardPairs _),
     "x_dup_spans" -> (dupSpans _),
-    "x_dup_span_stats" -> (dupSpanStats _)
+    "x_dup_span_stats" -> (dupSpanStats _),
+    "x_dup_span_scrub" -> (dupSpanScrub _)
   )
 
   /** Shared CTE chain for the duplicate-span oracles: gram positions →
     * cross-doc duplicated grams (min≠max doc) → island merge — the same
-    * algebra the Spark plan executes, token for token. */
-  private val dupSpanCtes: String =
+    * algebra the Spark plan executes, token for token. `posFilter`
+    * injects the scrub's keep-first-occurrence rule. */
+  private def dupSpanCtes(posFilter: String = ""): String =
     s"""tok AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM documents),
        |gp AS (
@@ -912,8 +956,8 @@ object Dedup {
        |         unnest(list_transform(range(0, greatest(len(w) - ${SPAN_GRAM - 1}, 0)),
        |           i -> md5(array_to_string(w[i+1 : i+$SPAN_GRAM], ' ')))) AS g
        |  FROM tok),
-       |dupg AS (SELECT g FROM gp GROUP BY g HAVING min(doc_id) <> max(doc_id)),
-       |p AS (SELECT doc_id, pos FROM gp JOIN dupg USING (g)),
+       |dupg AS (SELECT g, min(doc_id) AS mn FROM gp GROUP BY g HAVING min(doc_id) <> max(doc_id)),
+       |p AS (SELECT doc_id, pos FROM gp JOIN dupg USING (g)$posFilter),
        |brk AS (
        |  SELECT doc_id, pos,
        |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $SPAN_GRAM
@@ -1132,10 +1176,23 @@ object Dedup {
     "x_dedup_keep_list" ->
       "SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)",
     "x_dup_spans" ->
-      s"""WITH $dupSpanCtes
+      s"""WITH ${dupSpanCtes()}
          |SELECT doc_id, span_start, span_end, span_tokens FROM spans""".stripMargin,
+    "x_dup_span_scrub" ->
+      s"""WITH ${dupSpanCtes(" WHERE doc_id <> mn")},
+         |cover AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos FROM spans),
+         |allpos AS (SELECT doc_id, unnest(range(0, len(w))) AS pos FROM tok),
+         |keptpos AS (SELECT a.doc_id, a.pos FROM allpos a
+         |            ANTI JOIN cover c ON a.doc_id = c.doc_id AND a.pos = c.pos),
+         |kept AS (SELECT k.doc_id, array_agg(t.w[k.pos + 1] ORDER BY k.pos) AS kw
+         |         FROM keptpos k JOIN tok t USING (doc_id) GROUP BY k.doc_id)
+         |SELECT t.doc_id,
+         |       CAST(len(t.w) AS INTEGER) AS n_tokens_before,
+         |       CAST(COALESCE(len(k.kw), 0) AS INTEGER) AS n_tokens_after,
+         |       md5(COALESCE(array_to_string(k.kw, ' '), '')) AS kept_hash
+         |FROM tok t LEFT JOIN kept k USING (doc_id)""".stripMargin,
     "x_dup_span_stats" ->
-      s"""WITH $dupSpanCtes,
+      s"""WITH ${dupSpanCtes()},
          |per_doc AS (
          |  SELECT doc_id, SUM(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id)
          |SELECT d.source,

@@ -73,6 +73,36 @@ class DupSpansSpec extends AnyFunSuite {
     assert(stats("s0") == ((1L, 1L, 15L, 20L)))
   }
 
+  test("dupSpanScrub: the first-occurrence doc keeps the passage, every other holder loses it") {
+    val shared = toks("sh", 16)
+    val a = (toks("ua", 4) ++ shared ++ toks("va", 4)).mkString(" ")   // doc 1 = canonical
+    val b = (toks("ub", 6) ++ shared).mkString(" ")                    // doc 2 scrubbed
+    val c = (shared ++ toks("vc", 9)).mkString(" ")                    // doc 3 scrubbed
+    val d = docsDir(Seq((1L, a), (2L, b), (3L, c)))
+    val out = Dedup.dupSpanScrub(spark, d)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    def h(ts: Seq[String]) = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      md.digest(ts.mkString(" ").getBytes("UTF-8")).map(x => f"$x%02x").mkString
+    }
+    assert(out(1L) == ((24, 24, h(toks("ua", 4) ++ shared ++ toks("va", 4)))))
+    assert(out(2L) == ((22, 6, h(toks("ub", 6)))))
+    assert(out(3L) == ((25, 9, h(toks("vc", 9)))))
+  }
+
+  test("dupSpanScrub: a doc that is entirely one duplicated passage scrubs to the empty stream") {
+    val shared = toks("whole", 12)
+    val d = docsDir(Seq(
+      (1L, (shared ++ toks("tail", 5)).mkString(" ")),  // canonical holder
+      (2L, shared.mkString(" "))))                      // fully duplicated doc
+    val out = Dedup.dupSpanScrub(spark, d)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getString(3)))).toMap
+    assert(out(2L)._2 == 0)
+    // md5 of the empty string — the rewrite really emitted zero tokens
+    assert(out(2L)._3 == "d41d8cd98f00b204e9800998ecf8427e")
+    assert(out(1L) == ((17, 17, out(1L)._3)))
+  }
+
   test("dupSpans invariants on the real corpus: in-bounds, disjoint, gram-wide, stats-consistent") {
     val d = SparkTestSession.sfDir
     val spans = Dedup.dupSpans(spark, d).collect()
