@@ -103,6 +103,39 @@ class DupSpansSpec extends AnyFunSuite {
     assert(out(1L) == ((17, 17, out(1L)._3)))
   }
 
+  test("dupSpans plan laws: no distinct expansion, two shuffles total, windows share one exchange") {
+    import org.apache.spark.sql.execution.{ExpandExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    val out = Dedup.dupSpans(spark, SparkTestSession.sfDir)
+    out.collect() // materialize so AQE finalizes the plan
+    // AQE hides materialized exchanges inside query stages (leaf nodes of
+    // the final plan) — descend into them or the traversal sees nothing.
+    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
+      case a: AdaptiveSparkPlanExec => subtree(a.executedPlan)
+      case s: QueryStageExec => subtree(s.plan)
+      case _ => p.children.flatMap(subtree)
+    })
+    val plan = out.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val nodes = subtree(plan)
+    // The duplicated-gram test is min(doc_id) != max(doc_id), NOT
+    // countDistinct — a distinct expansion on the gram relation (the
+    // biggest in the plan) would show up as an Expand node.
+    assert(!nodes.exists(_.isInstanceOf[ExpandExec]),
+      s"distinct-style expansion crept into the gram plan:\n$plan")
+    // Exactly two data shuffles: the gram min/max aggregate and the
+    // doc_id window partitioning. The lag window, the running-sum window,
+    // and the island aggregate must all reuse the ONE doc_id exchange
+    // (hashpartitioning(doc_id) satisfies the (doc_id, island) group).
+    val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 2, s"expected 2 shuffles, got ${shuffles.size}:\n$plan")
+    assert(nodes.count(_.isInstanceOf[WindowExec]) == 2)
+  }
+
   test("dupSpans invariants on the real corpus: in-bounds, disjoint, gram-wide, stats-consistent") {
     val d = SparkTestSession.sfDir
     val spans = Dedup.dupSpans(spark, d).collect()
