@@ -664,8 +664,71 @@ object Similarity {
   def annPqRecall(s: SparkSession, d: String): DataFrame =
     recallAgainstExact(annPq(s, d), exactTop3(s, d, 200))
 
+  /** Hard-negative mining (catalog `x_hard_negatives`): for each query
+    * vector, the top-3 most-similar vectors with a DIFFERENT label — the
+    * mining step of contrastive/retrieval training (hard negatives are
+    * what make the margin informative; random negatives are trivially
+    * separable). Same broadcast-the-query-side orientation as
+    * [[annBruteforce]]; the label inequality rides the join condition, so
+    * same-label pairs are dropped before any scoring. `rank <= 3`
+    * compiles to the two-level WindowGroupLimit (partial per-partition
+    * top-3 BEFORE the shuffle). At 100 TB the scan side would be an ANN
+    * shortlist (LSH/IVF/PQ above) instead of the full corpus — the
+    * mining logic is unchanged. */
+  def hardNegatives(s: SparkSession, d: String): DataFrame = {
+    val all = embeddings(s, d)
+      .select(col("vec_id"), asDouble(col("embedding")).as("v"), col("label"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val q = all.filter(col("vec_id") < 100)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("label").as("q_label"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("neg_id"))
+    broadcast(q).join(all, col("label") =!= col("q_label"))
+      .select(col("q_id"), col("q_label"), col("vec_id").as("neg_id"),
+        col("label").as("neg_label"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("q_label"), col("neg_id"), col("neg_label"),
+        col("rnk"), col("sim"))
+  }
+
+  /** Symmetric per-dimension int8 scalar quantization + exact
+    * reconstruction-error audit (catalog `x_embed_int8`): the OTHER
+    * memory-bounded embedding representation production systems ship
+    * (alongside PQ above) — 1 byte/dim, dequantized as code·s/127.
+    * Per-dim scale s = max |x| over the corpus: ONE tiny aggregate (64
+    * rows) broadcast back onto the exploded value stream, then one
+    * scan-speed pass quantizes and measures. Rounding is
+    * floor(x/s·127 + 0.5) — identical IEEE arithmetic in any engine
+    * (`round()` half-away/half-even semantics differ across engines;
+    * floor does not). The audit reports, per label: vectors, saturated
+    * codes (|code| = 127 — exactly the per-dim max elements under
+    * symmetric scaling), and total/max absolute reconstruction error —
+    * the total as an exact DECIMAL sum of per-element doubles, so the
+    * number is order-free and oracle-replicable bit-for-bit. */
+  def embedInt8Audit(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), col("label"),
+        posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+    val scales = e.groupBy(col("dim")).agg(max(abs(col("x"))).as("s"))
+    val q = e.join(broadcast(scales), "dim")
+      .withColumn("code",
+        when(col("s") === 0, 0L)
+          .otherwise(floor(col("x") / col("s") * 127 + 0.5)).cast("int"))
+      .withColumn("err", abs(col("x") - col("code") * col("s") / 127))
+    val audit = q.groupBy(col("label")).agg(
+      sum(when(abs(col("code")) === 127, 1).otherwise(0)).as("sat_codes"),
+      sum(col("err").cast(DecimalType(28, 12))).cast("double").as("total_abs_err"),
+      max(col("err")).as("max_abs_err"))
+    embeddings(s, d).groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
+      .join(audit, "label")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_ann_bruteforce" -> (annBruteforce _),
+    "x_hard_negatives" -> (hardNegatives _),
+    "x_embed_int8" -> (embedInt8Audit _),
     "x_ann_lsh" -> (annLsh _),
     "x_ann_ivf" -> (annIvf _),
     "x_ann_lsh_recall" -> (annLshRecall _),
@@ -825,6 +888,36 @@ object Similarity {
          |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rnk
          |      FROM p)
          |SELECT q_id, nn_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
+    "x_hard_negatives" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
+        |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM t),
+        |p AS (SELECT a.vec_id AS q_id, a.label AS q_label,
+        |             b.vec_id AS neg_id, b.label AS neg_label,
+        |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+        |      FROM n a, n b WHERE a.vec_id < 100 AND b.label <> a.label),
+        |r AS (SELECT q_id, q_label, neg_id, neg_label, sim,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, neg_id) AS INTEGER) AS rnk
+        |      FROM p)
+        |SELECT q_id, q_label, neg_id, neg_label, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
+    "x_embed_int8" ->
+      """WITH t AS (SELECT vec_id, label, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |e AS (SELECT vec_id, label,
+        |             unnest(range(0, len(v))) AS dim,
+        |             unnest(v) AS x
+        |      FROM t),
+        |sc AS (SELECT dim, max(abs(x)) AS s FROM e GROUP BY dim),
+        |q AS (SELECT e.vec_id, e.label, e.x, sc.s,
+        |             CASE WHEN sc.s = 0 THEN 0
+        |                  ELSE CAST(floor(e.x / sc.s * 127 + 0.5) AS INTEGER) END AS code
+        |      FROM e JOIN sc USING (dim)),
+        |er AS (SELECT label,
+        |              CAST(SUM(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS sat_codes,
+        |              CAST(SUM(CAST(abs(x - code * s / 127) AS DECIMAL(28,12))) AS DOUBLE) AS total_abs_err,
+        |              max(abs(x - code * s / 127)) AS max_abs_err
+        |       FROM q GROUP BY label),
+        |c AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
+        |SELECT c.label, c.n_vecs, er.sat_codes, er.total_abs_err, er.max_abs_err
+        |FROM c JOIN er USING (label)""".stripMargin,
     "x_ann_lsh" ->
       s"""WITH $lshCtes
          |SELECT q_id, nn_id, sim FROM lsh""".stripMargin,
