@@ -158,12 +158,41 @@ object Multimodal {
         posexplode(frameSampleIndices(col("n_frames"), 4)).as(Seq("sample_idx", "frame_idx")))
   }
 
+  /** Catalog query: the resize PLAN over the stub metadata — for each
+    * image/video doc, the aspect-preserving target the pixel resampler
+    * would be asked for (224×224 box, the standard vision-model input).
+    * Zero-area rows are filtered, not fitted: a 0-dim "image" is
+    * corrupt input for a resizer, and the division in the scale would
+    * poison the plan with infinities. */
+  def resizePlan(s: SparkSession, d: String): DataFrame =
+    multimodalMeta(s, d)
+      .filter(col("kind") =!= "audio" && col("width") > 0 && col("height") > 0)
+      .withColumn("fit", fitWithin(col("width"), col("height"), 224, 224))
+      .select(col("doc_id"), col("kind"), col("width"), col("height"),
+        col("fit.w").as("fit_w"), col("fit.h").as("fit_h"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_multimodal_meta" -> (multimodalMeta _),
-    "x_frame_sample" -> (frameSample _)
+    "x_frame_sample" -> (frameSample _),
+    "x_resize_plan" -> (resizePlan _)
   )
 
   val oracleSql: Map[String, String] = Map(
+    "x_resize_plan" ->
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         CAST(octet_length(encode(text)) % 640 AS INTEGER) AS width,
+        |         CAST((octet_length(encode(text)) * 31) % 480 AS INTEGER) AS height,
+        |         CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind
+        |  FROM documents WHERE doc_id < 300),
+        |f AS (
+        |  SELECT doc_id, kind, width, height,
+        |         least(CAST(224 AS DOUBLE) / width, CAST(224 AS DOUBLE) / height, CAST(1 AS DOUBLE)) AS scale
+        |  FROM m WHERE kind <> 'audio' AND width > 0 AND height > 0)
+        |SELECT doc_id, kind, width, height,
+        |       CAST(floor(width * scale) AS INTEGER) AS fit_w,
+        |       CAST(floor(height * scale) AS INTEGER) AS fit_h
+        |FROM f""".stripMargin,
     "x_frame_sample" ->
       """SELECT doc_id, CAST(n_frames AS INTEGER) AS n_frames,
         |       CAST(i.i AS INTEGER) AS sample_idx,

@@ -455,4 +455,17 @@ class ExtensionOpsSpec extends AnyFunSuite {
       .collect().map(_.getSeq[Int](0)).toSet
     assert(frames == Set(Seq(0, 2, 5, 7), Seq(0, 0, 1, 2)))
   }
+
+  test("x_resize_plan: targets fit the box, never upscale, and keep aspect within rounding") {
+    val rows = Multimodal.resizePlan(spark, SparkTestSession.sfDir)
+      .collect().map(r => (r.getInt(2), r.getInt(3), r.getInt(4), r.getInt(5)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (w, h, fw, fh) =>
+      assert(fw <= 224 && fh <= 224, s"($w,$h)->($fw,$fh) exceeds the box")
+      assert(fw <= w && fh <= h, s"($w,$h)->($fw,$fh) upscaled")
+      // floor(scale*dim) keeps the aspect ratio within one pixel per axis
+      val scale = math.min(1.0, math.min(224.0 / w, 224.0 / h))
+      assert(fw == math.floor(w * scale).toInt && fh == math.floor(h * scale).toInt)
+    }
+  }
 }
