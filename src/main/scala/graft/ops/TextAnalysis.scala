@@ -51,6 +51,35 @@ object TextAnalysis {
         sum(tokenCountCol(col("text"))).as("ws_tokens"),
         sum(size(bpeTokensCol(col("text")))).as("bpe_tokens"))
 
+  /** The pair-count step of BPE tokenizer training (catalog
+    * `x_bpe_pair_stats`): global frequencies of adjacent symbol pairs
+    * within pretokens, top-10 with deterministic tie-break — the argmax
+    * input of one merge iteration. This IS the distributed half of BPE
+    * training: pair counting scans the whole corpus (one explode + one
+    * map-side-combined aggregate per iteration, exactly this plan);
+    * applying the chosen merge is per-document local. Symbols start as
+    * characters WITH the GPT-2-style leading-space convention — the
+    * ` ?` in [[bpeTokensCol]] keeps the space attached to its word, so
+    * " t" vs "t" count separately, as real byte-level BPE does.
+    * Pretokens are materialized into their own projection before the
+    * char split, and the split before the pair transform (the HOF
+    * inlining trap on [[Dedup.bigramsFromTokens]]). */
+  def bpePairStats(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ch = documents(s, d)
+      .select(explode(bpeTokensCol(col("text"))).as("t"))
+      .select(split(col("t"), "").as("c"))
+      .filter(size(col("c")) >= 2)
+    val pairs = ch.select(explode(transform(sequence(lit(0), size(col("c")) - 2),
+      i => concat(element_at(col("c"), i + 1), element_at(col("c"), i + 2)))).as("pair"))
+    // top-10 via orderBy+limit → TakeOrderedAndProject (per-partition
+    // heaps + driver merge); the rank window then runs over 10 rows.
+    val top = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n_occurrences"))
+      .orderBy(col("n_occurrences").desc, col("pair")).limit(10)
+    top.withColumn("rnk",
+      row_number().over(Window.orderBy(col("n_occurrences").desc, col("pair"))))
+  }
+
   /** Per-document quality metrics: length, alphabetic ratio, stopword ratio,
     * and a bucketed verdict — the standard cheap pre-filter before expensive
     * pipeline stages. */
@@ -672,6 +701,7 @@ object TextAnalysis {
     "x_decontam" -> (decontam _),
     "x_hash_sample" -> (hashSample _),
     "x_bpe_token_count" -> (bpeTokenCount _),
+    "x_bpe_pair_stats" -> (bpePairStats _),
     "x_token_count" -> (tokenCount _),
     "x_quality_score" -> (qualityScore _),
     "x_lang_id" -> (langId _),
@@ -853,6 +883,17 @@ object TextAnalysis {
         |       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS ws_tokens,
         |       CAST(SUM(len(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+'))) AS BIGINT) AS bpe_tokens
         |FROM documents GROUP BY lang""".stripMargin,
+    "x_bpe_pair_stats" ->
+      """WITH pt AS (
+        |  SELECT unnest(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS t
+        |  FROM documents),
+        |ch AS (SELECT regexp_extract_all(t, '.') AS c FROM pt WHERE len(t) >= 2),
+        |p AS (SELECT unnest(list_transform(range(1, len(c)), i -> c[i] || c[i+1])) AS pair FROM ch),
+        |cnt AS (SELECT pair, count(*) AS n_occurrences FROM p GROUP BY pair),
+        |r AS (SELECT pair, CAST(n_occurrences AS BIGINT) AS n_occurrences,
+        |             CAST(row_number() OVER (ORDER BY n_occurrences DESC, pair) AS INTEGER) AS rnk
+        |      FROM cnt)
+        |SELECT pair, n_occurrences, rnk FROM r WHERE rnk <= 10""".stripMargin,
     "x_hash_sample" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(SUM(CASE WHEN CAST('0x' || substring(md5('smp:' || CAST(doc_id AS VARCHAR)), 1, 7) AS BIGINT) % 10 = 0

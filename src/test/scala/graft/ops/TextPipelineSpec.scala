@@ -80,4 +80,18 @@ class TextPipelineSpec extends AnyFunSuite {
     assert(n == 1000)
     assert(sampled > 50 && sampled < 150, s"rate off: $sampled/1000") // ~10%
   }
+
+  test("bpePairStats: exact pair counts with the GPT-2 leading-space convention") {
+    // pretokens of "aba aba cab": ["aba", " aba", " cab"] — the space stays
+    // attached to its word, so (' ','a') and ('a','b') count separately
+    // from each other and from any space-free variant.
+    val d = docsDir(Seq((1L, "en", "aba aba cab")))
+    val got = TextAnalysis.bpePairStats(spark, d)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2))).toList
+    // pairs: "aba" -> ab, ba; " aba" -> ⎵a, ab, ba; " cab" -> ⎵c, ca, ab
+    val want = Map("ab" -> 3L, "ba" -> 2L, " a" -> 1L, " c" -> 1L, "ca" -> 1L)
+    assert(got.map(g => g._1 -> g._2).toMap == want, s"got $got")
+    // deterministic rank: count desc, then pair asc
+    assert(got.sortBy(_._3).map(_._1) == List("ab", "ba", " a", " c", "ca"))
+  }
 }
