@@ -27,6 +27,10 @@ import org.apache.spark.unsafe.types.UTF8String
   * lowercase 32-hex-char digest of the UTF-8 bytes of the n tokens joined
   * with single 0x20 separators. A spec pins this expression to the
   * transform+slice formulation on real corpus data.
+  *
+  * Input contract: array elements must be non-null (every consumer feeds
+  * a `regexp_extract_all` tokenization, which never produces null
+  * elements; the whole-array null case is handled by nullSafeEval).
   */
 case class NgramMd5(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
