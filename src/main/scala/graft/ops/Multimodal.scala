@@ -132,10 +132,15 @@ object Multimodal {
 
   /** Aspect-preserving fit of (w, h) into a (maxW, maxH) box — the resize
     * TARGET computation (the actual pixel resample is the codec's job; the
-    * planning math is exact integer/double column arithmetic). */
+    * planning math is exact integer/double column arithmetic). Each axis
+    * clamps to >= 1: extreme aspect ratios (e.g. 542×2 into 224×224)
+    * would otherwise floor the short axis to a 0-pixel target, which is
+    * as corrupt for a resampler as the 0-dim inputs callers filter. */
   def fitWithin(w: Column, h: Column, maxW: Int, maxH: Int): Column = {
     val scale = least(lit(maxW).cast("double") / w, lit(maxH).cast("double") / h, lit(1.0))
-    struct(floor(w * scale).cast("int").as("w"), floor(h * scale).cast("int").as("h"))
+    struct(
+      greatest(floor(w * scale), lit(1)).cast("int").as("w"),
+      greatest(floor(h * scale), lit(1)).cast("int").as("h"))
   }
 
   /** Evenly-strided frame-sample indices: k frames from an n-frame clip,
@@ -190,8 +195,8 @@ object Multimodal {
         |         least(CAST(224 AS DOUBLE) / width, CAST(224 AS DOUBLE) / height, CAST(1 AS DOUBLE)) AS scale
         |  FROM m WHERE kind <> 'audio' AND width > 0 AND height > 0)
         |SELECT doc_id, kind, width, height,
-        |       CAST(floor(width * scale) AS INTEGER) AS fit_w,
-        |       CAST(floor(height * scale) AS INTEGER) AS fit_h
+        |       CAST(greatest(floor(width * scale), 1) AS INTEGER) AS fit_w,
+        |       CAST(greatest(floor(height * scale), 1) AS INTEGER) AS fit_h
         |FROM f""".stripMargin,
     "x_frame_sample" ->
       """SELECT doc_id, CAST(n_frames AS INTEGER) AS n_frames,

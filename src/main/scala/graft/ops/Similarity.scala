@@ -717,12 +717,16 @@ object Similarity {
         when(col("s") === 0, 0L)
           .otherwise(floor(col("x") / col("s") * 127 + 0.5)).cast("int"))
       .withColumn("err", abs(col("x") - col("code") * col("s") / 127))
-    val audit = q.groupBy(col("label")).agg(
+    // n_vecs rides the same aggregate: every non-empty vector contributes
+    // exactly one dim-0 row, so counting those avoids a third full scan
+    // of the embeddings table (+ a join) just for the denominator.
+    q.groupBy(col("label")).agg(
+      sum(when(col("dim") === 0, 1).otherwise(0)).cast("long").as("n_vecs"),
       sum(when(abs(col("code")) === 127, 1).otherwise(0)).as("sat_codes"),
       sum(col("err").cast(DecimalType(28, 12))).cast("double").as("total_abs_err"),
       max(col("err")).as("max_abs_err"))
-    embeddings(s, d).groupBy(col("label")).agg(count(lit(1)).as("n_vecs"))
-      .join(audit, "label")
+      .select(col("label"), col("n_vecs"), col("sat_codes"),
+        col("total_abs_err"), col("max_abs_err"))
   }
 
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
@@ -906,18 +910,16 @@ object Similarity {
         |             unnest(v) AS x
         |      FROM t),
         |sc AS (SELECT dim, max(abs(x)) AS s FROM e GROUP BY dim),
-        |q AS (SELECT e.vec_id, e.label, e.x, sc.s,
+        |q AS (SELECT e.vec_id, e.label, e.dim, e.x, sc.s,
         |             CASE WHEN sc.s = 0 THEN 0
         |                  ELSE CAST(floor(e.x / sc.s * 127 + 0.5) AS INTEGER) END AS code
-        |      FROM e JOIN sc USING (dim)),
-        |er AS (SELECT label,
-        |              CAST(SUM(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS sat_codes,
-        |              CAST(SUM(CAST(abs(x - code * s / 127) AS DECIMAL(28,12))) AS DOUBLE) AS total_abs_err,
-        |              max(abs(x - code * s / 127)) AS max_abs_err
-        |       FROM q GROUP BY label),
-        |c AS (SELECT label, count(*) AS n_vecs FROM embeddings GROUP BY label)
-        |SELECT c.label, c.n_vecs, er.sat_codes, er.total_abs_err, er.max_abs_err
-        |FROM c JOIN er USING (label)""".stripMargin,
+        |      FROM e JOIN sc USING (dim))
+        |SELECT label,
+        |       CAST(SUM(CASE WHEN dim = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_vecs,
+        |       CAST(SUM(CASE WHEN abs(code) = 127 THEN 1 ELSE 0 END) AS BIGINT) AS sat_codes,
+        |       CAST(SUM(CAST(abs(x - code * s / 127) AS DECIMAL(28,12))) AS DOUBLE) AS total_abs_err,
+        |       max(abs(x - code * s / 127)) AS max_abs_err
+        |FROM q GROUP BY label""".stripMargin,
     "x_ann_lsh" ->
       s"""WITH $lshCtes
          |SELECT q_id, nn_id, sim FROM lsh""".stripMargin,

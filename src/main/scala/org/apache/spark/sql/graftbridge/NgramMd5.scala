@@ -28,9 +28,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * with single 0x20 separators. A spec pins this expression to the
   * transform+slice formulation on real corpus data.
   *
-  * Input contract: array elements must be non-null (every consumer feeds
-  * a `regexp_extract_all` tokenization, which never produces null
-  * elements; the whole-array null case is handled by nullSafeEval).
+  * Null elements follow `concat_ws` semantics exactly (a null token and
+  * its separator vanish from the joined gram text, while still occupying
+  * a window slot) — the HOF formulation this replaces behaved that way,
+  * and the all-non-null fast path costs nothing for the tokenizer-fed
+  * consumers that can never produce nulls.
   */
 case class NgramMd5(child: Expression, n: Int)
     extends UnaryExpression with ExpectsInputTypes {
@@ -67,13 +69,18 @@ object NgramMd5 {
     // dropping the separator that follows its last token.
     val toks = new Array[Array[Byte]](nTok)
     var total = 0
+    var hasNull = false
     var i = 0
     while (i < nTok) {
-      val b = arr.getUTF8String(i).getBytes
-      toks(i) = b
-      total += b.length + 1
+      if (arr.isNullAt(i)) hasNull = true
+      else {
+        val b = arr.getUTF8String(i).getBytes
+        toks(i) = b
+        total += b.length + 1
+      }
       i += 1
     }
+    if (hasNull) return gramsWithNulls(toks, n)
     val buf = new Array[Byte](total)
     val offs = new Array[Int](nTok + 1)
     var p = 0
@@ -94,17 +101,48 @@ object NgramMd5 {
     while (i < nGrams) {
       md.reset()
       md.update(buf, offs(i), offs(i + n) - 1 - offs(i))
-      val d = md.digest()
-      val hex = new Array[Byte](32)
-      var j = 0
-      while (j < 16) {
-        hex(2 * j) = HEX((d(j) >> 4) & 0xf)
-        hex(2 * j + 1) = HEX(d(j) & 0xf)
-        j += 1
-      }
-      out(i) = UTF8String.fromBytes(hex)
+      out(i) = toHex(md.digest())
       i += 1
     }
     new GenericArrayData(out)
+  }
+
+  /** Slow path for arrays containing null elements (toks(i) == null):
+    * concat_ws semantics — a null token contributes neither bytes nor a
+    * separator, but still fills a window slot, exactly like the
+    * `md5(concat_ws(" ", slice(toks, i+1, n)))` formulation. */
+  private def gramsWithNulls(toks: Array[Array[Byte]], n: Int): ArrayData = {
+    val nGrams = toks.length - n + 1
+    val md = digest.get()
+    val out = new Array[Any](nGrams)
+    var i = 0
+    while (i < nGrams) {
+      md.reset()
+      var first = true
+      var j = i
+      while (j < i + n) {
+        val b = toks(j)
+        if (b != null) {
+          if (!first) md.update(' '.toByte)
+          md.update(b)
+          first = false
+        }
+        j += 1
+      }
+      out(i) = toHex(md.digest())
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  private def toHex(d: Array[Byte]): UTF8String = {
+    val hex = new Array[Byte](32)
+    var j = 0
+    while (j < 16) {
+      hex(2 * j) = HEX((d(j) >> 4) & 0xf)
+      hex(2 * j + 1) = HEX(d(j) & 0xf)
+      j += 1
+    }
+    UTF8String.fromBytes(hex)
   }
 }

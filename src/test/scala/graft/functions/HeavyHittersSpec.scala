@@ -41,18 +41,10 @@ class HeavyHittersSpec extends AnyFunSuite {
     // Plan law: a broadcast LEFT SEMI join sits BELOW the exact aggregate —
     // the groupBy never sees non-candidate tokens, so the full vocabulary
     // is never shuffled (the Aggregator's own no-full-cardinality contract).
-    import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.aggregate.HashAggregateExec
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
-    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
-    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: p.children.flatMap {
-      case a: AdaptiveSparkPlanExec => subtree(a.executedPlan)
-      case c => subtree(c)
-    }
-    val plan = out.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
+    import graft.PlanTest.subtree
+    val plan = out.queryExecution.executedPlan
     val aggsOverSemiJoin = subtree(plan).collect {
       case agg: HashAggregateExec if subtree(agg).exists {
         case j: BroadcastHashJoinExec => j.joinType.sql.toUpperCase.contains("SEMI")

@@ -45,6 +45,17 @@ class NgramMd5Spec extends AnyFunSuite {
     assert(got(1).getSeq[String](0).size == 1)
   }
 
+  test("null elements follow concat_ws semantics — token and separator vanish, slot remains") {
+    val rows = spark.range(1).select(
+      array(lit("a"), lit(null).cast("string"), lit("b"), lit("c"), lit(null).cast("string"))
+        .as("toks"))
+    Seq(2, 3, 4).foreach { n =>
+      val got = rows.select(ngramMd5(col("toks"), n).as("fast"), reference(col("toks"), n).as("ref"))
+        .collect()(0)
+      assert(got.getSeq[String](0) == got.getSeq[String](1), s"n=$n")
+    }
+  }
+
   test("the digest matches java's own md5 of the joined gram text") {
     val toks = Seq("alpha", "beta", "gamma", "delta").toDF("t")
       .agg(collect_list(col("t")).as("toks"))

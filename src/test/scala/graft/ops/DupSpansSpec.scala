@@ -104,24 +104,12 @@ class DupSpansSpec extends AnyFunSuite {
   }
 
   test("dupSpans plan laws: no distinct expansion, two shuffles total, windows share one exchange") {
-    import org.apache.spark.sql.execution.{ExpandExec, SparkPlan}
-    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.ExpandExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.window.WindowExec
     val out = Dedup.dupSpans(spark, SparkTestSession.sfDir)
-    out.collect() // materialize so AQE finalizes the plan
-    // AQE hides materialized exchanges inside query stages (leaf nodes of
-    // the final plan) — descend into them or the traversal sees nothing.
-    def subtree(p: SparkPlan): Seq[SparkPlan] = p +: (p match {
-      case a: AdaptiveSparkPlanExec => subtree(a.executedPlan)
-      case s: QueryStageExec => subtree(s.plan)
-      case _ => p.children.flatMap(subtree)
-    })
-    val plan = out.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
-    }
-    val nodes = subtree(plan)
+    val nodes = graft.PlanTest.executedNodes(out)
+    val plan = out.queryExecution.executedPlan
     // The duplicated-gram test is min(doc_id) != max(doc_id), NOT
     // countDistinct — a distinct expansion on the gram relation (the
     // biggest in the plan) would show up as an Expand node.

@@ -72,6 +72,27 @@ class EmbedOpsSpec extends AnyFunSuite {
     assert(math.abs(out(8)._3 - (err0 + err1)) < 1e-9)
   }
 
+  test("plan laws: int8 broadcasts its dim scales; mining broadcasts the query side with grouped limits") {
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, BroadcastNestedLoopJoinExec}
+    import org.apache.spark.sql.execution.window.WindowGroupLimitExec
+    def nodes(df: org.apache.spark.sql.DataFrame) = graft.PlanTest.executedNodes(df)
+    // int8: the 64-row dim-scale aggregate must reach the exploded value
+    // stream as a BROADCAST — shuffling the corpus by dim instead would
+    // move the biggest relation in the plan for a 64-row lookup.
+    val int8 = nodes(Similarity.embedInt8Audit(spark, SparkTestSession.sfDir))
+    assert(int8.exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      "dim scales must broadcast onto the exploded stream")
+    // mining: the ≤100-row query side must be the broadcast build side of
+    // the nested-loop join (the label inequality makes it non-equi), and
+    // rank<=3 must compile to grouped limits (partial top-k BEFORE the
+    // window shuffle, so the full scored cross product never moves).
+    val hn = nodes(Similarity.hardNegatives(spark, SparkTestSession.sfDir))
+    assert(hn.exists(_.isInstanceOf[BroadcastNestedLoopJoinExec]),
+      "query side must broadcast against the corpus scan")
+    assert(hn.count(_.isInstanceOf[WindowGroupLimitExec]) == 2,
+      "rank<=3 must compile to the two-level WindowGroupLimit")
+  }
+
   test("embedInt8Audit on the real corpus: every dim's max element saturates") {
     val out = Similarity.embedInt8Audit(spark, SparkTestSession.sfDir).collect()
     val sat = out.map(_.getLong(2)).sum

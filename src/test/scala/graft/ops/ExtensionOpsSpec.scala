@@ -443,12 +443,14 @@ class ExtensionOpsSpec extends AnyFunSuite {
 
   test("aspect-fit resize targets and frame-sample indices are exact") {
     import spark.implicits._
-    val df = Seq((1920, 1080), (100, 400), (50, 50)).toDF("w", "h")
+    val df = Seq((1920, 1080), (100, 400), (50, 50), (542, 2)).toDF("w", "h")
     val fits = df.select(Multimodal.fitWithin(col("w"), col("h"), 224, 224).as("fit"))
       .select(col("fit.w"), col("fit.h"))
       .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-    // downscale keeps aspect; already-small images are not upscaled
-    assert(fits == Set((224, 126), (56, 224), (50, 50)))
+    // downscale keeps aspect; already-small images are not upscaled; an
+    // extreme aspect ratio clamps its short axis to 1 instead of a
+    // 0-pixel target (floor(2 * 224/542) would be 0)
+    assert(fits == Set((224, 126), (56, 224), (50, 50), (224, 1)))
 
     val frames = Seq(10, 3).toDF("n")
       .select(Multimodal.frameSampleIndices(col("n"), 4).as("idx"))
@@ -462,10 +464,13 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(rows.nonEmpty)
     rows.foreach { case (w, h, fw, fh) =>
       assert(fw <= 224 && fh <= 224, s"($w,$h)->($fw,$fh) exceeds the box")
+      assert(fw >= 1 && fh >= 1, s"($w,$h)->($fw,$fh) has a zero-pixel axis")
       assert(fw <= w && fh <= h, s"($w,$h)->($fw,$fh) upscaled")
-      // floor(scale*dim) keeps the aspect ratio within one pixel per axis
+      // floor(scale*dim) keeps the aspect ratio within one pixel per axis,
+      // with the short axis clamped to 1
       val scale = math.min(1.0, math.min(224.0 / w, 224.0 / h))
-      assert(fw == math.floor(w * scale).toInt && fh == math.floor(h * scale).toInt)
+      assert(fw == math.max(1, math.floor(w * scale).toInt) &&
+        fh == math.max(1, math.floor(h * scale).toInt))
     }
   }
 }

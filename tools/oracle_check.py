@@ -11,6 +11,9 @@ import json
 import os
 import sys
 
+if len(sys.argv) < 3:
+    print(__doc__.strip())
+    sys.exit(2)
 out, sf = sys.argv[1], sys.argv[2]
 only = set(sys.argv[3:])
 con = duckdb.connect()
@@ -23,6 +26,9 @@ oracles = json.load(open(f"{out}/oracle_sql.json"))
 names = sorted(only or oracles.keys())
 bad = []
 for name in names:
+    if name not in oracles:
+        bad.append((name, "unknown query (not in oracle_sql.json)"))
+        continue
     res_dir = f"{out}/{name}"
     if not os.path.isdir(res_dir):
         bad.append((name, "missing result dir"))
