@@ -291,6 +291,43 @@ object TextAnalysis {
         sum(when(h % 10 === 0, 1L).otherwise(0L)).as("n_sampled"))
   }
 
+  /** Per-language bottom-decile quality gate with an EXACT percentile
+    * threshold computed the way that scales: the cumulative-distribution
+    * walk runs over a `(lang, n_tokens)` HISTOGRAM — cardinality bounded by
+    * languages x distinct token counts, i.e. thousands of rows at any
+    * corpus size — never over the corpus itself. The per-language window
+    * therefore sorts a tiny aggregate, the thresholds broadcast back, and
+    * the gate is a pure per-row predicate feeding a small audit aggregate.
+    * (A row-level `percentile` or per-language window over all documents
+    * shuffles the whole corpus to compute a handful of thresholds; the
+    * histogram trick is the standard exact alternative whenever the scored
+    * quantity is discrete and bounded, as token counts are.)
+    *
+    * Threshold contract (integer-exact, no interpolation): `thr` is the
+    * smallest token count v such that >= ceil(n/10) of the language's
+    * documents have n_tokens <= v — i.e. `10*cum >= n` on the cumulative
+    * histogram — and the gate keeps documents STRICTLY above `thr`. */
+  def qualityGateCdf(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+      .select(col("lang"), tokenCountCol(col("text")).as("n_tokens"))
+    val hist = docs.groupBy(col("lang"), col("n_tokens")).agg(count(lit(1)).as("cnt"))
+    val cum = Window.partitionBy(col("lang")).orderBy(col("n_tokens"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val thr = hist
+      .withColumn("cum", sum(col("cnt")).over(cum))
+      .withColumn("n_lang", sum(col("cnt")).over(Window.partitionBy(col("lang"))))
+      .filter(col("cum") * 10 >= col("n_lang"))
+      .groupBy(col("lang")).agg(min(col("n_tokens")).as("thr"))
+    docs.join(broadcast(thr), "lang")
+      .groupBy(col("lang"), col("thr"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("n_tokens") > col("thr"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("n_tokens") > col("thr"), col("n_tokens").cast("long"))
+          .otherwise(0L)).as("n_tokens_kept"))
+  }
+
   /** End-to-end pipeline composition — the actual usage story: quality
     * pre-filter -> exact dedup (canonical survivor per fingerprint) ->
     * context-window accounting, as ONE declarative plan. Catalyst fuses
@@ -700,6 +737,7 @@ object TextAnalysis {
     "x_doc_windows" -> (docWindows _),
     "x_decontam" -> (decontam _),
     "x_hash_sample" -> (hashSample _),
+    "x_quality_gate_cdf" -> (qualityGateCdf _),
     "x_bpe_token_count" -> (bpeTokenCount _),
     "x_bpe_pair_stats" -> (bpePairStats _),
     "x_token_count" -> (tokenCount _),
@@ -1004,6 +1042,21 @@ object TextAnalysis {
         |            ELSE 'zh' END AS predicted,
         |       count(*) AS n
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "x_quality_gate_cdf" ->
+      """WITH d AS (
+        |  SELECT lang, CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
+        |  FROM documents),
+        |h AS (SELECT lang, n_tokens, count(*) AS cnt FROM d GROUP BY 1, 2),
+        |c AS (SELECT lang, n_tokens,
+        |        sum(cnt) OVER (PARTITION BY lang ORDER BY n_tokens
+        |                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |        sum(cnt) OVER (PARTITION BY lang) AS n_lang
+        |      FROM h),
+        |t AS (SELECT lang, min(n_tokens) AS thr FROM c WHERE cum * 10 >= n_lang GROUP BY lang)
+        |SELECT d.lang, t.thr, count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN d.n_tokens > t.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN d.n_tokens > t.thr THEN d.n_tokens ELSE 0 END) AS BIGINT) AS n_tokens_kept
+        |FROM d JOIN t USING (lang) GROUP BY 1, 2""".stripMargin,
     "x_fingerprint" ->
       """SELECT source, count(*) AS n_docs,
         |       count(DISTINCT md5(lower(regexp_replace(text, '\s+', ' ', 'g')))) AS n_unique
