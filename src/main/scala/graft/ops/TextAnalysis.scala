@@ -259,18 +259,53 @@ object TextAnalysis {
     * and broadcast; the corpus side streams — at 100 TB this is a
     * broadcast-hash join on gram hashes, never an all-pairs comparison. */
   def decontam(s: SparkSession, d: String): DataFrame = {
-    // Gram hashes via the native NgramMd5 byte-pass expression (same
-    // md5-of-space-joined-tokens contract as the HOF formulation it
-    // replaced — see the bit contract on NgramMd5, and the duplicate-span
-    // builder in ops/Dedup for the measured interpreted-HOF cost).
-    def grams(df: DataFrame): DataFrame =
-      df.select(col("doc_id"), tokensCol(lower(col("text"))).as("toks"))
-        .select(col("doc_id"),
-          explode(org.apache.spark.sql.graftbridge.ngramMd5(col("toks"), 4)).as("g"))
-    val bench = grams(documents(s, d).filter(col("doc_id") < 10))
-      .select(col("g")).distinct()
-    val corpus = grams(documents(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 400))
+    val bench = contamBenchGrams(s, d)
+    val corpus = contamGrams(documents(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 400))
     corpus.join(broadcast(bench), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_contaminated"))
+  }
+
+  /** Gram hashes via the native NgramMd5 byte-pass expression (same
+    * md5-of-space-joined-tokens contract as the HOF formulation it
+    * replaced — see the bit contract on NgramMd5, and the duplicate-span
+    * builder in ops/Dedup for the measured interpreted-HOF cost). */
+  private def contamGrams(df: DataFrame): DataFrame =
+    df.select(col("doc_id"), tokensCol(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        explode(org.apache.spark.sql.graftbridge.ngramMd5(col("toks"), 4)).as("g"))
+
+  private def contamBenchGrams(s: SparkSession, d: String): DataFrame =
+    contamGrams(documents(s, d).filter(col("doc_id") < 10))
+      .select(col("g")).distinct()
+
+  /** [[decontam]] with a Bloom pre-filter in front of the exact join — the
+    * shape that survives a benchmark set too big to ship as an exact
+    * broadcast set. Spark's own runtime-filter machinery supplies both
+    * halves: a `BloomFilterAggregate` over the benchmark gram hashes
+    * builds one serialized filter (~1.2 MB/M grams at the default sizing
+    * vs ~40 B/gram for exact md5 strings), and a codegen'd
+    * `BloomFilterMightContain` predicate drops non-colliding corpus grams
+    * AT SCAN SPEED — the join, whatever its physical shape, sees only the
+    * true matches plus the p_fp sliver. The exact semi-join behind the
+    * bloom removes that sliver, so the output is IDENTICAL to
+    * [[decontam]]'s (no false negatives by the Bloom contract, no false
+    * positives past the verify) and the two entries share one oracle.
+    *
+    * SNAPSHOT SEMANTICS: like the heavy-hitters sketch, the Bloom build is
+    * an eager job at construction time (`.head()` below) and the filter
+    * bytes ride the returned plan as a Literal; re-running the returned
+    * frame after the benchmark set changed probes a STALE filter —
+    * rebuild via this method (the exact verify still guards correctness
+    * for grams the stale filter passes, but new benchmark grams missing
+    * from it are not flagged). */
+  def decontamBloom(s: SparkSession, d: String): DataFrame = {
+    val bench = contamBenchGrams(s, d)
+    val bf = bench.agg(org.apache.spark.sql.graftbridge
+      .bloomFilterAgg(col("g"), 4096L).as("bf")).head().getAs[Array[Byte]](0)
+    val corpus = contamGrams(documents(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 400))
+    corpus.filter(org.apache.spark.sql.graftbridge.bloomMightContain(bf, col("g")))
+      .join(broadcast(bench), "g")
       .groupBy(col("doc_id"))
       .agg(countDistinct(col("g")).as("n_contaminated"))
   }
@@ -736,6 +771,7 @@ object TextAnalysis {
     "x_bm25_search" -> (bm25Search _),
     "x_doc_windows" -> (docWindows _),
     "x_decontam" -> (decontam _),
+    "x_decontam_bloom" -> (decontamBloom _),
     "x_hash_sample" -> (hashSample _),
     "x_quality_gate_cdf" -> (qualityGateCdf _),
     "x_bpe_token_count" -> (bpeTokenCount _),
@@ -757,6 +793,21 @@ object TextAnalysis {
       |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
       |SELECT tok AS term, CAST(cnt AS BIGINT) AS n_occurrences
       |FROM c, n WHERE cnt * 65 > n_total""".stripMargin
+
+  private val decontamOracleSql: String =
+    """WITH tok AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+      |bench AS (
+      |  SELECT DISTINCT unnest(list_transform(range(0, greatest(len(w) - 3, 0)),
+      |           i -> md5(array_to_string(w[i+1 : i+4], ' ')))) AS g
+      |  FROM tok WHERE doc_id < 10),
+      |corpus AS (
+      |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 3, 0)),
+      |           i -> md5(array_to_string(w[i+1 : i+4], ' ')))) AS g
+      |  FROM tok WHERE doc_id >= 100 AND doc_id < 400)
+      |SELECT doc_id, count(DISTINCT g) AS n_contaminated
+      |FROM corpus JOIN bench USING (g)
+      |GROUP BY doc_id""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "x_heavy_hitters" -> heavyHittersOracleSql,
@@ -949,20 +1000,11 @@ object TextAnalysis {
         |       CAST(len(w[i*25+1 : least(i*25+50, n)]) AS INTEGER) AS n_tokens,
         |       md5(array_to_string(w[i*25+1 : least(i*25+50, n)], ' ')) AS win_hash
         |FROM win""".stripMargin,
-    "x_decontam" ->
-      """WITH tok AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
-        |bench AS (
-        |  SELECT DISTINCT unnest(list_transform(range(0, greatest(len(w) - 3, 0)),
-        |           i -> md5(array_to_string(w[i+1 : i+4], ' ')))) AS g
-        |  FROM tok WHERE doc_id < 10),
-        |corpus AS (
-        |  SELECT doc_id, unnest(list_transform(range(0, greatest(len(w) - 3, 0)),
-        |           i -> md5(array_to_string(w[i+1 : i+4], ' ')))) AS g
-        |  FROM tok WHERE doc_id >= 100 AND doc_id < 400)
-        |SELECT doc_id, count(DISTINCT g) AS n_contaminated
-        |FROM corpus JOIN bench USING (g)
-        |GROUP BY doc_id""".stripMargin,
+    "x_decontam" -> decontamOracleSql,
+    // Bloom false positives die in the exact verify, so the pre-filtered
+    // entry is output-identical to the exact one — SAME oracle (the
+    // heavy-hitters batch/stream precedent).
+    "x_decontam_bloom" -> decontamOracleSql,
     "x_keywords" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term

@@ -56,4 +56,30 @@ package object graftbridge {
     * codegen'd byte pass (see [[graftbridge.NgramMd5]]). */
   def ngramMd5(c: Column, n: Int): Column =
     ExpressionUtils.column(NgramMd5(ExpressionUtils.expression(c), n))
+
+  /** Spark's own runtime-filter Bloom aggregate (catalyst
+    * `BloomFilterAggregate` over `xxhash64(c)`), surfaced as a regular
+    * aggregate Column: builds a serialized
+    * `org.apache.spark.util.sketch.BloomFilter` sized for
+    * `expectedItems` distinct values. Pair with [[bloomMightContain]]. */
+  def bloomFilterAgg(c: Column, expectedItems: Long): Column =
+    ExpressionUtils.column(
+      new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(ExpressionUtils.expression(c))),
+        expectedItems).toAggregateExpression())
+
+  /** Membership probe against a driver-held serialized Bloom filter —
+    * catalyst `BloomFilterMightContain` (codegen'd; the filter bytes ride
+    * the plan as a Literal, broadcast with the task binary exactly like
+    * Spark's injected runtime filters). May return true for absent values
+    * (p_fp by sizing), never false for present ones — callers keep an
+    * exact verify behind it. */
+  def bloomMightContain(bloomBytes: Array[Byte], c: Column): Column =
+    ExpressionUtils.column(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bloomBytes, org.apache.spark.sql.types.BinaryType),
+        new org.apache.spark.sql.catalyst.expressions.XxHash64(
+          Seq(ExpressionUtils.expression(c)))))
 }
