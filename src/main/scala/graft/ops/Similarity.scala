@@ -91,6 +91,48 @@ object Similarity {
       .select(col("q_id"), col("nn_id"), col("rnk"), col("sim"))
   }
 
+  // ---------------------------------------------------------------------
+  // Matryoshka-style truncated-dimension ANN: score the SHORTLIST pass on
+  // only the leading MAT_DIM of the 64 dims (MRL-trained embedding
+  // families front-load information exactly so prefixes work as cheap
+  // coarse scorers), then rerank the <= MAT_SHORTLIST survivors per query
+  // with the full vector. The scale arithmetic: the coarse scan touches
+  // dim/4 of the bytes — on a 100 TB embedding corpus that is the
+  // difference between streaming 25 TB and 100 TB per query batch — and
+  // the full vectors are fetched ONLY for Q x shortlist candidates via an
+  // id equi-join against the corpus (never carried through the coarse
+  // window). Same broadcast-the-queries orientation as [[annBruteforce]].
+  // ---------------------------------------------------------------------
+  private val MAT_DIM = 16
+  private val MAT_SHORTLIST = 20
+
+  def annMatryoshka(s: SparkSession, d: String): DataFrame = {
+    val all = vectors(s, d)
+    val trunc = all.select(col("vec_id"), slice(col("v"), 1, MAT_DIM).as("vt"))
+      .withColumn("nt", sqrt(dot(col("vt"), col("vt"))))
+    val q = trunc.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("vt").as("qvt"), col("nt").as("qnt"))
+    val wT = Window.partitionBy(col("q_id")).orderBy(col("tsim").desc, col("nn_id"))
+    val shortlist = broadcast(q).join(trunc, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        (dot(col("qvt"), col("vt")) / (col("qnt") * col("nt"))).as("tsim"))
+      .withColumn("trnk", row_number().over(wT))
+      .filter(col("trnk") <= MAT_SHORTLIST)
+      .select(col("q_id"), col("nn_id"))
+    val rer = shortlist
+      .join(all.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), "q_id")
+      .join(all.select(col("vec_id").as("nn_id"), col("v").as("nv"), col("nrm").as("nnrm")), "nn_id")
+      .select(col("q_id"), col("nn_id"),
+        (dot(col("qv"), col("nv")) / (col("qn") * col("nnrm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+    rer.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("nn_id"), col("rnk"), col("sim"))
+  }
+
+  def annMatryoshkaRecall(s: SparkSession, d: String): DataFrame =
+    recallAgainstExact(annMatryoshka(s, d), exactTop3(s, d, 200))
+
   private val LSH_TABLES = 16
   private val LSH_BITS = 6
 
@@ -742,7 +784,9 @@ object Similarity {
     "x_dedup_embedding" -> (dedupEmbedding _),
     "x_dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
     "x_dedup_semantic_fine" -> ((s: SparkSession, d: String) => dedupSemantic(s, d, SEM_FINE_K)),
-    "x_knn_label_vote" -> (knnLabelVote _)
+    "x_knn_label_vote" -> (knnLabelVote _),
+    "x_ann_matryoshka" -> (annMatryoshka _),
+    "x_ann_matryoshka_recall" -> (annMatryoshkaRecall _)
   )
 
   // ---- DuckDB oracle twins -------------------------------------------------
@@ -876,6 +920,33 @@ object Similarity {
       |    FROM n a, n b WHERE a.vec_id < 200 AND b.vec_id <> a.vec_id)
       |  WHERE rnk <= 3)""".stripMargin
 
+  /** The truncated-shortlist + full-rerank pipeline as CTEs: `v[1:16]` is
+    * the same prefix `slice` takes, and both engines left-fold the dot
+    * products, so the coarse ordering — and with it the shortlist cut —
+    * is bit-identical. */
+  private def matryoshkaCtes: String =
+    s"""$baseCtes,
+       |tt AS (SELECT vec_id, v[1:$MAT_DIM] AS vt,
+       |              sqrt(list_dot_product(v[1:$MAT_DIM], v[1:$MAT_DIM])) AS nt
+       |       FROM n),
+       |sp AS (SELECT a.vec_id AS q_id, b.vec_id AS nn_id,
+       |              list_dot_product(a.vt, b.vt) / (a.nt * b.nt) AS tsim
+       |       FROM tt a, tt b WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id),
+       |sl AS (SELECT q_id, nn_id FROM (
+       |         SELECT q_id, nn_id,
+       |                row_number() OVER (PARTITION BY q_id ORDER BY tsim DESC, nn_id) AS trnk
+       |         FROM sp)
+       |       WHERE trnk <= $MAT_SHORTLIST),
+       |mr AS (SELECT sl.q_id, sl.nn_id,
+       |              list_dot_product(qa.v, qb.v) / (qa.nrm * qb.nrm) AS sim
+       |       FROM sl JOIN n qa ON sl.q_id = qa.vec_id
+       |               JOIN n qb ON sl.nn_id = qb.vec_id),
+       |mat AS (SELECT q_id, nn_id, rnk, sim FROM (
+       |          SELECT q_id, nn_id, sim,
+       |                 CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rnk
+       |          FROM mr)
+       |        WHERE rnk <= 3)""".stripMargin
+
   private def recallSelect(sketchCte: String): String =
     s"""SELECT count(*) AS n_results,
        |       CAST(SUM(CASE WHEN rnk = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_top1,
@@ -961,6 +1032,14 @@ object Similarity {
          |  WHERE vr = 1)
          |SELECT true_label, label AS predicted, count(*) AS n
          |FROM winner GROUP BY true_label, label""".stripMargin,
+    "x_ann_matryoshka" ->
+      s"""WITH $matryoshkaCtes
+         |SELECT q_id, nn_id, rnk, sim FROM mat""".stripMargin,
+    "x_ann_matryoshka_recall" ->
+      s"""WITH $matryoshkaCtes,
+         |matl AS (SELECT q_id, nn_id FROM mat),
+         |$exactTop3Cte
+         |${recallSelect("matl")}""".stripMargin,
     "x_ann_lsh_recall" ->
       s"""WITH $lshCtes,
          |$exactTop3Cte
