@@ -310,6 +310,40 @@ object TextAnalysis {
       .agg(countDistinct(col("g")).as("n_contaminated"))
   }
 
+  /** CCNet-style language-model quality proxy with an integer-exact
+    * contract: a character-bigram model is trained ON the corpus (counts
+    * per bigram), and each document is scored by how typical its bigrams
+    * are of that model — boilerplate and natural text score high,
+    * gibberish/encoded blobs score low. Production CCNet scores with a
+    * pretrained KenLM's log-probs; the plumbing here is EXACTLY that
+    * pipeline's (bounded model table broadcast against a streaming corpus,
+    * per-document re-aggregate) with the per-bigram score swapped from
+    * float log-prob to the bigram's integer corpus count, because (tf, df)
+    * style integers are exact across engines while libm log() is not.
+    *
+    * Scale shape: the model is alphabet-squared-BOUNDED regardless of
+    * corpus size — it broadcasts forever; the corpus-side bigram stream
+    * never shuffles (broadcast hash join), and the per-document aggregate
+    * partial-aggregates so the one shuffle is corpus-row-sized, not
+    * bigram-sized. `typicality_ppm` is integral division end-to-end —
+    * no float summation order anywhere. */
+  def lmBigramScore(s: SparkSession, d: String): DataFrame = {
+    val chars = documents(s, d)
+      .select(col("doc_id"), lower(col("text")).as("t"))
+      .filter(length(col("t")) >= 2)
+    val big = chars.select(col("doc_id"),
+      explode(transform(sequence(lit(1), length(col("t")) - 1),
+        i => col("t").substr(i, lit(2)))).as("bg"))
+    val model = big.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    val totals = model.agg(sum(col("cnt")).as("n_total"))
+    big.join(broadcast(model), "bg")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
+        expr("freq_sum * 1000000L div (n_bigrams * n_total)").as("typicality_ppm"))
+  }
+
   /** Deterministic hash-based corpus sampling: keep documents whose salted
     * content-id hash lands in 1/10 of the space — reproducible across runs,
     * engines, and partitionings (`rand()`-based sampling is none of those),
@@ -774,6 +808,7 @@ object TextAnalysis {
     "x_decontam_bloom" -> (decontamBloom _),
     "x_hash_sample" -> (hashSample _),
     "x_quality_gate_cdf" -> (qualityGateCdf _),
+    "x_lm_bigram_score" -> (lmBigramScore _),
     "x_bpe_token_count" -> (bpeTokenCount _),
     "x_bpe_pair_stats" -> (bpePairStats _),
     "x_token_count" -> (tokenCount _),
@@ -1084,6 +1119,20 @@ object TextAnalysis {
         |            ELSE 'zh' END AS predicted,
         |       count(*) AS n
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "x_lm_bigram_score" ->
+      """WITH ch AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, length(t)),
+        |                i -> substring(t, CAST(i AS INTEGER), 2))) AS bg
+        |  FROM ch),
+        |model AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM model)
+        |SELECT doc_id, count(*) AS n_bigrams, CAST(sum(cnt) AS BIGINT) AS freq_sum,
+        |       CAST(CAST(sum(cnt) AS BIGINT) * 1000000 // (count(*) * (SELECT n_total FROM tot)) AS BIGINT) AS typicality_ppm
+        |FROM bg JOIN model USING (bg)
+        |GROUP BY doc_id""".stripMargin,
     "x_quality_gate_cdf" ->
       """WITH d AS (
         |  SELECT lang, CAST(len(regexp_extract_all(text, '\S+')) AS INTEGER) AS n_tokens
