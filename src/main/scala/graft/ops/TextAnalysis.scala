@@ -344,6 +344,34 @@ object TextAnalysis {
         expr("freq_sum * 1000000L div (n_bigrams * n_total)").as("typicality_ppm"))
   }
 
+  /** Tokenizer-engineering coverage audit: fix a vocabulary — the top
+    * `vocabSize` corpus tokens by frequency (16 here — half this corpus's
+    * 31-token vocabulary, so the cut actually bites; ties to the lexicographically
+    * smaller token, so the cut is deterministic in any engine) — and
+    * measure, per language, how much of the token stream falls outside it.
+    * Per-language OOV is THE signal for whether a proposed vocab size
+    * underserves some languages before committing to a tokenizer build.
+    *
+    * Scale shape: the vocab is a top-k over token counts —
+    * `orderBy(...).limit(k)` plans as TakeOrderedAndProject (per-partition
+    * heaps + driver merge of k rows, never a global sort); the coverage
+    * pass streams every token past the BROADCAST vocab and
+    * partial-aggregates into one row per language. `oov_ppm` is integral
+    * division — exact everywhere. */
+  def vocabCoverage(s: SparkSession, d: String, vocabSize: Int = 16): DataFrame = {
+    val toks = documents(s, d)
+      .select(col("lang"), explode(tokensCol(lower(col("text")))).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_vocab"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
+  }
+
   /** Deterministic hash-based corpus sampling: keep documents whose salted
     * content-id hash lands in 1/10 of the space — reproducible across runs,
     * engines, and partitionings (`rand()`-based sampling is none of those),
@@ -809,6 +837,7 @@ object TextAnalysis {
     "x_hash_sample" -> (hashSample _),
     "x_quality_gate_cdf" -> (qualityGateCdf _),
     "x_lm_bigram_score" -> (lmBigramScore _),
+    "x_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "x_bpe_token_count" -> (bpeTokenCount _),
     "x_bpe_pair_stats" -> (bpePairStats _),
     "x_token_count" -> (tokenCount _),
@@ -1119,6 +1148,17 @@ object TextAnalysis {
         |            ELSE 'zh' END AS predicted,
         |       count(*) AS n
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "x_vocab_coverage" ->
+      """WITH tk AS (
+        |  SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
+        |cnt AS (SELECT tok, count(*) AS n FROM tk GROUP BY tok),
+        |vocab AS (SELECT tok, 1 AS in_vocab FROM cnt ORDER BY n DESC, tok LIMIT 16)
+        |SELECT lang, count(*) AS n_tokens,
+        |       CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+        |       CAST(CAST(sum(CASE WHEN v.in_vocab IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 1000000
+        |            // count(*) AS BIGINT) AS oov_ppm
+        |FROM tk LEFT JOIN vocab v USING (tok)
+        |GROUP BY lang""".stripMargin,
     "x_lm_bigram_score" ->
       """WITH ch AS (
         |  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2),
