@@ -706,6 +706,65 @@ object Similarity {
   def annPqRecall(s: SparkSession, d: String): DataFrame =
     recallAgainstExact(annPq(s, d), exactTop3(s, d, 200))
 
+  /** IVF-PQ — the two scale paths composed into the production index
+    * shape (what FAISS deploys as IVFx,PQy): the IVF coarse quantizer
+    * prunes the corpus to NPROBE clusters per query (candidate count ~
+    * nprobe/k of the corpus), the 4-byte PQ codes score those candidates
+    * by ADC table lookups (no full-vector reads in the scan), and the
+    * exact rerank touches full vectors for only the <= PQ_RERANK
+    * survivors. At 100 TB this is the memory arithmetic that works:
+    * centroids + codebooks broadcast, codes ~ 4 B/vector in memory,
+    * full-precision vectors on cold storage touched 16 rows/query. Every
+    * stage (probe order, ADC fixed-order sums, rerank ties) keeps the
+    * deterministic contracts of its parent operators, so the composition
+    * is oracle-exact end-to-end. */
+  def annIvfPq(s: SparkSession, d: String): DataFrame = {
+    val cents = trainIvfCentroids(s, d)
+    val books = trainPqCodebooks(s, d)
+    val codes = pqCodes(s, d)
+      .join(ivfAssigned(s, d).select(col("vec_id"), col("cluster")), "vec_id")
+    val adcTab = array((0 until PQ_M).flatMap { m =>
+      (0 until PQ_K).map { c =>
+        org.apache.spark.sql.graftbridge.dotProduct(
+          slice(col("qw"), m * PQ_SUBDIM + 1, PQ_SUBDIM),
+          typedLit(books(m)(c).toSeq))
+      }
+    }: _*)
+    val simStructs = transform(centroidSims(col("qv"), cents),
+      (sim, i) => struct(sim.as("sim"), i.as("cl")))
+    val q = vectors(s, d).filter(col("vec_id") < 200)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("qw", transform(col("qv"), x => x / col("qn")))
+      .withColumn("tab", adcTab)
+      .withColumn("probes", slice(reverse(array_sort(simStructs)), 1, IVF_NPROBE))
+      .select(col("q_id"), col("tab"), explode(col("probes.cl")).as("cluster"))
+    val adcSim = (0 until PQ_M).map { m =>
+      element_at(col("tab"), lit(m * PQ_K) + col(s"c$m") + 1)
+    }.reduceLeft(_ + _)
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("approx_sim").desc, col("nn_id"))
+    val short = broadcast(q).join(codes, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"), adcSim.as("approx_sim"))
+      .withColumn("rnk", row_number().over(wAdc))
+      .filter(col("rnk") <= PQ_RERANK)
+      .select(col("q_id"), col("nn_id"))
+    val all = vectors(s, d)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+    short
+      .join(all.select(col("vec_id").as("nn_id"), col("v").as("bv"), col("nrm").as("bn")), "nn_id")
+      .join(all.select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn")), "q_id")
+      .select(col("q_id"), col("nn_id"),
+        (dot(col("qv"), col("bv")) / (col("qn") * col("bn"))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") === 1)
+      .select(col("q_id"), col("nn_id"), col("sim"))
+  }
+
+  /** IVF-PQ recall audit against the exact top-3 — what the probe-prune
+    * AND the code quantization jointly cost. */
+  def annIvfPqRecall(s: SparkSession, d: String): DataFrame =
+    recallAgainstExact(annIvfPq(s, d), exactTop3(s, d, 200))
+
   /** Hard-negative mining (catalog `x_hard_negatives`): for each query
     * vector, the top-3 most-similar vectors with a DIFFERENT label — the
     * mining step of contrastive/retrieval training (hard negatives are
@@ -786,7 +845,9 @@ object Similarity {
     "x_dedup_semantic_fine" -> ((s: SparkSession, d: String) => dedupSemantic(s, d, SEM_FINE_K)),
     "x_knn_label_vote" -> (knnLabelVote _),
     "x_ann_matryoshka" -> (annMatryoshka _),
-    "x_ann_matryoshka_recall" -> (annMatryoshkaRecall _)
+    "x_ann_matryoshka_recall" -> (annMatryoshkaRecall _),
+    "x_ann_ivfpq" -> (annIvfPq _),
+    "x_ann_ivfpq_recall" -> (annIvfPqRecall _)
   )
 
   // ---- DuckDB oracle twins -------------------------------------------------
@@ -1055,14 +1116,24 @@ object Similarity {
       s"""WITH $pqCtes,
          |pq AS (SELECT q_id, nn_id FROM rr WHERE rrnk = 1),
          |$exactTop3Cte
-         |${recallSelect("pq")}""".stripMargin
+         |${recallSelect("pq")}""".stripMargin,
+    "x_ann_ivfpq" ->
+      s"""WITH $ivfPqCtes
+         |SELECT q_id, nn_id, sim FROM rr WHERE rrnk = 1""".stripMargin,
+    "x_ann_ivfpq_recall" ->
+      s"""WITH $ivfPqCtes,
+         |ivfpq AS (SELECT q_id, nn_id FROM rr WHERE rrnk = 1),
+         |$exactTop3Cte
+         |${recallSelect("ivfpq")}""".stripMargin
   )
 
-  /** PQ oracle: re-runs per-subspace Lloyd (same seeding/decimal contract
-    * as [[ivfCtes]]), encodes the corpus, and scores ADC with the same
-    * fixed-order eight-term sum the Spark side uses. Ends at
-    * `pqr(q_id, nn_id, approx_sim, rnk)`. */
-  private def pqCtes: String = {
+  /** PQ training + full-corpus encoding as CTEs, parameterized by the
+    * name given to the unit-vector training sample (the composed IVF-PQ
+    * oracle renames it to avoid the IVF chain's own `ts`). Requires
+    * `nv(vec_id, w)` upstream; emits `sd`, `pc0..pc$PQ_ITERS` (final
+    * codebooks), `codes`, and `cw(vec_id, k0..k7)` — same
+    * seeding/decimal-Lloyd contract as [[ivfAssignCtes]]. */
+  private def pqEncodeCtes(tsName: String): String = {
     def sub(rel: String, m: String) = s"$rel.w[$m*$PQ_SUBDIM+1 : $m*$PQ_SUBDIM+$PQ_SUBDIM]"
     def assign(cPrev: String, aName: String, from: String) =
       s"""$aName AS (SELECT vec_id, m, cl FROM (
@@ -1075,23 +1146,17 @@ object Similarity {
          |  SELECT m, cl, list(cv ORDER BY pos) AS cent FROM (
          |    SELECT a.m, a.cl, p.p AS pos,
          |           CAST(SUM(CAST(s.w[a.m*$PQ_SUBDIM + p.p] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cv
-         |    FROM $aName a JOIN ts s USING (vec_id), (SELECT unnest(range(1,${PQ_SUBDIM + 1})) AS p) p
+         |    FROM $aName a JOIN $tsName s USING (vec_id), (SELECT unnest(range(1,${PQ_SUBDIM + 1})) AS p) p
          |    GROUP BY a.m, a.cl, p.p) GROUP BY m, cl
          |  UNION ALL
          |  SELECT c.m, c.cl, c.cent FROM $cPrev c
          |  WHERE NOT EXISTS (SELECT 1 FROM $aName a WHERE a.m = c.m AND a.cl = c.cl))""".stripMargin
     val iters = (1 to PQ_ITERS).map { i =>
-      assign(s"pc${i - 1}", s"pa$i", "ts") + ",\n" + recompute(s"pa$i", s"pc${i - 1}", s"pc$i")
+      assign(s"pc${i - 1}", s"pa$i", tsName) + ",\n" + recompute(s"pa$i", s"pc${i - 1}", s"pc$i")
     }.mkString(",\n")
-    val adcSum = (0 until PQ_M).map(m =>
-      s"list_dot_product(q.w[${m * PQ_SUBDIM + 1}:${(m + 1) * PQ_SUBDIM}], f$m.cent)").mkString("\n         + ")
-    val codeJoins = (0 until PQ_M).map(m =>
-      s"JOIN pc$PQ_ITERS f$m ON f$m.m = $m AND f$m.cl = x.k$m").mkString("\n  ")
     val pivot = (0 until PQ_M).map(m =>
       s"MAX(CASE WHEN m = $m THEN cl END) AS k$m").mkString(",\n         ")
-    s"""$baseCtes,
-       |nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS w FROM n),
-       |ts AS (SELECT vec_id, w FROM nv
+    s"""$tsName AS (SELECT vec_id, w FROM nv
        |       WHERE (vec_id * $IVF_TRAIN_MULT + $IVF_TRAIN_ADD) % $IVF_TRAIN_MOD < $IVF_TRAIN_KEEP),
        |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, w
        |       FROM nv WHERE vec_id IN (
@@ -1104,15 +1169,22 @@ object Similarity {
        |${assign(s"pc$PQ_ITERS", "codes", "nv")},
        |cw AS (SELECT vec_id,
        |         $pivot
-       |       FROM codes GROUP BY vec_id),
-       |adc AS (
-       |  SELECT q.vec_id AS q_id, x.vec_id AS nn_id,
-       |         $adcSum AS approx_sim
-       |  FROM nv q
-       |  JOIN cw x ON x.vec_id <> q.vec_id
-       |  $codeJoins
-       |  WHERE q.vec_id < 200),
-       |pqr AS (SELECT q_id, nn_id, approx_sim,
+       |       FROM codes GROUP BY vec_id)""".stripMargin
+  }
+
+  /** The eight-term fixed-order ADC sum (`q` = unit query row, `f0..f7`
+    * the joined codebook entries) and the code joins that bind them. */
+  private def pqAdcSumSql: String = (0 until PQ_M).map(m =>
+    s"list_dot_product(q.w[${m * PQ_SUBDIM + 1}:${(m + 1) * PQ_SUBDIM}], f$m.cent)").mkString("\n         + ")
+
+  private def pqCodeJoinsSql: String = (0 until PQ_M).map(m =>
+    s"JOIN pc$PQ_ITERS f$m ON f$m.m = $m AND f$m.cl = x.k$m").mkString("\n  ")
+
+  /** The reranked tail shared by the flat-PQ and IVF-PQ oracles: window
+    * the ADC scores, exact-rerank the <= PQ_RERANK shortlist. Ends at
+    * `rr(q_id, nn_id, sim, rrnk)`. */
+  private def pqRerankCtes: String =
+    s"""pqr AS (SELECT q_id, nn_id, approx_sim,
        |               row_number() OVER (PARTITION BY q_id
        |                 ORDER BY approx_sim DESC, nn_id) AS rnk
        |        FROM adc),
@@ -1124,5 +1196,45 @@ object Similarity {
        |  FROM pqr p JOIN n a ON a.vec_id = p.q_id
        |             JOIN n b ON b.vec_id = p.nn_id
        |  WHERE p.rnk <= $PQ_RERANK))""".stripMargin
-  }
+
+  /** PQ oracle: re-runs per-subspace Lloyd (same seeding/decimal contract
+    * as [[ivfCtes]]), encodes the corpus, and scores ADC with the same
+    * fixed-order eight-term sum the Spark side uses. Ends at
+    * `rr(q_id, nn_id, sim, rrnk)`. */
+  private def pqCtes: String =
+    s"""$baseCtes,
+       |nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS w FROM n),
+       |${pqEncodeCtes("ts")},
+       |adc AS (
+       |  SELECT q.vec_id AS q_id, x.vec_id AS nn_id,
+       |         $pqAdcSumSql AS approx_sim
+       |  FROM nv q
+       |  JOIN cw x ON x.vec_id <> q.vec_id
+       |  $pqCodeJoinsSql
+       |  WHERE q.vec_id < 200),
+       |$pqRerankCtes""".stripMargin
+
+  /** The composed IVF-PQ oracle: the IVF chain's trained centroids pick
+    * per-query probe clusters (same DESC,cl DESC probe order as
+    * [[ivfCtes]]), the PQ chain's codes score ONLY vectors inside probed
+    * clusters, and the exact rerank finishes. The two training chains
+    * coexist by renaming PQ's sample CTE. */
+  private def ivfPqCtes: String =
+    s"""$ivfAssignCtes,
+       |nv AS (SELECT vec_id, list_transform(v, x -> x / nrm) AS w FROM n),
+       |${pqEncodeCtes("pts")},
+       |pr AS (SELECT q_id, cl AS cluster FROM (
+       |    SELECT n.vec_id AS q_id, c.cl,
+       |           row_number() OVER (PARTITION BY n.vec_id
+       |             ORDER BY list_dot_product(n.v, c.cent) DESC, c.cl DESC) AS rn
+       |    FROM n, c$IVF_ITERS c WHERE n.vec_id < 200) WHERE rn <= $IVF_NPROBE),
+       |adc AS (
+       |  SELECT p.q_id, x.vec_id AS nn_id,
+       |         $pqAdcSumSql AS approx_sim
+       |  FROM pr p
+       |  JOIN nv q ON q.vec_id = p.q_id
+       |  JOIN af b ON b.cl = p.cluster AND b.vec_id <> p.q_id
+       |  JOIN cw x ON x.vec_id = b.vec_id
+       |  $pqCodeJoinsSql),
+       |$pqRerankCtes""".stripMargin
 }
