@@ -80,6 +80,63 @@ object TextAnalysis {
       row_number().over(Window.orderBy(col("n_occurrences").desc, col("pair"))))
   }
 
+  /** BPE TRAINING, the map-reduce formulation: `nMerges` rounds of
+    * count-pairs -> pick-argmax -> apply-merge, run over the DISTINCT
+    * pretoken table weighted by occurrence counts — the standard
+    * distributed-BPE trick, since the distinct-pretoken vocabulary is
+    * bounded (Heaps' law) while the corpus is not: after the one
+    * corpus-sized groupBy that builds the weighted word table, every
+    * training round touches only the vocabulary. Pretokens follow
+    * [[bpeTokensCol]]'s GPT-2 convention with the leading space mapped to
+    * 'Ġ' (exactly GPT-2's byte mapping) so the space-joined symbol string
+    * stays unambiguous. Merge application is greedy left-to-right
+    * non-overlapping — the real BPE rule — as a string FOLD over the
+    * symbol list ('a a a a' + merge(a,a) gives 'aa aa', never 'aaa a'),
+    * identical in both engines (Spark `aggregate` ≡ DuckDB
+    * `list_reduce`, property-pinned in BpeTrainSpec).
+    *
+    * Output: one row per round — the merged pair, its weighted count at
+    * selection time, and the corpus symbol total after applying it (the
+    * compression curve). All integers and strings; the <= nMerges
+    * selected pairs ride the driver (control-plane sized, the IVF
+    * centroid regime), while every count is a distributed job. */
+  def bpeTrainMerges(s: SparkSession, d: String, nMerges: Int = 3): DataFrame = {
+    def syms = split(col("sym"), " ")
+    var words = documents(s, d)
+      .select(explode(bpeTokensCol(col("text"))).as("t"))
+      .select(regexp_replace(col("t"), "^ ", "Ġ").as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .select(concat_ws(" ",
+        transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1)))).as("sym"),
+        col("n"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val rows = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+    for (step <- 1 to nMerges) {
+      val top = words.filter(size(syms) >= 2)
+        .select(explode(transform(sequence(lit(1), size(syms) - 1),
+          i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1)))).as("pair"),
+          col("n"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1).head()
+      val pair = top.getString(0)
+      val Array(a, b) = pair.split(" ", 2)
+      val applied = words.select(
+        aggregate(slice(syms, lit(2), greatest(size(syms) - 1, lit(0))), element_at(syms, 1),
+          (acc, x) => when((acc === lit(a) || acc.endsWith(" " + a)) && x === lit(b),
+              concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
+            .otherwise(concat(acc, lit(" "), x))).as("sym"),
+        col("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val symsAfter = applied.select(sum(size(syms).cast("long") * col("n"))).head().getLong(0)
+      words.unpersist(blocking = false)
+      words = applied
+      rows += ((step, pair, top.getLong(1), symsAfter))
+    }
+    words.unpersist(blocking = false)
+    import s.implicits._
+    rows.toSeq.toDF("step", "pair", "n_pairs", "corpus_syms_after")
+  }
+
   /** Per-document quality metrics: length, alphabetic ratio, stopword ratio,
     * and a bucketed verdict — the standard cheap pre-filter before expensive
     * pipeline stages. */
@@ -838,6 +895,7 @@ object TextAnalysis {
     "x_quality_gate_cdf" -> (qualityGateCdf _),
     "x_lm_bigram_score" -> (lmBigramScore _),
     "x_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
+    "x_bpe_train_merges" -> ((s: SparkSession, d: String) => bpeTrainMerges(s, d)),
     "x_bpe_token_count" -> (bpeTokenCount _),
     "x_bpe_pair_stats" -> (bpePairStats _),
     "x_token_count" -> (tokenCount _),
@@ -857,6 +915,38 @@ object TextAnalysis {
       |c AS (SELECT tok, count(*) AS cnt FROM tk GROUP BY tok)
       |SELECT tok AS term, CAST(cnt AS BIGINT) AS n_occurrences
       |FROM c, n WHERE cnt * 65 > n_total""".stripMargin
+
+  /** The BPE training loop unrolled: one (pairs, argmax, fold-apply,
+    * count) CTE quartet per round. `list_reduce` replays the exact greedy
+    * left-to-right merge fold `bpeTrainMerges` runs via `aggregate`. */
+  private def bpeTrainOracleSql(nMerges: Int): String = {
+    val iters = (1 to nMerges).map { i =>
+      s"""p$i AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(list_transform(range(1, len(sy)), j -> sy[j] || ' ' || sy[j+1])) AS pair, n
+         |  FROM (SELECT string_split(sym, ' ') AS sy, n FROM w${i - 1}))
+         |  GROUP BY pair),
+         |m$i AS (SELECT pair, cnt, split_part(pair, ' ', 1) AS pa, split_part(pair, ' ', 2) AS pb
+         |        FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |w$i AS (SELECT list_reduce(string_split(sym, ' '),
+         |          (acc, x) -> CASE WHEN (acc = m.pa OR ends_with(acc, ' ' || m.pa)) AND x = m.pb
+         |                      THEN substr(acc, 1, length(acc) - length(m.pa)) || m.pa || m.pb
+         |                      ELSE acc || ' ' || x END) AS sym, n
+         |        FROM w${i - 1}, m$i m),
+         |s$i AS (SELECT CAST(sum(len(string_split(sym, ' ')) * n) AS BIGINT) AS tot FROM w$i)""".stripMargin
+    }.mkString(",\n")
+    val unions = (1 to nMerges).map { i =>
+      s"SELECT $i AS step, (SELECT pair FROM m$i) AS pair, (SELECT cnt FROM m$i) AS n_pairs, (SELECT tot FROM s$i) AS corpus_syms_after"
+    }.mkString("\nUNION ALL ")
+    s"""WITH toks AS (
+       |  SELECT regexp_replace(t, '^ ', 'Ġ') AS w FROM (
+       |    SELECT unnest(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS t
+       |    FROM documents)),
+       |w0 AS (
+       |  SELECT array_to_string(regexp_extract_all(w, '.'), ' ') AS sym, count(*) AS n
+       |  FROM toks GROUP BY w),
+       |$iters
+       |$unions""".stripMargin
+  }
 
   private val decontamOracleSql: String =
     """WITH tok AS (
@@ -1148,6 +1238,7 @@ object TextAnalysis {
         |            ELSE 'zh' END AS predicted,
         |       count(*) AS n
         |FROM c GROUP BY 1, 2""".stripMargin,
+    "x_bpe_train_merges" -> bpeTrainOracleSql(3),
     "x_vocab_coverage" ->
       """WITH tk AS (
         |  SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
