@@ -101,40 +101,78 @@ object TextAnalysis {
     * selected pairs ride the driver (control-plane sized, the IVF
     * centroid regime), while every count is a distributed job. */
   def bpeTrainMerges(s: SparkSession, d: String, nMerges: Int = 3): DataFrame = {
-    def syms = split(col("sym"), " ")
-    var words = documents(s, d)
-      .select(explode(bpeTokensCol(col("text"))).as("t"))
-      .select(regexp_replace(col("t"), "^ ", "Ġ").as("w"))
-      .groupBy(col("w")).agg(count(lit(1)).as("n"))
-      .select(concat_ws(" ",
-        transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1)))).as("sym"),
-        col("n"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val rows = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
-    for (step <- 1 to nMerges) {
-      val top = words.filter(size(syms) >= 2)
-        .select(explode(transform(sequence(lit(1), size(syms) - 1),
-          i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1)))).as("pair"),
-          col("n"))
-        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair")).limit(1).head()
-      val pair = top.getString(0)
-      val Array(a, b) = pair.split(" ", 2)
-      val applied = words.select(
-        aggregate(slice(syms, lit(2), greatest(size(syms) - 1, lit(0))), element_at(syms, 1),
-          (acc, x) => when((acc === lit(a) || acc.endsWith(" " + a)) && x === lit(b),
-              concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
-            .otherwise(concat(acc, lit(" "), x))).as("sym"),
-        col("n"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val symsAfter = applied.select(sum(size(syms).cast("long") * col("n"))).head().getLong(0)
-      words.unpersist(blocking = false)
-      words = applied
-      rows += ((step, pair, top.getLong(1), symsAfter))
-    }
-    words.unpersist(blocking = false)
+    val (rows, _) = bpeTrainState(s, d, nMerges)
     import s.implicits._
-    rows.toSeq.toDF("step", "pair", "n_pairs", "corpus_syms_after")
+    rows.toDF("step", "pair", "n_pairs", "corpus_syms_after")
+  }
+
+  /** The training loop itself: returns (per-round merge rows, the final
+    * `(w, sym, n)` vocabulary frame — every distinct pretoken with its
+    * post-merge symbol string, persisted). Cached per (session, dir,
+    * nMerges) so the train entry and the tokenize-by-dictionary apply
+    * entry share one training run. */
+  private val bpeStateCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String),
+      (Seq[(Int, String, Long, Long)], DataFrame)]()
+
+  private[ops] def bpeTrainState(s: SparkSession, d: String,
+      nMerges: Int): (Seq[(Int, String, Long, Long)], DataFrame) = {
+    bpeStateCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    bpeStateCache.computeIfAbsent((s, s"$d#$nMerges"), _ => {
+      def syms = split(col("sym"), " ")
+      var words = documents(s, d)
+        .select(explode(bpeTokensCol(col("text"))).as("t"))
+        .select(regexp_replace(col("t"), "^ ", "Ġ").as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("n"))
+        .select(col("w"), concat_ws(" ",
+          transform(sequence(lit(1), length(col("w"))), i => col("w").substr(i, lit(1)))).as("sym"),
+          col("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val rows = scala.collection.mutable.ArrayBuffer[(Int, String, Long, Long)]()
+      for (step <- 1 to nMerges) {
+        val top = words.filter(size(syms) >= 2)
+          .select(explode(transform(sequence(lit(1), size(syms) - 1),
+            i => concat(element_at(syms, i), lit(" "), element_at(syms, i + 1)))).as("pair"),
+            col("n"))
+          .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+          .orderBy(col("cnt").desc, col("pair")).limit(1).head()
+        val pair = top.getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        val applied = words.select(
+          col("w"),
+          aggregate(slice(syms, lit(2), greatest(size(syms) - 1, lit(0))), element_at(syms, 1),
+            (acc, x) => when((acc === lit(a) || acc.endsWith(" " + a)) && x === lit(b),
+                concat(acc.substr(lit(1), length(acc) - lit(a.length)), lit(a + b)))
+              .otherwise(concat(acc, lit(" "), x))).as("sym"),
+          col("n"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val symsAfter = applied.select(sum(size(syms).cast("long") * col("n"))).head().getLong(0)
+        words.unpersist(blocking = false)
+        words = applied
+        rows += ((step, pair, top.getLong(1), symsAfter))
+      }
+      (rows.toSeq, words)
+    })
+  }
+
+  /** Tokenize-by-dictionary — the APPLY half of BPE, production shape: a
+    * tokenizer deployment never re-runs the merge fold per occurrence; it
+    * broadcasts the trained vocabulary (distinct pretoken -> its merged
+    * symbol count) and the corpus token stream joins it at scan speed.
+    * The dictionary is Heaps-bounded like the training table, so the
+    * broadcast holds at any corpus size. Output: per language, the
+    * pretoken count and the BPE token count under the trained merges —
+    * the number that actually prices a training run. */
+  def bpeApply(s: SparkSession, d: String, nMerges: Int = 3): DataFrame = {
+    val (_, words) = bpeTrainState(s, d, nMerges)
+    val dict = words.select(col("w"), size(split(col("sym"), " ")).as("n_syms"))
+    documents(s, d)
+      .select(col("lang"), explode(bpeTokensCol(col("text"))).as("t"))
+      .select(col("lang"), regexp_replace(col("t"), "^ ", "Ġ").as("w"))
+      .join(broadcast(dict), "w")
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_pretokens"),
+        sum(col("n_syms").cast("long")).as("n_bpe_tokens"))
   }
 
   /** Per-document quality metrics: length, alphabetic ratio, stopword ratio,
@@ -896,6 +934,7 @@ object TextAnalysis {
     "x_lm_bigram_score" -> (lmBigramScore _),
     "x_vocab_coverage" -> ((s: SparkSession, d: String) => vocabCoverage(s, d)),
     "x_bpe_train_merges" -> ((s: SparkSession, d: String) => bpeTrainMerges(s, d)),
+    "x_bpe_apply" -> ((s: SparkSession, d: String) => bpeApply(s, d)),
     "x_bpe_token_count" -> (bpeTokenCount _),
     "x_bpe_pair_stats" -> (bpePairStats _),
     "x_token_count" -> (tokenCount _),
@@ -927,7 +966,7 @@ object TextAnalysis {
          |  GROUP BY pair),
          |m$i AS (SELECT pair, cnt, split_part(pair, ' ', 1) AS pa, split_part(pair, ' ', 2) AS pb
          |        FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
-         |w$i AS (SELECT list_reduce(string_split(sym, ' '),
+         |w$i AS (SELECT w, list_reduce(string_split(sym, ' '),
          |          (acc, x) -> CASE WHEN (acc = m.pa OR ends_with(acc, ' ' || m.pa)) AND x = m.pb
          |                      THEN substr(acc, 1, length(acc) - length(m.pa)) || m.pa || m.pb
          |                      ELSE acc || ' ' || x END) AS sym, n
@@ -937,15 +976,48 @@ object TextAnalysis {
     val unions = (1 to nMerges).map { i =>
       s"SELECT $i AS step, (SELECT pair FROM m$i) AS pair, (SELECT cnt FROM m$i) AS n_pairs, (SELECT tot FROM s$i) AS corpus_syms_after"
     }.mkString("\nUNION ALL ")
-    s"""WITH toks AS (
-       |  SELECT regexp_replace(t, '^ ', 'Ġ') AS w FROM (
-       |    SELECT unnest(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS t
-       |    FROM documents)),
-       |w0 AS (
-       |  SELECT array_to_string(regexp_extract_all(w, '.'), ' ') AS sym, count(*) AS n
-       |  FROM toks GROUP BY w),
+    s"""WITH $bpeTrainCtePrefix,
        |$iters
        |$unions""".stripMargin
+  }
+
+  /** The shared training-chain prefix: pretokens with the Ġ convention and
+    * the weighted `(w, sym, n)` vocabulary table. */
+  private def bpeTrainCtePrefix: String =
+    """toks AS (
+      |  SELECT regexp_replace(t, '^ ', 'Ġ') AS w FROM (
+      |    SELECT unnest(regexp_extract_all(text, ' ?[\p{L}]+| ?[\p{N}]+| ?[^\s\p{L}\p{N}]+')) AS t
+      |    FROM documents)),
+      |w0 AS (
+      |  SELECT w, array_to_string(regexp_extract_all(w, '.'), ' ') AS sym, count(*) AS n
+      |  FROM toks GROUP BY w)""".stripMargin
+
+  /** The apply oracle: replay the training chain, then tokenize the corpus
+    * by the final dictionary exactly as [[bpeApply]] does. */
+  private def bpeApplyOracleSql(nMerges: Int): String = {
+    val iters = (1 to nMerges).map { i =>
+      s"""p$i AS (SELECT pair, CAST(sum(n) AS BIGINT) AS cnt FROM (
+         |  SELECT unnest(list_transform(range(1, len(sy)), j -> sy[j] || ' ' || sy[j+1])) AS pair, n
+         |  FROM (SELECT string_split(sym, ' ') AS sy, n FROM w${i - 1}))
+         |  GROUP BY pair),
+         |m$i AS (SELECT split_part(pair, ' ', 1) AS pa, split_part(pair, ' ', 2) AS pb
+         |        FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         |w$i AS (SELECT w, list_reduce(string_split(sym, ' '),
+         |          (acc, x) -> CASE WHEN (acc = m.pa OR ends_with(acc, ' ' || m.pa)) AND x = m.pb
+         |                      THEN substr(acc, 1, length(acc) - length(m.pa)) || m.pa || m.pb
+         |                      ELSE acc || ' ' || x END) AS sym, n
+         |        FROM w${i - 1}, m$i m)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $bpeTrainCtePrefix,
+       |$iters,
+       |dict AS (SELECT w, len(string_split(sym, ' ')) AS n_syms FROM w$nMerges),
+       |ltoks AS (
+       |  SELECT lang, regexp_replace(t, '^ ', 'Ġ') AS w FROM (
+       |    SELECT lang, unnest(regexp_extract_all(text, ' ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+')) AS t
+       |    FROM documents))
+       |SELECT lang, count(*) AS n_pretokens, CAST(sum(d.n_syms) AS BIGINT) AS n_bpe_tokens
+       |FROM ltoks JOIN dict d USING (w)
+       |GROUP BY lang""".stripMargin
   }
 
   private val decontamOracleSql: String =
@@ -1239,6 +1311,7 @@ object TextAnalysis {
         |       count(*) AS n
         |FROM c GROUP BY 1, 2""".stripMargin,
     "x_bpe_train_merges" -> bpeTrainOracleSql(3),
+    "x_bpe_apply" -> bpeApplyOracleSql(3),
     "x_vocab_coverage" ->
       """WITH tk AS (
         |  SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),

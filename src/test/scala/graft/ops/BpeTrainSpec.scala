@@ -29,6 +29,26 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(out(2) == ((3, "Ġ low", 4L, 16L)), s"merge 3: ${out.toList}")
   }
 
+  test("tokenize-by-dictionary totals equal the training curve's final point") {
+    val dir = java.nio.file.Files.createTempDirectory("bpeapp").toString
+    Seq((1L, "low low low lower lower newest"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("t"))
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val applied = TextAnalysis.bpeApply(spark, dir, nMerges = 3)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // 6 pretokens; low=1, Ġlow=1 x2, Ġlower=3, Ġnewest=7 -> 16 BPE tokens
+    assert(applied("en") == ((6L, 16L)), s"apply: $applied")
+    // invariant on the real corpus too: apply's total IS the last
+    // compression point of the curve (same dictionary, same corpus)
+    val curve = TextAnalysis.bpeTrainMerges(spark, SparkTestSession.sfDir, nMerges = 3)
+      .orderBy(col("step")).collect().map(_.getLong(3))
+    val total = TextAnalysis.bpeApply(spark, SparkTestSession.sfDir, nMerges = 3)
+      .agg(sum(col("n_bpe_tokens"))).head().getLong(0)
+    assert(total == curve.last, s"apply total $total != final curve point ${curve.last}")
+  }
+
   test("compression curve strictly decreases on the real corpus") {
     val out = TextAnalysis.bpeTrainMerges(spark, SparkTestSession.sfDir, nMerges = 3)
       .orderBy(col("step")).collect().map(_.getLong(3))
