@@ -846,17 +846,20 @@ object Dedup {
 
   /** Gaps-and-islands merge of gram-start positions into maximal spans:
     * two duplicated gram starts merge when their covered token ranges
-    * overlap or are adjacent (gap ≤ SPAN_GRAM). */
-  private def islandSpans(positions: DataFrame): DataFrame = {
+    * overlap or are adjacent (gap ≤ the gram length). Shared with the
+    * span-level decontamination scrub in ops/TextAnalysis, which runs the
+    * same merge over 4-gram benchmark-match positions. */
+  private[ops] def islandSpans(positions: DataFrame,
+      gram: Int = SPAN_GRAM): DataFrame = {
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     positions
       // first row of a doc: lag is null → condition null → otherwise(0);
       // islands are 0-based running sums, identical in the oracle.
       .withColumn("brk",
-        when(col("pos") - lag(col("pos"), 1).over(w) > SPAN_GRAM, 1).otherwise(lit(0)))
+        when(col("pos") - lag(col("pos"), 1).over(w) > gram, 1).otherwise(lit(0)))
       .withColumn("island", sum(col("brk")).over(w))
       .groupBy(col("doc_id"), col("island"))
-      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + SPAN_GRAM - 1).as("span_end"))
+      .agg(min(col("pos")).as("span_start"), (max(col("pos")) + gram - 1).as("span_end"))
       .select(col("doc_id"),
         col("span_start").cast("int").as("span_start"),
         col("span_end").cast("int").as("span_end"),

@@ -422,6 +422,51 @@ object TextAnalysis {
     * partial-aggregates so the one shuffle is corpus-row-sized, not
     * bigram-sized. `typicality_ppm` is integral division end-to-end —
     * no float summation order anywhere. */
+  private val CONTAM_GRAM = 4
+
+  /** Span-level decontamination (catalog `x_decontam_scrub`): REMOVE the
+    * benchmark-overlapping passages instead of flagging whole documents —
+    * the production action when dropping every flagged document costs too
+    * much clean text ([[decontam]] is the detector; this is the fix).
+    * Corpus token positions whose 4-gram matches a benchmark gram
+    * island-merge into maximal spans (the duplicate-span machinery in
+    * ops/Dedup with gap = gram length), and each contaminated document is
+    * rewritten with the covered tokens dropped. Emits the
+    * before/after/md5 contract of `x_dup_span_scrub`, so the oracle
+    * replays the full rewrite and the hash proves the text.
+    *
+    * Scale shape: the benchmark gram set broadcasts (same regime as
+    * [[decontam]] — swap in the Bloom prefilter of [[decontamBloom]] when
+    * it outgrows an exact broadcast); the position relation entering the
+    * island window is MATCH-sized, not corpus-sized, and the rewrite is
+    * an inner join against the ≤contaminated-docs span rollup — the clean
+    * majority of the corpus never reaches a shuffle. */
+  def decontamScrub(s: SparkSession, d: String): DataFrame = {
+    val bench = contamBenchGrams(s, d)
+    val corpus = documents(s, d).filter(col("doc_id") >= 100 && col("doc_id") < 400)
+    val pos = corpus
+      .select(col("doc_id"), tokensCol(lower(col("text"))).as("toks"))
+      .select(col("doc_id"),
+        posexplode(org.apache.spark.sql.graftbridge.ngramMd5(col("toks"), CONTAM_GRAM))
+          .as(Seq("pos", "g")))
+      .join(broadcast(bench), "g")
+      .select(col("doc_id"), col("pos"))
+    val spanArr = Dedup.islandSpans(pos, CONTAM_GRAM)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    corpus
+      .select(col("doc_id"), tokensCol(lower(col("text"))).as("toks"))
+      .join(spanArr, "doc_id") // inner: only contaminated docs are rewritten
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens_before"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("sp"), sp => i >= sp("span_start") && i <= sp("span_end")))
+          .as("kept"))
+      .select(col("doc_id"), col("n_tokens_before"),
+        size(col("kept")).as("n_tokens_after"),
+        md5(concat_ws(" ", col("kept"))).as("kept_hash"))
+  }
+
   def lmBigramScore(s: SparkSession, d: String): DataFrame = {
     val chars = documents(s, d)
       .select(col("doc_id"), lower(col("text")).as("t"))
@@ -518,6 +563,93 @@ object TextAnalysis {
         sum(when(col("n_tokens") > col("thr"), 1L).otherwise(0L)).as("n_kept"),
         sum(when(col("n_tokens") > col("thr"), col("n_tokens").cast("long"))
           .otherwise(0L)).as("n_tokens_kept"))
+  }
+
+  /** Gopher-style document quality rules (Rae et al. 2021, Table A1) —
+    * the standard rule battery a pipeline runs before any model-based
+    * filter. Every rule is a pure per-row predicate in EXACT integer
+    * arithmetic (ratio and mean bounds cross-multiplied, so no float
+    * division anywhere):
+    *   R1 word count within [10, 100000]
+    *   R2 mean word length within [3, 10] characters
+    *   R3 ≥ 80% of words contain an alphabetic character
+    *   R4 symbol-to-word ratio ('#' + '...') ≤ 10%
+    *   R5 ≥ 2 distinct common stopwords present
+    * Audit: per-language failure count per rule + documents passing all.
+    * Shape: the rule BITS are grouping keys of the first aggregate (the
+    * [[langId]] two-level trick) — each regex/scan runs once per row in
+    * the partial aggregate, whose output is bounded by |lang|×2⁵
+    * regardless of corpus size; the rollup then sums a tiny frame. */
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val txt = lower(col("text"))
+    val padded = concat(lit(" "), txt, lit(" "))
+    val nWords = tokenCountCol(txt)
+    val nWordChars = length(regexp_replace(txt, "\\s+", ""))
+    val nAlphaWords = size(regexp_extract_all(txt, lit("\\S*\\p{L}\\S*"), lit(0)))
+    val nSym = occurrences(txt, "#") + occurrences(txt, "...")
+    val nStop = Seq(" the ", " a ", " of ", " and ", " to ")
+      .map(m => when(padded.contains(m), 1).otherwise(0)).reduce(_ + _)
+    val grouped = documents(s, d).groupBy(
+      col("lang"),
+      (nWords < 10 || nWords > 100000).as("f_words"),
+      (nWordChars < nWords * 3 || nWordChars > nWords * 10).as("f_word_len"),
+      (nAlphaWords * 5 < nWords * 4).as("f_alpha"),
+      (nSym * 10 > nWords).as("f_symbol"),
+      (nStop < 2).as("f_stop"))
+      .agg(count(lit(1)).as("n0"))
+    grouped.groupBy(col("lang")).agg(
+      sum(col("n0")).as("n_docs"),
+      sum(when(col("f_words"), col("n0")).otherwise(0L)).as("fail_word_count"),
+      sum(when(col("f_word_len"), col("n0")).otherwise(0L)).as("fail_word_len"),
+      sum(when(col("f_alpha"), col("n0")).otherwise(0L)).as("fail_alpha"),
+      sum(when(col("f_symbol"), col("n0")).otherwise(0L)).as("fail_symbol"),
+      sum(when(col("f_stop"), col("n0")).otherwise(0L)).as("fail_stop"),
+      sum(when(!col("f_words") && !col("f_word_len") && !col("f_alpha") &&
+        !col("f_symbol") && !col("f_stop"), col("n0")).otherwise(0L)).as("n_pass"))
+  }
+
+  private[ops] val STRAT_T = 60
+
+  /** Exact stratified sampling with largest-remainder (Hamilton) seat
+    * allocation (catalog `x_stratified_sample`): a fixed eval budget of
+    * [[STRAT_T]] documents is split across (lang, source) strata exactly
+    * proportionally — quota = floor(T·n/N), then one extra seat to the
+    * largest fractional remainders (ties by stratum key) until the seats
+    * sum to T — and each stratum contributes its quota in salted-hash
+    * order, deterministic across runs, engines, and partitionings. This
+    * is the eval-set builder: [[hashSample]] keeps a RATE, this hits an
+    * exact SIZE with exact proportions.
+    *
+    * Shape: allocation runs entirely on the strata AGGREGATE —
+    * control-plane-bounded (|lang|×|source| rows, the CDF gate's
+    * histogram argument), so its global window sorts a tiny frame, never
+    * the corpus. Quotas broadcast back; the per-stratum pick is one
+    * corpus window partitioned by stratum whose `rank ≤ STRAT_T`
+    * constant bound lets WindowGroupLimit prune at the shuffle (quota ≤ T
+    * always, so the constant-bound prefilter loses nothing). Output is
+    * the sampled MEMBERSHIP itself — the strongest oracle shape. */
+  def stratifiedSample(s: SparkSession, d: String, t: Int = STRAT_T): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d).select(col("lang"), col("source"), col("doc_id"))
+    val strata = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val alloc = strata
+      .crossJoin(broadcast(strata.agg(sum(col("n")).as("n_tot"))))
+      .withColumn("base", expr(s"$t * n div n_tot"))
+      .withColumn("rem", expr(s"$t * n % n_tot"))
+    val quotas = alloc
+      .crossJoin(broadcast(alloc.agg((lit(t) - sum(col("base"))).as("extra"))))
+      .withColumn("rk", row_number().over(
+        Window.orderBy(col("rem").desc, col("lang"), col("source"))))
+      .withColumn("quota", col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+      .select(col("lang"), col("source"), col("quota"))
+    val h = conv(substring(md5(concat(lit("strat:"), col("doc_id").cast("string"))), 1, 15), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("lang"), col("source")).orderBy(h.asc, col("doc_id").asc)
+    docs.join(broadcast(quotas), Seq("lang", "source"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= t) // constant bound → WindowGroupLimit
+      .filter(col("rk") <= col("quota"))
+      .select(col("lang"), col("source"), col("doc_id"))
   }
 
   /** End-to-end pipeline composition — the actual usage story: quality
@@ -929,6 +1061,9 @@ object TextAnalysis {
     "x_doc_windows" -> (docWindows _),
     "x_decontam" -> (decontam _),
     "x_decontam_bloom" -> (decontamBloom _),
+    "x_decontam_scrub" -> (decontamScrub _),
+    "x_gopher_rules" -> (gopherRules _),
+    "x_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "x_hash_sample" -> (hashSample _),
     "x_quality_gate_cdf" -> (qualityGateCdf _),
     "x_lm_bigram_score" -> (lmBigramScore _),
@@ -1231,6 +1366,94 @@ object TextAnalysis {
     // entry is output-identical to the exact one — SAME oracle (the
     // heavy-hitters batch/stream precedent).
     "x_decontam_bloom" -> decontamOracleSql,
+    // Full replay of the span-level rewrite: benchmark 4-gram positions →
+    // gaps-and-islands merge → anti-join the covered positions → ordered
+    // re-join of surviving tokens; the md5 proves the rewritten text.
+    "x_decontam_scrub" ->
+      """WITH tok AS (
+        |  SELECT doc_id, regexp_extract_all(lower(text), '\S+') AS w FROM documents),
+        |bench AS (
+        |  SELECT DISTINCT unnest(list_transform(range(0, greatest(len(w) - 3, 0)),
+        |           i -> md5(array_to_string(w[i+1 : i+4], ' ')))) AS g
+        |  FROM tok WHERE doc_id < 10),
+        |corpus AS (
+        |  SELECT doc_id, unnest(range(0, greatest(len(w) - 3, 0))) AS pos,
+        |         unnest(list_transform(range(0, greatest(len(w) - 3, 0)),
+        |           i -> md5(array_to_string(w[i+1 : i+4], ' ')))) AS g
+        |  FROM tok WHERE doc_id >= 100 AND doc_id < 400),
+        |hit AS (SELECT c.doc_id, c.pos FROM corpus c JOIN bench USING (g)),
+        |brk AS (SELECT doc_id, pos,
+        |          CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > 4
+        |               THEN 1 ELSE 0 END AS brk
+        |        FROM hit),
+        |isl AS (SELECT doc_id, pos,
+        |          SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS island
+        |        FROM brk),
+        |spans AS (SELECT doc_id, MIN(pos) AS span_start, MAX(pos) + 3 AS span_end
+        |          FROM isl GROUP BY doc_id, island),
+        |cover AS (SELECT doc_id, unnest(range(span_start, span_end + 1)) AS pos FROM spans),
+        |allpos AS (SELECT doc_id, unnest(range(0, len(w))) AS pos FROM tok
+        |           WHERE doc_id >= 100 AND doc_id < 400),
+        |keptpos AS (SELECT a.doc_id, a.pos FROM allpos a
+        |            ANTI JOIN cover c ON a.doc_id = c.doc_id AND a.pos = c.pos),
+        |kept AS (SELECT k.doc_id, array_agg(t.w[k.pos + 1] ORDER BY k.pos) AS kw
+        |         FROM keptpos k JOIN tok t USING (doc_id) GROUP BY k.doc_id),
+        |contam AS (SELECT DISTINCT doc_id FROM hit)
+        |SELECT t.doc_id,
+        |       CAST(len(t.w) AS INTEGER) AS n_tokens_before,
+        |       CAST(COALESCE(len(k.kw), 0) AS INTEGER) AS n_tokens_after,
+        |       md5(COALESCE(array_to_string(k.kw, ' '), '')) AS kept_hash
+        |FROM tok t JOIN contam USING (doc_id) LEFT JOIN kept k USING (doc_id)""".stripMargin,
+    "x_gopher_rules" ->
+      """WITH f0 AS (
+        |  SELECT lang,
+        |         len(regexp_extract_all(lower(text), '\S+')) AS n_words,
+        |         length(regexp_replace(lower(text), '\s+', '', 'g')) AS n_word_chars,
+        |         len(regexp_extract_all(lower(text), '\S*\pL\S*')) AS n_alpha_words,
+        |         (length(lower(text)) - length(replace(lower(text), '#', '')))
+        |           + (length(lower(text)) - length(replace(lower(text), '...', ''))) // 3 AS n_sym,
+        |         (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END
+        |        + CASE WHEN contains(' ' || lower(text) || ' ', ' a ') THEN 1 ELSE 0 END
+        |        + CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END
+        |        + CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END
+        |        + CASE WHEN contains(' ' || lower(text) || ' ', ' to ') THEN 1 ELSE 0 END) AS n_stop
+        |  FROM documents),
+        |f AS (
+        |  SELECT lang,
+        |    (n_words < 10 OR n_words > 100000) AS f_words,
+        |    (n_word_chars < n_words * 3 OR n_word_chars > n_words * 10) AS f_word_len,
+        |    (n_alpha_words * 5 < n_words * 4) AS f_alpha,
+        |    (n_sym * 10 > n_words) AS f_symbol,
+        |    (n_stop < 2) AS f_stop
+        |  FROM f0)
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN f_words THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_count,
+        |  CAST(sum(CASE WHEN f_word_len THEN 1 ELSE 0 END) AS BIGINT) AS fail_word_len,
+        |  CAST(sum(CASE WHEN f_alpha THEN 1 ELSE 0 END) AS BIGINT) AS fail_alpha,
+        |  CAST(sum(CASE WHEN f_symbol THEN 1 ELSE 0 END) AS BIGINT) AS fail_symbol,
+        |  CAST(sum(CASE WHEN f_stop THEN 1 ELSE 0 END) AS BIGINT) AS fail_stop,
+        |  CAST(sum(CASE WHEN NOT (f_words OR f_word_len OR f_alpha OR f_symbol OR f_stop)
+        |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
+        |FROM f GROUP BY lang""".stripMargin,
+    "x_stratified_sample" ->
+      """WITH docs AS (SELECT lang, source, doc_id FROM documents),
+        |strata AS (SELECT lang, source, count(*) AS n FROM docs GROUP BY 1, 2),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM strata),
+        |alloc AS (SELECT lang, source, n,
+        |            60 * n // n_tot AS base, 60 * n % n_tot AS rem
+        |          FROM strata, tot),
+        |extra AS (SELECT 60 - CAST(sum(base) AS BIGINT) AS extra FROM alloc),
+        |quotas AS (SELECT lang, source,
+        |             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang, source)
+        |                         <= extra THEN 1 ELSE 0 END AS quota
+        |           FROM alloc, extra),
+        |ranked AS (SELECT d.lang, d.source, d.doc_id, q.quota,
+        |             row_number() OVER (PARTITION BY d.lang, d.source
+        |               ORDER BY CAST('0x' || substring(md5('strat:' || CAST(d.doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+        |                        d.doc_id) AS rk
+        |           FROM docs d JOIN quotas q USING (lang, source))
+        |SELECT lang, source, doc_id FROM ranked WHERE rk <= quota""".stripMargin,
     "x_keywords" ->
       """WITH terms AS (
         |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '\S+')) AS term
