@@ -830,10 +830,36 @@ object Similarity {
         col("total_abs_err"), col("max_abs_err"))
   }
 
+  /** Embedding-hygiene audit (catalog `x_embed_outliers`): the QA pass a
+    * pipeline runs over a fresh embedding batch before indexing it —
+    * per label: vector count, wrong-dimension vectors, exact-zero
+    * vectors, and out-of-band norms (norm² outside [0.81, 1.21], i.e.
+    * norm outside [0.9, 1.1] — embedding services contract unit norms,
+    * and a drifting encoder shows up here first). Norm² is the same
+    * strict-left-fold [[dot]] the ANN family scores with, so the
+    * threshold comparisons are bit-identical in the oracle; the corpus
+    * norm mass rides along as an exact DECIMAL sum (order-free, like the
+    * int8 audit's error total). One scan, one bounded aggregate — no
+    * shuffle beyond the per-label rollup. */
+  def embedOutliers(s: SparkSession, d: String): DataFrame = {
+    val n2s = embeddings(s, d)
+      .select(col("label"),
+        size(col("embedding")).as("dims"),
+        dot(asDouble(col("embedding")), asDouble(col("embedding"))).as("n2"))
+    n2s.groupBy(col("label")).agg(
+      count(lit(1)).as("n_vecs"),
+      sum(when(col("dims") =!= 64, 1L).otherwise(0L)).as("n_bad_dim"),
+      sum(when(col("n2") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+      sum(when(col("n2") > 0.0 && col("n2") < 0.81, 1L).otherwise(0L)).as("n_low_norm"),
+      sum(when(col("n2") > 1.21, 1L).otherwise(0L)).as("n_high_norm"),
+      sum(col("n2").cast(DecimalType(28, 12))).cast("double").as("sum_sq"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_ann_bruteforce" -> (annBruteforce _),
     "x_hard_negatives" -> (hardNegatives _),
     "x_embed_int8" -> (embedInt8Audit _),
+    "x_embed_outliers" -> (embedOutliers _),
     "x_ann_lsh" -> (annLsh _),
     "x_ann_ivf" -> (annIvf _),
     "x_ann_lsh_recall" -> (annLshRecall _),
@@ -1052,6 +1078,18 @@ object Similarity {
         |       CAST(SUM(CAST(abs(x - code * s / 127) AS DECIMAL(28,12))) AS DOUBLE) AS total_abs_err,
         |       max(abs(x - code * s / 127)) AS max_abs_err
         |FROM q GROUP BY label""".stripMargin,
+    "x_embed_outliers" ->
+      """WITH t AS (SELECT label, embedding,
+        |             list_dot_product(list_transform(embedding, x -> CAST(x AS DOUBLE)),
+        |                              list_transform(embedding, x -> CAST(x AS DOUBLE))) AS n2
+        |      FROM embeddings)
+        |SELECT label, count(*) AS n_vecs,
+        |       CAST(sum(CASE WHEN len(embedding) <> 64 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_dim,
+        |       CAST(sum(CASE WHEN n2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero,
+        |       CAST(sum(CASE WHEN n2 > 0 AND n2 < 0.81 THEN 1 ELSE 0 END) AS BIGINT) AS n_low_norm,
+        |       CAST(sum(CASE WHEN n2 > 1.21 THEN 1 ELSE 0 END) AS BIGINT) AS n_high_norm,
+        |       CAST(sum(CAST(n2 AS DECIMAL(28,12))) AS DOUBLE) AS sum_sq
+        |FROM t GROUP BY label""".stripMargin,
     "x_ann_lsh" ->
       s"""WITH $lshCtes
          |SELECT q_id, nn_id, sim FROM lsh""".stripMargin,

@@ -565,6 +565,26 @@ object TextAnalysis {
           .otherwise(0L)).as("n_tokens_kept"))
   }
 
+  /** Unicode NFC normalization audit (catalog `x_unicode_norm`): run the
+    * canonical-composition pass every hash-based operator upstream assumes
+    * (composed vs decomposed encodings of the SAME text would otherwise
+    * defeat exact dedup, fingerprints, gram hashes) and report, per
+    * source, how much text it touched. The normalizer is the native
+    * [[org.apache.spark.sql.graftbridge.NfcNormalize]] expression —
+    * ASCII detected in a byte scan and returned with zero allocation, so
+    * on a mostly-ASCII web corpus this audits at scan speed. The oracle
+    * rides DuckDB's utf8proc `nfc_normalize` — agreement IS the
+    * cross-engine normalization-stability contract the scaladoc pins. */
+  def unicodeNorm(s: SparkSession, d: String): DataFrame = {
+    val nfc = org.apache.spark.sql.graftbridge.nfcNormalize(col("text"))
+    documents(s, d)
+      .select(col("source"), col("text"), nfc.as("nfc"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nfc") =!= col("text"), 1L).otherwise(0L)).as("n_changed"),
+        sum(length(col("nfc")).cast("long")).as("n_chars_nfc"))
+  }
+
   /** Gopher-style document quality rules (Rae et al. 2021, Table A1) —
     * the standard rule battery a pipeline runs before any model-based
     * filter. Every rule is a pure per-row predicate in EXACT integer
@@ -1063,6 +1083,7 @@ object TextAnalysis {
     "x_decontam_bloom" -> (decontamBloom _),
     "x_decontam_scrub" -> (decontamScrub _),
     "x_gopher_rules" -> (gopherRules _),
+    "x_unicode_norm" -> (unicodeNorm _),
     "x_stratified_sample" -> ((s: SparkSession, d: String) => stratifiedSample(s, d)),
     "x_hash_sample" -> (hashSample _),
     "x_quality_gate_cdf" -> (qualityGateCdf _),
@@ -1436,6 +1457,11 @@ object TextAnalysis {
         |  CAST(sum(CASE WHEN NOT (f_words OR f_word_len OR f_alpha OR f_symbol OR f_stop)
         |           THEN 1 ELSE 0 END) AS BIGINT) AS n_pass
         |FROM f GROUP BY lang""".stripMargin,
+    "x_unicode_norm" ->
+      """SELECT source, count(*) AS n_docs,
+        |  CAST(sum(CASE WHEN nfc_normalize(text) <> text THEN 1 ELSE 0 END) AS BIGINT) AS n_changed,
+        |  CAST(sum(length(nfc_normalize(text))) AS BIGINT) AS n_chars_nfc
+        |FROM documents GROUP BY source""".stripMargin,
     "x_stratified_sample" ->
       """WITH docs AS (SELECT lang, source, doc_id FROM documents),
         |strata AS (SELECT lang, source, count(*) AS n FROM docs GROUP BY 1, 2),

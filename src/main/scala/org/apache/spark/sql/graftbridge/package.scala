@@ -54,6 +54,11 @@ package object graftbridge {
 
   /** All n-token-gram md5 hex fingerprints of a token array in one
     * codegen'd byte pass (see [[graftbridge.NgramMd5]]). */
+  /** Unicode NFC normalization with an ASCII zero-allocation fast path
+    * (see [[graftbridge.NfcNormalize]]). */
+  def nfcNormalize(c: Column): Column =
+    ExpressionUtils.column(NfcNormalize(ExpressionUtils.expression(c)))
+
   def ngramMd5(c: Column, n: Int): Column =
     ExpressionUtils.column(NgramMd5(ExpressionUtils.expression(c), n))
 
