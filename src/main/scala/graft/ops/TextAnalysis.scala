@@ -290,6 +290,18 @@ object TextAnalysis {
     * anywhere. */
   def bm25Search(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // Global top-10 via orderBy+limit — Spark plans TakeOrderedAndProject
+    // (per-partition heaps + driver merge), never a single-partition window
+    // over every matching doc; the rank window then runs over 10 rows.
+    bm25Agg(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(10)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("score"), col("rnk"))
+  }
+
+  /** The scored (doc_id, score) BM25 frame behind [[bm25Search]] — shared
+    * with the RRF fusion entry, which pools a deeper top-k of it. */
+  private def bm25Agg(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d)
       .select(col("doc_id"), tokensCol(lower(col("text"))).as("tk"))
       .select(col("doc_id"), size(col("tk")).as("dl"), col("tk"))
@@ -311,14 +323,47 @@ object TextAnalysis {
     val total = BM25_TERMS.map(t =>
       coalesce(max(when(col("term") === t, col("score"))), lit(0.0)))
       .reduceLeft(_ + _)
-    // Global top-10 via orderBy+limit — Spark plans TakeOrderedAndProject
-    // (per-partition heaps + driver merge), never a single-partition window
-    // over every matching doc; the rank window then runs over 10 rows.
-    val top10 = perTerm.groupBy(col("doc_id")).agg(total.as("score"))
-      .orderBy(col("score").desc, col("doc_id")).limit(10)
-    top10
-      .withColumn("rnk", row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
-      .select(col("doc_id"), col("score"), col("rnk"))
+    perTerm.groupBy(col("doc_id")).agg(total.as("score"))
+  }
+
+  private val RRF_POOL = 20
+
+  /** Reciprocal-rank fusion of the lexical BM25 ranker with the
+    * char-bigram LM typicality ranker (catalog `x_rrf_fusion`) — the
+    * hybrid-selection shape retrieval and data-curation pipelines use to
+    * combine heterogeneous signals WITHOUT score calibration (Cormack et
+    * al. 2009): each ranker contributes 1/(60 + rank) for its
+    * top-[[RRF_POOL]] documents and the fused top-10 wins. Ranks, not
+    * scores, cross the fusion boundary, so a rational-idf BM25 and an
+    * integer-ppm LM score need no common scale. The fused score is one
+    * two-term sum in fixed (lexical, quality) order — bit-identical in
+    * the oracle (whose 1.0 literals are CAST to DOUBLE; DuckDB parses
+    * them as exact DECIMAL otherwise).
+    *
+    * Scale: each ranker pools via TakeOrderedAndProject (per-partition
+    * heaps + driver merge — never a global window over the corpus); the
+    * fusion itself is a full outer join of two ≤POOL-row frames and the
+    * final top-10 windows ≤2·POOL rows. Nothing past the rankers is
+    * corpus-sized. */
+  def rrfFusion(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = bm25Agg(s, d)
+      .orderBy(col("score").desc, col("doc_id")).limit(RRF_POOL)
+      .withColumn("r_lex",
+        row_number().over(Window.orderBy(col("score").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_lex"))
+    val qual = lmBigramScore(s, d)
+      .orderBy(col("typicality_ppm").desc, col("doc_id")).limit(RRF_POOL)
+      .withColumn("r_qual",
+        row_number().over(Window.orderBy(col("typicality_ppm").desc, col("doc_id"))))
+      .select(col("doc_id"), col("r_qual"))
+    lex.join(qual, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        (coalesce(lit(1.0) / (lit(60) + col("r_lex")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("r_qual")), lit(0.0))).as("rrf"),
+        col("r_lex"), col("r_qual"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(10)
+      .withColumn("rnk", row_number().over(Window.orderBy(col("rrf").desc, col("doc_id"))))
   }
 
   private val WIN = 50
@@ -1078,6 +1123,7 @@ object TextAnalysis {
     "x_quota_sample" -> (quotaSample _),
     "x_keywords" -> (keywords _),
     "x_bm25_search" -> (bm25Search _),
+    "x_rrf_fusion" -> (rrfFusion _),
     "x_doc_windows" -> (docWindows _),
     "x_decontam" -> (decontam _),
     "x_decontam_bloom" -> (decontamBloom _),
@@ -1103,6 +1149,36 @@ object TextAnalysis {
     * so the oracle is the direct relational statement of that set — shared
     * verbatim by the batch entry and its streaming twin (the oracle IS the
     * parity check). */
+  /** BM25 scored-docs CTE chain ending in `agg(doc_id, score)` — shared
+    * by the x_bm25_search oracle and the RRF fusion oracle's lexical arm.
+    * The per-doc sum MUST fold in BM25_TERMS order (float addition is
+    * order-sensitive); the CASE chain is generated from the same Seq the
+    * Spark pivot folds over. */
+  private lazy val bm25AggCtes: String = {
+    val termList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
+    val caseChain = BM25_TERMS.map(t =>
+      s"COALESCE(MAX(CASE WHEN term = '$t' THEN score END), 0.0)").mkString("\n        |       + ")
+    s"""dk AS (
+      |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk FROM documents),
+      |docs AS (SELECT doc_id, len(tk) AS dl, tk FROM dk),
+      |stats AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM docs),
+      |tf AS (SELECT doc_id, dl, term, count(*) AS tf
+      |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM docs)
+      |       WHERE term IN ($termList)
+      |       GROUP BY doc_id, dl, term),
+      |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |sc AS (SELECT doc_id, term,
+      |         ((n_docs - df + 0.5) / (df + 0.5)) *
+      |         ((tf * CAST(2.2 AS DOUBLE)) /
+      |           (tf + 1.2 *
+      |             (1.0 - 0.75 +
+      |               0.75 * dl / (total_tokens / n_docs)))) AS score
+      |       FROM tf JOIN dfreq USING (term), stats),
+      |agg AS (SELECT doc_id,
+      |         $caseChain AS score
+      |       FROM sc GROUP BY doc_id)""".stripMargin
+  }
+
   private val heavyHittersOracleSql: String =
     """WITH tk AS (
       |  SELECT unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),
@@ -1493,38 +1569,46 @@ object TextAnalysis {
         |  FROM tf JOIN df USING (term), n
         |  WHERE df.df * 10 < n.n_docs)
         |WHERE rnk <= 3""".stripMargin,
-    "x_bm25_search" -> {
-      val termList = BM25_TERMS.map(t => s"'$t'").mkString(", ")
-      // The per-doc sum MUST fold in BM25_TERMS order (float addition is
-      // order-sensitive); the CASE chain below is generated from the same
-      // Seq the Spark pivot folds over.
-      val caseChain = BM25_TERMS.map(t =>
-        s"COALESCE(MAX(CASE WHEN term = '$t' THEN score END), 0.0)").mkString("\n        |       + ")
-      s"""WITH dk AS (
-        |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS tk FROM documents),
-        |docs AS (SELECT doc_id, len(tk) AS dl, tk FROM dk),
-        |stats AS (SELECT count(*) AS n_docs, CAST(SUM(dl) AS BIGINT) AS total_tokens FROM docs),
-        |tf AS (SELECT doc_id, dl, term, count(*) AS tf
-        |       FROM (SELECT doc_id, dl, unnest(tk) AS term FROM docs)
-        |       WHERE term IN ($termList)
-        |       GROUP BY doc_id, dl, term),
-        |dfreq AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |sc AS (SELECT doc_id, term,
-        |         ((n_docs - df + 0.5) / (df + 0.5)) *
-        |         ((tf * CAST(2.2 AS DOUBLE)) /
-        |           (tf + 1.2 *
-        |             (1.0 - 0.75 +
-        |               0.75 * dl / (total_tokens / n_docs)))) AS score
-        |       FROM tf JOIN dfreq USING (term), stats),
-        |agg AS (SELECT doc_id,
-        |         $caseChain AS score
-        |       FROM sc GROUP BY doc_id)
+    "x_bm25_search" ->
+      s"""WITH $bm25AggCtes
         |SELECT doc_id, score, rnk FROM (
         |  SELECT doc_id, score,
         |         CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS rnk
         |  FROM agg)
-        |WHERE rnk <= 10""".stripMargin
-    },
+        |WHERE rnk <= 10""".stripMargin,
+    // RRF: both ranker CTE chains verbatim (bm25 `agg`, bigram `docsc`),
+    // pooled to top-20 each, fused as ONE fixed-order two-term sum.
+    "x_rrf_fusion" ->
+      s"""WITH $bm25AggCtes,
+        |lex AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY score DESC, doc_id) AS INTEGER) AS r_lex
+        |        FROM agg QUALIFY r_lex <= 20),
+        |ch AS (
+        |  SELECT doc_id, lower(text) AS t FROM documents WHERE length(text) >= 2),
+        |bg AS (
+        |  SELECT doc_id,
+        |         unnest(list_transform(range(1, length(t)),
+        |                i -> substring(t, CAST(i AS INTEGER), 2))) AS bg
+        |  FROM ch),
+        |model AS (SELECT bg, count(*) AS cnt FROM bg GROUP BY bg),
+        |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_total FROM model),
+        |docsc AS (
+        |  SELECT doc_id,
+        |         CAST(CAST(sum(cnt) AS BIGINT) * 1000000 // (count(*) * (SELECT n_total FROM tot)) AS BIGINT) AS typicality_ppm
+        |  FROM bg JOIN model USING (bg)
+        |  GROUP BY doc_id),
+        |qual AS (SELECT doc_id, CAST(row_number() OVER (ORDER BY typicality_ppm DESC, doc_id) AS INTEGER) AS r_qual
+        |         FROM docsc QUALIFY r_qual <= 20),
+        |fused AS (
+        |  SELECT doc_id,
+        |         COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_lex), CAST(0.0 AS DOUBLE))
+        |           + COALESCE(CAST(1.0 AS DOUBLE) / (60 + r_qual), CAST(0.0 AS DOUBLE)) AS rrf,
+        |         r_lex, r_qual
+        |  FROM lex FULL OUTER JOIN qual USING (doc_id))
+        |SELECT doc_id, rrf, r_lex, r_qual, rnk FROM (
+        |  SELECT doc_id, rrf, r_lex, r_qual,
+        |         CAST(row_number() OVER (ORDER BY rrf DESC, doc_id) AS INTEGER) AS rnk
+        |  FROM fused)
+        |WHERE rnk <= 10""".stripMargin,
     "x_token_count" ->
       """SELECT lang, count(*) AS n_docs,
         |       CAST(SUM(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS total_tokens
