@@ -463,6 +463,38 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SoftDeDup-style duplicate down-weighting (catalog
+    * `x_dedup_soft_weights`): keep every near-duplicate and shrink its
+    * training weight to 1/cluster_size instead of dropping all-but-one —
+    * the soft alternative the hard-dedup entries' drop lists imply, which
+    * preserves coverage while making each duplicated CONTENT unit
+    * contribute one document's worth of gradient mass. Weights are
+    * integer ppm (`1000000 div cluster_size`), so downstream
+    * normalization is float-order-free (the mixTemperature discipline).
+    * The audit reports, per source: documents, documents inside multi-doc
+    * clusters, and raw vs ppm-weighted token mass — the deflation number
+    * a pipeline owner reads before choosing soft vs hard dedup.
+    *
+    * At 100 TB: cluster labels are pair-bounded ([[connectedComponents]]),
+    * sizes are one aggregate over that label relation broadcast back, and
+    * the corpus is touched once at scan speed. */
+  def dedupSoftWeights(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("label"))
+    val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        tokenCountCol(col("text")).cast("long").as("n_tokens"))
+      .join(broadcast(labels.join(broadcast(sizes), "label")), Seq("doc_id"), "left")
+      .withColumn("csize", coalesce(col("csize"), lit(1L)))
+      .withColumn("weight_ppm", expr("1000000 div csize"))
+      .groupBy(col("source")).agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_in_dup_clusters"),
+        sum(col("n_tokens")).as("raw_tokens"),
+        sum(col("n_tokens") * col("weight_ppm")).as("weighted_tokens_ppm"))
+  }
+
   /** Leakage-safe train/valid/test split (catalog `x_split_leakage_safe`):
     * near-duplicate documents must never straddle an evaluation boundary —
     * a test document whose near-dup twin sits in train leaks the answer
@@ -939,6 +971,7 @@ object Dedup {
     "x_dedup_minhash_precision" -> (minhashPrecision _),
     "x_dedup_simhash_precision" -> (simhashPrecision _),
     "x_dedup_cc" -> (dedupClusters _),
+    "x_dedup_soft_weights" -> (dedupSoftWeights _),
     "x_split_leakage_safe" -> (leakageSafeSplit _),
     "x_jaccard_pairs" -> (jaccardPairs _),
     "x_dup_spans" -> (dupSpans _),
@@ -1132,6 +1165,31 @@ object Dedup {
          |       CASE WHEN d.doc_id = COALESCE(cc.cluster_id, d.doc_id)
          |            THEN 1 ELSE 0 END AS is_canonical
          |FROM documents d LEFT JOIN cc USING (doc_id)""".stripMargin,
+    // CC transitive closure -> cluster sizes over ALL docs (singletons are
+    // their own size-1 cluster) -> integral ppm weights -> per-source mass.
+    "x_dedup_soft_weights" ->
+      s"""WITH RECURSIVE ${simhashCtes()},
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM scand
+         |      UNION ALL SELECT doc_b, doc_a FROM scand),
+         |walk(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT w.u, e2.v FROM walk w JOIN e e2 ON w.v = e2.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM walk GROUP BY u),
+         |lab AS (SELECT d.doc_id, d.source,
+         |          CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens,
+         |          COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN cc USING (doc_id)),
+         |sz AS (SELECT cluster_id, count(*) AS csize FROM lab GROUP BY cluster_id),
+         |w AS (SELECT lab.source, lab.n_tokens, sz.csize,
+         |        1000000 // sz.csize AS weight_ppm
+         |      FROM lab JOIN sz USING (cluster_id))
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_clusters,
+         |  CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
+         |  CAST(sum(n_tokens * weight_ppm) AS BIGINT) AS weighted_tokens_ppm
+         |FROM w GROUP BY source""".stripMargin,
     // Same transitive closure as the CC oracle but over the WIDE pair
     // family, then the salted md5 residue law 80/10/10 on the CLUSTER id —
     // the whole leakage-safe split is replayed exactly.

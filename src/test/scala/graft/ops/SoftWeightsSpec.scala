@@ -1,0 +1,56 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Invariants of SoftDeDup-style duplicate down-weighting on the real
+  * sf0.001 corpus: the audit tiles the corpus, weighting only ever
+  * deflates token mass (equality exactly when a source has no dup
+  * clusters), and each near-dup cluster contributes one document's worth
+  * of ppm mass (up to integer-division truncation).
+  */
+class SoftWeightsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+
+  private lazy val audit = Dedup.dedupSoftWeights(spark, dir).cache()
+
+  test("audit tiles the corpus: per-source doc counts match the table") {
+    val expected = Tables.documents(spark, dir)
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    val got = audit.select(col("source"), col("n_docs"))
+    assert(got.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(got).count() == 0)
+  }
+
+  test("weighting only deflates; sources with no dup clusters keep full mass") {
+    val rows = audit.select(col("source"), col("n_in_dup_clusters"),
+      col("raw_tokens"), col("weighted_tokens_ppm")).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (nd, raw, w) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w <= raw * 1000000L, s"${r.getString(0)}: inflated mass")
+      if (nd == 0L) assert(w == raw * 1000000L,
+        s"${r.getString(0)}: no dup clusters but mass deflated")
+    }
+    // the fixture must actually exercise the deflation path
+    assert(rows.map(_.getLong(1)).sum > 0, "fixture has no dup clusters")
+  }
+
+  test("each dup cluster contributes ~1e6 ppm of document mass") {
+    // Recompute the same cluster relation the operator weights on and
+    // check: sum of per-doc weight_ppm within a cluster of size k is
+    // k * (1000000 div k) — within (1e6 - k, 1e6].
+    val labels = Dedup.connectedComponents(
+        Dedup.dedupSimhash(spark, dir).select(col("doc_a"), col("doc_b")))
+      .select(col("id"), col("label"))
+    val bad = labels.groupBy(col("label")).agg(count(lit(1)).as("k"))
+      .withColumn("mass_ppm", col("k") * expr("1000000 div k"))
+      .filter(col("mass_ppm") <= lit(1000000L) - col("k") ||
+        col("mass_ppm") > 1000000L)
+      .count()
+    assert(bad == 0L)
+    assert(labels.count() > 0, "fixture must contain clustered docs")
+  }
+}
