@@ -1030,6 +1030,39 @@ object TextAnalysis {
         floor(col("w_micro") * BUDGET / col("tot_w")).cast("long").as("target_docs"))
   }
 
+  /** Mixture budget/epochs audit (catalog `x_mix_epochs`) — the question a
+    * pipeline owner asks AFTER choosing a temperature mix: at a total token
+    * budget of B (here 2× the corpus, derived from the data so the entry
+    * has no magic constant), how many tokens are drawn from each source,
+    * and how many EPOCHS of that source does the draw imply? Temperature
+    * upsampling (weight ∝ tokens^0.5, the [[mixTemperature]] discipline)
+    * makes small sources repeat: epochs_ppm > 1e6 flags data that will be
+    * seen more than once — the memorization/diversity trade the audit
+    * exists to surface.
+    *
+    * All arithmetic is integral: milli-weights (sqrt floor'd at 1e3 —
+    * coarser than mixTemperature's 1e6 so `w_milli * B` keeps long
+    * headroom to ~1e10-token corpora; past that, widen to decimal) and
+    * `div` floor division, so both engines compute bit-identical budgets.
+    * One groupBy over the corpus + a broadcast of per-source totals —
+    * scan-bounded at any scale. */
+  def mixEpochs(s: SparkSession, d: String): DataFrame = {
+    val perSource = documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCountCol(col("text")).cast("long")).as("n_tokens"))
+      .withColumn("w_milli", floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
+    val totals = perSource.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      sum(col("w_milli")).as("tot_w"))
+    perSource.crossJoin(broadcast(totals))
+      .withColumn("draw_tokens", expr("(w_milli * (2 * tot_tokens)) div tot_w"))
+      .withColumn("epochs_ppm", expr("(draw_tokens * 1000000) div n_tokens"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("draw_tokens"), col("epochs_ppm"),
+        (col("epochs_ppm") > 1000000L).as("repeats_data"))
+  }
+
   /** Heavy hitters via a mergeable Misra-Gries sketch, k = 64: which terms
     * exceed 1/(k+1) of all token occurrences. The production pattern at
     * 100 TB is sketch-prune + exact-verify: the bounded-memory sketch
@@ -1114,6 +1147,7 @@ object TextAnalysis {
     "x_pii_scrub" -> (piiScrub _),
     "x_html_strip" -> (htmlStrip _),
     "x_mix_temperature" -> (mixTemperature _),
+    "x_mix_epochs" -> (mixEpochs _),
     "x_pack_bins" -> (packBins _),
     "x_shard_balanced" -> (shardBalanced _),
     "x_pipeline_e2e" -> (pipelineE2e _),
@@ -1335,6 +1369,23 @@ object TextAnalysis {
         |       CAST(w_micro AS DOUBLE) / tot_w AS temp_share,
         |       CAST(floor(w_micro * 100000 / tot_w) AS BIGINT) AS target_docs
         |FROM w, t""".stripMargin,
+    // Budget and epochs in pure floor division (// on BIGINTs) over the
+    // same milli-weight relation — every derived column integral, so the
+    // comparison is bit-exact with no float-rounding caveat.
+    "x_mix_epochs" ->
+      """WITH ps AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(sum(len(regexp_extract_all(text, '\S+'))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY source),
+        |w AS (SELECT *, CAST(floor(sqrt(CAST(n_tokens AS DOUBLE)) * 1000) AS BIGINT) AS w_milli FROM ps),
+        |t AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens, CAST(sum(w_milli) AS BIGINT) AS tot_w FROM w),
+        |b AS (SELECT source, n_docs, n_tokens,
+        |        CAST((w_milli * (2 * tot_tokens)) // tot_w AS BIGINT) AS draw_tokens
+        |      FROM w, t)
+        |SELECT source, n_docs, n_tokens, draw_tokens,
+        |       CAST((draw_tokens * 1000000) // n_tokens AS BIGINT) AS epochs_ppm,
+        |       (draw_tokens * 1000000) // n_tokens > 1000000 AS repeats_data
+        |FROM b""".stripMargin,
     // The oracle states the same semantics relationally (explode + two
     // aggregates + join) — deliberately a DIFFERENT formulation than the
     // codegen'd run-length scan it checks.
