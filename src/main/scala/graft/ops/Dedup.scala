@@ -495,6 +495,28 @@ object Dedup {
         sum(col("n_tokens") * col("weight_ppm")).as("weighted_tokens_ppm"))
   }
 
+  /** Cross-source duplication matrix (catalog `x_dedup_cross_source`):
+    * which sources duplicate into which. Every near-dup pair is labeled
+    * with its endpoints' sources, canonicalized (least, greatest) so the
+    * matrix is one triangle, and counted — the provenance audit a
+    * pipeline owner reads before dropping or down-weighting a source:
+    * a source whose mass is mostly OFF-diagonal (pairs shared with other
+    * sources) adds little beyond what the rest of the mix already
+    * carries, while a heavy diagonal means internal boilerplate.
+    *
+    * At 100 TB: the pair relation is band-bounded (never all-pairs), and
+    * the two source lookups are equi-joins on doc_id — the corpus-sized
+    * side shuffles once each, the aggregate is (sources)² at most. */
+  def dedupCrossSource(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    simhashPairs(s, d)
+      .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
+      .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+  }
+
   /** Leakage-safe train/valid/test split (catalog `x_split_leakage_safe`):
     * near-duplicate documents must never straddle an evaluation boundary —
     * a test document whose near-dup twin sits in train leaks the answer
@@ -972,6 +994,7 @@ object Dedup {
     "x_dedup_simhash_precision" -> (simhashPrecision _),
     "x_dedup_cc" -> (dedupClusters _),
     "x_dedup_soft_weights" -> (dedupSoftWeights _),
+    "x_dedup_cross_source" -> (dedupCrossSource _),
     "x_split_leakage_safe" -> (leakageSafeSplit _),
     "x_jaccard_pairs" -> (jaccardPairs _),
     "x_dup_spans" -> (dupSpans _),
@@ -1108,6 +1131,17 @@ object Dedup {
     "x_dedup_simhash" ->
       s"""WITH ${simhashCtes()}
          |SELECT doc_a, doc_b, hamming FROM scand""".stripMargin,
+    // Same candidate relation, endpoints labeled with their sources and
+    // the pair canonicalized (least, greatest) into one triangle.
+    "x_dedup_cross_source" ->
+      s"""WITH ${simhashCtes()},
+         |sp AS (SELECT least(da.source, db.source) AS source_a,
+         |              greatest(da.source, db.source) AS source_b
+         |       FROM scand c
+         |       JOIN documents da ON c.doc_a = da.doc_id
+         |       JOIN documents db ON c.doc_b = db.doc_id)
+         |SELECT source_a, source_b, count(*) AS n_pairs
+         |FROM sp GROUP BY source_a, source_b""".stripMargin,
     // Wide family: two 60-bit words from the SAME md5 (hex chars 1-15 and
     // 16-30), 8 bands x 15 bits, hamming over both words <= 7. Band idx is
     // word-major: bands 0-3 slice w0, bands 4-7 slice w1.
