@@ -1,0 +1,42 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** The occupancy-targeted SemDeDup wrapper: k follows the sizing rule
+  * k = max(16, ceil(n / occupancy)) and the result is exactly the manual
+  * call at that k — the wrapper adds arithmetic, not semantics.
+  */
+class SemanticAutoSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+
+  private lazy val n = Tables.embeddings(spark, dir).count()
+
+  test("large target occupancy floors k at the 16-cluster default") {
+    // n=500 at sf0.001: occupancy 512 -> ceil = 1 -> floored to 16
+    val auto = Similarity.dedupSemanticAuto(spark, dir, targetOccupancy = 512L)
+    val manual = Similarity.dedupSemantic(spark, dir, k = 16)
+    assert(auto.exceptAll(manual).count() == 0 &&
+      manual.exceptAll(auto).count() == 0)
+  }
+
+  test("small target occupancy scales k up by ceil(n / occupancy)") {
+    val occ = 24L
+    val expectedK = math.max(16, ((n + occ - 1) / occ).toInt)
+    assert(expectedK > 16, s"fixture too small: n=$n")
+    val auto = Similarity.dedupSemanticAuto(spark, dir, targetOccupancy = occ)
+    val manual = Similarity.dedupSemantic(spark, dir, k = expectedK)
+    assert(auto.exceptAll(manual).count() == 0 &&
+      manual.exceptAll(auto).count() == 0)
+  }
+
+  // NOTE deliberately absent: "finer k finds fewer dups" — false in
+  // general. Lloyd solutions at different k are not nested refinements,
+  // so a larger k can co-locate a pair k=16 separated (observed on this
+  // fixture: 23 dups at k=21 vs 20 at k=16). The rule bounds candidate
+  // WORK (Σn_c² ≈ n·occupancy), not the result set; the work bound is
+  // what the r10 bench curve measures (69× for 50× data at fixed k=16
+  // vs 4.7× at k=64).
+}
