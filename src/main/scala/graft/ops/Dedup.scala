@@ -475,9 +475,11 @@ object Dedup {
     * clusters, and raw vs ppm-weighted token mass — the deflation number
     * a pipeline owner reads before choosing soft vs hard dedup.
     *
-    * At 100 TB: cluster labels are pair-bounded ([[connectedComponents]]),
-    * sizes are one aggregate over that label relation broadcast back, and
-    * the corpus is touched once at scan speed. */
+    * At 100 TB: cluster labels are pair-bounded ([[connectedComponents]])
+    * but still corpus-order when duplication is heavy, so the label and
+    * size joins carry NO broadcast hints — they are plain equi-joins
+    * (AQE still broadcasts them when they measure small) — and the
+    * corpus is touched once at scan speed. */
   def dedupSoftWeights(s: SparkSession, d: String): DataFrame = {
     val labels = connectedComponents(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
       .select(col("id").as("doc_id"), col("label"))
@@ -485,7 +487,7 @@ object Dedup {
     documents(s, d)
       .select(col("doc_id"), col("source"),
         tokenCountCol(col("text")).cast("long").as("n_tokens"))
-      .join(broadcast(labels.join(broadcast(sizes), "label")), Seq("doc_id"), "left")
+      .join(labels.join(sizes, "label"), Seq("doc_id"), "left")
       .withColumn("csize", coalesce(col("csize"), lit(1L)))
       .withColumn("weight_ppm", expr("1000000 div csize"))
       .groupBy(col("source")).agg(
