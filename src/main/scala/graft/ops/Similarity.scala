@@ -531,6 +531,31 @@ object Similarity {
     dedupSemantic(s, d, k)
   }
 
+  /** Cluster-coverage representatives (catalog `x_cluster_medoids`): for
+    * each trained k-means cluster, the member closest to the centroid
+    * (max cosine, ties to the lowest vec_id) plus the cluster's size —
+    * the diversity-sampling primitive: k medoids summarize the corpus's
+    * modes, and sampling budgets allocated per cluster (instead of
+    * uniformly) keep rare modes represented. Reuses the shared
+    * deterministic Lloyd training, so the DuckDB oracle replays
+    * training, assignment, and selection end-to-end.
+    *
+    * At 100 TB: one shuffle on the cluster id; each window partition is
+    * one cluster, bounded by the occupancy rule (pick k via the same
+    * sizing law as [[dedupSemanticAuto]]). */
+  def clusterMedoids(s: SparkSession, d: String): DataFrame = {
+    val cents = trainIvfCentroids(s, d)
+    val cos = org.apache.spark.sql.graftbridge.dotProduct(
+      col("v"), element_at(centsLit(cents), col("cluster") + 1)) / col("nrm")
+    val w = Window.partitionBy(col("cluster")).orderBy(col("cos").desc, col("vec_id"))
+    ivfAssigned(s, d)
+      .withColumn("cos", cos)
+      .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster"))))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("cluster"), col("vec_id").as("medoid_id"), col("csize"), col("cos"))
+  }
+
   /** 5-NN majority-vote label prediction audited against the true labels —
     * the standard embedding-quality eval, as a confusion summary. Votes
     * tie-break to the smallest label; all counts exact. */
@@ -895,6 +920,7 @@ object Similarity {
     "x_dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
     "x_dedup_semantic_fine" -> ((s: SparkSession, d: String) => dedupSemantic(s, d, SEM_FINE_K)),
     "x_knn_label_vote" -> (knnLabelVote _),
+    "x_cluster_medoids" -> (clusterMedoids _),
     "x_ann_matryoshka" -> (annMatryoshka _),
     "x_ann_matryoshka_recall" -> (annMatryoshkaRecall _),
     "x_ann_ivfpq" -> (annIvfPq _),
@@ -1066,6 +1092,18 @@ object Similarity {
        |FROM $sketchCte LEFT JOIN ex USING (q_id, nn_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Same trained assignment relation as the ANN/semantic oracles; the
+    // medoid is row 1 of a per-cluster cosine-to-final-centroid order.
+    "x_cluster_medoids" ->
+      s"""WITH ${ivfAssignCtes(IVF_K)}
+         |SELECT CAST(cluster AS INTEGER) AS cluster, medoid_id, csize, cos FROM (
+         |  SELECT a.cl AS cluster, a.vec_id AS medoid_id,
+         |         count(*) OVER (PARTITION BY a.cl) AS csize,
+         |         list_dot_product(a.v, c.cent) / a.nrm AS cos,
+         |         row_number() OVER (PARTITION BY a.cl
+         |           ORDER BY list_dot_product(a.v, c.cent) / a.nrm DESC, a.vec_id) AS rn
+         |  FROM af a JOIN c$IVF_ITERS c ON c.cl = a.cl)
+         |WHERE rn = 1""".stripMargin,
     "x_ann_bruteforce" ->
       s"""WITH $baseCtes,
          |p AS (SELECT a.vec_id AS q_id, b.vec_id AS nn_id,

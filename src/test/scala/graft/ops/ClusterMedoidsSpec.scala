@@ -1,0 +1,34 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** Invariants of the cluster-medoid sampler on the real sf0.001 corpus:
+  * one representative per populated cluster, cluster sizes tile the
+  * corpus, cosines are sane, and the selection is deterministic.
+  */
+class ClusterMedoidsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val dir = SparkTestSession.sfDir
+
+  private lazy val med = Similarity.clusterMedoids(spark, dir).cache()
+
+  test("one medoid per populated cluster; sizes tile the corpus") {
+    assert(med.count() == med.select(col("cluster")).distinct().count())
+    val n = Tables.embeddings(spark, dir).count()
+    assert(med.agg(sum(col("csize"))).head().getLong(0) == n)
+    assert(med.count() > 1, "fixture must populate multiple clusters")
+  }
+
+  test("medoid cosine is a valid similarity and every id is distinct") {
+    val rows = med.select(col("cos"), col("medoid_id")).collect()
+    rows.foreach(r => assert(r.getDouble(0) >= -1.0001 && r.getDouble(0) <= 1.0001))
+    assert(rows.map(_.getLong(1)).distinct.length == rows.length)
+  }
+
+  test("selection is deterministic across plan executions") {
+    val again = Similarity.clusterMedoids(spark, dir)
+    assert(med.exceptAll(again).count() == 0 && again.exceptAll(med).count() == 0)
+  }
+}
