@@ -1013,16 +1013,21 @@ object TextAnalysis {
     * summation order. Output: per source, its natural share and its
     * temperature-adjusted document budget out of 100k. */
   def mixTemperature(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val BUDGET = 100000L
     val perSource = documents(s, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCountCol(col("text")).cast("long")).as("n_tokens"))
       .withColumn("w_micro", floor(sqrt(col("n_tokens").cast("double")) * 1000000).cast("long"))
-    val totals = perSource.agg(
-      sum(col("n_tokens")).as("tot_tokens"),
-      sum(col("w_micro")).as("tot_w"))
-    perSource.crossJoin(broadcast(totals))
+    // Cross-source totals as a window over the per-source frame: the
+    // frame is bounded by the number of sources (control-plane sized),
+    // and the window keeps the corpus scanned ONCE — the aggregate-
+    // then-re-aggregate alternative plans a second full scan.
+    val w = Window.partitionBy(lit(1))
+    perSource
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("tot_w", sum(col("w_micro")).over(w))
       .select(
         col("source"), col("n_docs"), col("n_tokens"),
         (col("n_tokens").cast("double") / col("tot_tokens")).as("natural_share"),
@@ -1047,15 +1052,17 @@ object TextAnalysis {
     * One groupBy over the corpus + a broadcast of per-source totals —
     * scan-bounded at any scale. */
   def mixEpochs(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val perSource = documents(s, d)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokenCountCol(col("text")).cast("long")).as("n_tokens"))
       .withColumn("w_milli", floor(sqrt(col("n_tokens").cast("double")) * 1000).cast("long"))
-    val totals = perSource.agg(
-      sum(col("n_tokens")).as("tot_tokens"),
-      sum(col("w_milli")).as("tot_w"))
-    perSource.crossJoin(broadcast(totals))
+    // Single-scan totals, same discipline as [[mixTemperature]].
+    val w = Window.partitionBy(lit(1))
+    perSource
+      .withColumn("tot_tokens", sum(col("n_tokens")).over(w))
+      .withColumn("tot_w", sum(col("w_milli")).over(w))
       .withColumn("draw_tokens", expr("(w_milli * (2 * tot_tokens)) div tot_w"))
       .withColumn("epochs_ppm", expr("(draw_tokens * 1000000) div n_tokens"))
       .select(col("source"), col("n_docs"), col("n_tokens"),
