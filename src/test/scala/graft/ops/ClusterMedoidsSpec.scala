@@ -31,4 +31,21 @@ class ClusterMedoidsSpec extends AnyFunSuite {
     val again = Similarity.clusterMedoids(spark, dir)
     assert(med.exceptAll(again).count() == 0 && again.exceptAll(med).count() == 0)
   }
+
+  test("plan law: one shuffle on the cluster id, nothing cartesian") {
+    // Assignment is a per-row expression, both windows share the cluster
+    // partitioning: the whole operator is scan -> 1 exchange -> windows.
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
+    // Drop the suite-level cache first: CacheManager plan-matching would
+    // otherwise serve the whole query as one InMemoryTableScan.
+    med.unpersist(blocking = true)
+    val nodes = graft.PlanTest.executedNodes(Similarity.clusterMedoids(spark, dir))
+    val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
+    assert(shuffles.size == 1, s"expected exactly 1 shuffle, got ${shuffles.size}")
+    assert(!nodes.exists {
+      case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
+      case _ => false
+    })
+  }
 }
