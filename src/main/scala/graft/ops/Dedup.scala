@@ -480,13 +480,22 @@ object Dedup {
     * size joins carry NO broadcast hints — they are plain equi-joins
     * (AQE still broadcasts them when they measure small) — and the
     * corpus is touched once at scan speed. */
-  def dedupSoftWeights(s: SparkSession, d: String): DataFrame = {
-    val labels = connectedComponents(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+  def dedupSoftWeights(s: SparkSession, d: String): DataFrame =
+    dedupSoftWeightsOver(
+      simhashPairs(s, d).select(col("doc_a"), col("doc_b")),
+      documents(s, d).select(col("doc_id"), col("source"),
+        tokenCountCol(col("text")).cast("long").as("n_tokens")))
+
+  /** [[dedupSoftWeights]] over an EXISTING pair relation `(doc_a, doc_b)`
+    * and a `(doc_id, source, n_tokens)` corpus projection — the
+    * composable form (same rationale as [[dedupCrossSourceOver]]: pairs
+    * are materialized once, audits should not re-scan the corpus to
+    * re-derive them). */
+  def dedupSoftWeightsOver(pairs: DataFrame, docs: DataFrame): DataFrame = {
+    val labels = connectedComponents(pairs)
       .select(col("id").as("doc_id"), col("label"))
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
-    documents(s, d)
-      .select(col("doc_id"), col("source"),
-        tokenCountCol(col("text")).cast("long").as("n_tokens"))
+    docs
       .join(labels.join(sizes, "label"), Seq("doc_id"), "left")
       .withColumn("csize", coalesce(col("csize"), lit(1L)))
       .withColumn("weight_ppm", expr("1000000 div csize"))
@@ -509,15 +518,22 @@ object Dedup {
     * At 100 TB: the pair relation is band-bounded (never all-pairs), and
     * the two source lookups are equi-joins on doc_id — the corpus-sized
     * side shuffles once each, the aggregate is (sources)² at most. */
-  def dedupCrossSource(s: SparkSession, d: String): DataFrame = {
-    val src = documents(s, d).select(col("doc_id"), col("source"))
-    simhashPairs(s, d)
+  def dedupCrossSource(s: SparkSession, d: String): DataFrame =
+    dedupCrossSourceOver(simhashPairs(s, d),
+      documents(s, d).select(col("doc_id"), col("source")))
+
+  /** [[dedupCrossSource]] over an EXISTING pair relation `(doc_a, doc_b)`
+    * and a `(doc_id, source)` mapping — at 100 TB the pair relation is
+    * materialized once (any sketch family produces the same shape) and
+    * fed to every consumer; recomputing signatures per audit would scan
+    * the corpus once per question. */
+  def dedupCrossSourceOver(pairs: DataFrame, src: DataFrame): DataFrame =
+    pairs
       .join(src.withColumnRenamed("doc_id", "doc_a").withColumnRenamed("source", "sa"), "doc_a")
       .join(src.withColumnRenamed("doc_id", "doc_b").withColumnRenamed("source", "sb"), "doc_b")
       .groupBy(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"))
       .agg(count(lit(1)).as("n_pairs"))
-  }
 
   /** Leakage-safe train/valid/test split (catalog `x_split_leakage_safe`):
     * near-duplicate documents must never straddle an evaluation boundary —

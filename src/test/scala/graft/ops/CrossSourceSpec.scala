@@ -31,4 +31,15 @@ class CrossSourceSpec extends AnyFunSuite {
   test("the diagonal is populated: sources duplicate internally") {
     assert(matrix.filter(col("source_a") === col("source_b")).count() > 0)
   }
+
+  test("Over form on synthetic inputs: canonical cells by hand") {
+    import spark.implicits._
+    val pairs = Seq((1L, 2L), (1L, 3L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val src = Seq((1L, "web"), (2L, "web"), (3L, "books"))
+      .toDF("doc_id", "source")
+    val got = Dedup.dedupCrossSourceOver(pairs, src)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2))).toMap
+    // (1,2) intra-web; (1,3) and (2,3) canonicalize to (books, web)
+    assert(got == Map(("web", "web") -> 1L, ("books", "web") -> 2L))
+  }
 }

@@ -38,6 +38,19 @@ class SoftWeightsSpec extends AnyFunSuite {
     assert(rows.map(_.getLong(1)).sum > 0, "fixture has no dup clusters")
   }
 
+  test("Over form on synthetic inputs: exact ppm weights by hand") {
+    import spark.implicits._
+    // docs 1-2-3 one chain cluster (csize 3 -> 333333 ppm each), 4 alone.
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("doc_a", "doc_b")
+    val docs = Seq((1L, "a", 100L), (2L, "a", 50L), (3L, "b", 10L),
+      (4L, "b", 7L)).toDF("doc_id", "source", "n_tokens")
+    val got = Dedup.dedupSoftWeightsOver(pairs, docs)
+      .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))).toMap
+    assert(got("a") == ((2L, 2L, 150L, 150L * 333333L)))
+    assert(got("b") == ((2L, 1L, 17L, 10L * 333333L + 7L * 1000000L)))
+  }
+
   test("each dup cluster contributes ~1e6 ppm of document mass") {
     // Recompute the same cluster relation the operator weights on and
     // check: sum of per-doc weight_ppm within a cluster of size k is
