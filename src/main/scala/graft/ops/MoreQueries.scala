@@ -235,7 +235,54 @@ object MoreQueries {
       .agg(concat_ws(",", sort_array(collect_list(col("l_linenumber")))).as("lns"),
         size(collect_list(col("l_linenumber"))).as("n_lines"))
 
+  /** Ordered funnel (view → click → purchase), the classic event-analytics
+    * operator: per user, the first view, the first click strictly AFTER
+    * that view, the first purchase strictly after that click; reported as
+    * users surviving each step. All three stage timestamps are windowed
+    * minima over the SAME user partitioning — one shuffle; the per-user
+    * rollup then rides that partitioning (no second exchange) and the
+    * final count is three non-null tallies stacked into rows. Strict `>`
+    * comparisons are engine-portable because every event timestamp is
+    * microsecond-aligned (nanos % 1000 == 0 — verified on the fixtures),
+    * so Spark's micros and the oracle's nanos order identically. */
+  def qFunnelSteps(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    val staged = events(s, d)
+      .select(col("user_id"), col("event_type"), col("ts"))
+      .withColumn("t1", min(when(col("event_type") === "view", col("ts"))).over(w))
+      .withColumn("t2", min(when(col("event_type") === "click" && col("ts") > col("t1"),
+        col("ts"))).over(w))
+      .withColumn("t3", min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+        col("ts"))).over(w))
+    staged.groupBy(col("user_id"))
+      .agg(max(col("t1")).as("t1"), max(col("t2")).as("t2"), max(col("t3")).as("t3"))
+      .agg(count(col("t1")).as("s1"), count(col("t2")).as("s2"), count(col("t3")).as("s3"))
+      .selectExpr("stack(3, 1, 'view', s1, 2, 'click', s2, 3, 'purchase', s3)" +
+        " as (step, event_type, n_users)")
+  }
+
+  /** Day-N retention by first-seen cohort: users bucketed by their first
+    * active day, counted once per (cohort, day-offset ≤ 7). The cohort
+    * day is a windowed minimum over the user partitioning (one shuffle —
+    * no join back against a per-user aggregate); the distinct+count pair
+    * is two hash aggregates with map-side partials. */
+  def qRetentionCohort(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id"))
+    events(s, d)
+      .select(col("user_id"), to_date(col("ts")).as("day"))
+      .withColumn("cohort_day", min(col("day")).over(w))
+      .withColumn("day_offset", datediff(col("day"), col("cohort_day")))
+      .filter(col("day_offset") <= 7)
+      .select(col("cohort_day"), col("day_offset"), col("user_id")).distinct()
+      .groupBy(col("cohort_day"), col("day_offset"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_funnel_steps" -> (qFunnelSteps _),
+    "q_retention_cohort" -> (qRetentionCohort _),
     "q_json_funcs" -> (qJsonFuncs _),
     "q_array_funcs" -> (qArrayFuncs _),
     "q_set_intersect" -> (qSetIntersect _),
@@ -276,6 +323,33 @@ object MoreQueries {
       |FROM s GROUP BY user_id, sess_idx""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Sequenced CTE formulation (first view -> first later click -> first
+    // later purchase) — deliberately different from the windowed staging
+    // the Spark side plans.
+    "q_funnel_steps" ->
+      """WITH b AS (SELECT user_id, event_type, ts FROM events),
+        |u AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+        |      FROM b GROUP BY user_id),
+        |c AS (SELECT b.user_id, min(b.ts) AS t2 FROM b JOIN u USING (user_id)
+        |      WHERE b.event_type = 'click' AND u.t1 IS NOT NULL AND b.ts > u.t1
+        |      GROUP BY b.user_id),
+        |p AS (SELECT b.user_id, min(b.ts) AS t3 FROM b JOIN c USING (user_id)
+        |      WHERE b.event_type = 'purchase' AND b.ts > c.t2
+        |      GROUP BY b.user_id)
+        |SELECT CAST(step AS INTEGER) AS step, event_type, n_users FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM u WHERE t1 IS NOT NULL
+        |  UNION ALL SELECT 2, 'click', count(*) FROM c
+        |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)""".stripMargin,
+    "q_retention_cohort" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
+        |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),
+        |j AS (SELECT DISTINCT f.cohort_day,
+        |        CAST(date_diff('day', f.cohort_day, e.day) AS INTEGER) AS day_offset,
+        |        e.user_id
+        |      FROM e JOIN f USING (user_id)
+        |      WHERE date_diff('day', f.cohort_day, e.day) <= 7)
+        |SELECT cohort_day, day_offset, count(*) AS n_users
+        |FROM j GROUP BY cohort_day, day_offset""".stripMargin,
     "q_json_funcs" ->
       """SELECT event_type, count(*) AS n,
         |       CAST(SUM(CAST(json_extract(props, '$.k') AS INTEGER)) AS BIGINT) AS k_sum,
