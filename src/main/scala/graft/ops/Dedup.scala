@@ -506,6 +506,29 @@ object Dedup {
         sum(col("n_tokens") * col("weight_ppm")).as("weighted_tokens_ppm"))
   }
 
+  /** Near-dup cluster-size histogram (catalog `x_dup_cluster_sizes`):
+    * how many clusters exist at each size, singletons included — the
+    * duplication-profile figure every dedup paper reports (a long tail of
+    * huge clusters means boilerplate; mass at size 2-3 means true
+    * near-dups) and the number that predicts how much a drop-list will
+    * remove: removable docs = Σ (csize-1)·n_clusters.
+    *
+    * At 100 TB: CC labels are pair-bounded, the histogram is two tiny
+    * aggregates over them, and the singleton bucket is one anti-join of
+    * the corpus keys against the labeled set — scan-bounded. */
+  def dupClusterSizes(s: SparkSession, d: String): DataFrame = {
+    val labels = connectedComponents(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+      .select(col("id").as("doc_id"), col("label"))
+    val clustered = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
+      .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
+    val singles = documents(s, d).select(col("doc_id"))
+      .join(labels, Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(lit(1L).as("csize"), col("n_clusters"))
+    clustered.unionByName(singles)
+      .groupBy(col("csize")).agg(sum(col("n_clusters")).as("n_clusters"))
+  }
+
   /** Cross-source duplication matrix (catalog `x_dedup_cross_source`):
     * which sources duplicate into which. Every near-dup pair is labeled
     * with its endpoints' sources, canonicalized (least, greatest) so the
@@ -1013,6 +1036,7 @@ object Dedup {
     "x_dedup_cc" -> (dedupClusters _),
     "x_dedup_soft_weights" -> (dedupSoftWeights _),
     "x_dedup_cross_source" -> (dedupCrossSource _),
+    "x_dup_cluster_sizes" -> (dupClusterSizes _),
     "x_split_leakage_safe" -> (leakageSafeSplit _),
     "x_jaccard_pairs" -> (jaccardPairs _),
     "x_dup_spans" -> (dupSpans _),
@@ -1149,6 +1173,27 @@ object Dedup {
     "x_dedup_simhash" ->
       s"""WITH ${simhashCtes()}
          |SELECT doc_a, doc_b, hamming FROM scand""".stripMargin,
+    // Same CC transitive closure as the soft-weights oracle, rolled into
+    // a size histogram; the singleton bucket is the corpus minus every
+    // doc the closure labeled.
+    "x_dup_cluster_sizes" ->
+      s"""WITH RECURSIVE ${simhashCtes()},
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM scand
+         |      UNION ALL SELECT doc_b, doc_a FROM scand),
+         |walk(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT w.u, e2.v FROM walk w JOIN e e2 ON w.v = e2.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM walk GROUP BY u),
+         |sz AS (SELECT cluster_id, count(*) AS csize FROM cc GROUP BY cluster_id),
+         |hist AS (SELECT csize, count(*) AS n_clusters FROM sz GROUP BY csize
+         |      UNION ALL
+         |      SELECT 1 AS csize, count(*) AS n_clusters FROM documents d
+         |      WHERE d.doc_id NOT IN (SELECT doc_id FROM cc))
+         |SELECT CAST(csize AS BIGINT) AS csize,
+         |       CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+         |FROM hist GROUP BY csize""".stripMargin,
     // Same candidate relation, endpoints labeled with their sources and
     // the pair canonicalized (least, greatest) into one triangle.
     "x_dedup_cross_source" ->

@@ -280,7 +280,27 @@ object MoreQueries {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Event transition matrix (first-order Markov counts): for each user's
+    * time-ordered stream, count `event_type → next event_type` pairs —
+    * the behavioral-analytics primitive behind path analysis. One `lead`
+    * window over the user partitioning (a single shuffle); the aggregate
+    * is at most |event types|² rows. Timestamp order is total per user
+    * (microsecond-distinct event ids break no ties on the fixtures, but
+    * the window orders by (ts, event_id) anyway so the plan is
+    * deterministic under ANY data). */
+  def qEventTransitions(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_event_transitions" -> (qEventTransitions _),
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_retention_cohort" -> (qRetentionCohort _),
     "q_json_funcs" -> (qJsonFuncs _),
@@ -323,6 +343,15 @@ object MoreQueries {
       |FROM s GROUP BY user_id, sess_idx""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_event_transitions" ->
+      """WITH o AS (
+        |  SELECT user_id, event_type,
+        |         lead(event_type) OVER (PARTITION BY user_id
+        |           ORDER BY ts, event_id) AS next_type
+        |  FROM events)
+        |SELECT event_type, next_type, count(*) AS n
+        |FROM o WHERE next_type IS NOT NULL
+        |GROUP BY event_type, next_type""".stripMargin,
     // Sequenced CTE formulation (first view -> first later click -> first
     // later purchase) — deliberately different from the windowed staging
     // the Spark side plans.

@@ -40,6 +40,18 @@ class EventAnalyticsSpec extends AnyFunSuite {
       "fixture must have users returning after day 0")
   }
 
+  test("transition matrix conserves mass: sum = events - users-with-events") {
+    // Every user's n-event stream contributes exactly n-1 transitions.
+    val total = MoreQueries.qEventTransitions(spark, dir)
+      .agg(sum(col("n"))).head().getLong(0)
+    val e = Tables.events(spark, dir)
+    val expected = e.count() - e.select(col("user_id")).distinct().count()
+    assert(total == expected)
+    val types = MoreQueries.qEventTransitions(spark, dir)
+      .filter(col("event_type") === col("next_type")).count()
+    assert(types > 0, "fixture must contain self-transitions")
+  }
+
   test("funnel plan law: one user shuffle + one global tally, no joins") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
