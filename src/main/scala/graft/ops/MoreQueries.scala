@@ -299,7 +299,29 @@ object MoreQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** Last-touch attribution: each purchase credited to the user's most
+    * recent PRIOR view or click ('none' if the purchase leads the
+    * stream). The running last-marketing-touch is one ignore-nulls
+    * `last` over a frame ending at the previous row — a single user
+    * shuffle, no self-join against the purchase set (the naive
+    * formulation joins every purchase back against its history; the
+    * frame-bounded window is the co-partitioned, scan-once plan). */
+  def qAttributionLastTouch(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("touch", last(
+        when(col("event_type").isin("view", "click"), col("event_type")),
+        ignoreNulls = true).over(w))
+      .filter(col("event_type") === "purchase")
+      .groupBy(coalesce(col("touch"), lit("none")).as("touch_type"))
+      .agg(count(lit(1)).as("n_purchases"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_attribution_last_touch" -> (qAttributionLastTouch _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_funnel_steps" -> (qFunnelSteps _),
     "q_retention_cohort" -> (qRetentionCohort _),
@@ -343,6 +365,16 @@ object MoreQueries {
       |FROM s GROUP BY user_id, sess_idx""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_attribution_last_touch" ->
+      """WITH o AS (
+        |  SELECT event_type,
+        |         last_value(CASE WHEN event_type IN ('view', 'click')
+        |                         THEN event_type END IGNORE NULLS)
+        |           OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+        |  FROM events)
+        |SELECT COALESCE(touch, 'none') AS touch_type, count(*) AS n_purchases
+        |FROM o WHERE event_type = 'purchase' GROUP BY touch_type""".stripMargin,
     "q_event_transitions" ->
       """WITH o AS (
         |  SELECT user_id, event_type,

@@ -52,6 +52,16 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(types > 0, "fixture must contain self-transitions")
   }
 
+  test("attribution tiles the purchases; touches are only view/click/none") {
+    val att = MoreQueries.qAttributionLastTouch(spark, dir).cache()
+    val nPurch = Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(att.agg(sum(col("n_purchases"))).head().getLong(0) == nPurch)
+    val types = att.select(col("touch_type")).collect().map(_.getString(0)).toSet
+    assert(types.subsetOf(Set("view", "click", "none")))
+    assert((types - "none").nonEmpty, "fixture must attribute some purchases")
+  }
+
   test("funnel plan law: one user shuffle + one global tally, no joins") {
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec, SortMergeJoinExec}
