@@ -320,7 +320,26 @@ object MoreQueries {
       .agg(count(lit(1)).as("n_purchases"))
   }
 
+  /** The REAL streaming face of the funnel: [[qFunnelSteps]]'s ordered
+    * matcher run as an actual flatMapGroupsWithState query over the staged
+    * file stream (graft.streaming.EventStream.runFunnelFileStream), each
+    * user's stage timestamps flushed exactly once by a fixed end-of-stream
+    * event-time timeout. The per-user outputs collapse to the same
+    * (step, event_type, n_users) rows, and the DuckDB oracle is the SAME
+    * SQL as the batch entry — the oracle checks stream/batch parity. */
+  def qStreamFunnelParity(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_funnel").toString
+    val stages = graft.streaming.EventStream.runFunnelFileStream(s, events(s, d), work)
+    stages.agg(
+      count(when(col("t1") >= 0, 1)).as("s1"),
+      count(when(col("t2") >= 0, 1)).as("s2"),
+      count(when(col("t3") >= 0, 1)).as("s3"))
+      .selectExpr("stack(3, 1, 'view', s1, 2, 'click', s2, 3, 'purchase', s3)" +
+        " as (step, event_type, n_users)")
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_funnel_parity" -> (qStreamFunnelParity _),
     "q_attribution_last_touch" -> (qAttributionLastTouch _),
     "q_event_transitions" -> (qEventTransitions _),
     "q_funnel_steps" -> (qFunnelSteps _),
@@ -364,6 +383,21 @@ object MoreQueries {
       |       max(tms) - min(tms) AS duration_ms
       |FROM s GROUP BY user_id, sess_idx""".stripMargin
 
+  private val funnelOracleSql: String =
+    """WITH b AS (SELECT user_id, event_type, ts FROM events),
+      |u AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
+      |      FROM b GROUP BY user_id),
+      |c AS (SELECT b.user_id, min(b.ts) AS t2 FROM b JOIN u USING (user_id)
+      |      WHERE b.event_type = 'click' AND u.t1 IS NOT NULL AND b.ts > u.t1
+      |      GROUP BY b.user_id),
+      |p AS (SELECT b.user_id, min(b.ts) AS t3 FROM b JOIN c USING (user_id)
+      |      WHERE b.event_type = 'purchase' AND b.ts > c.t2
+      |      GROUP BY b.user_id)
+      |SELECT CAST(step AS INTEGER) AS step, event_type, n_users FROM (
+      |  SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM u WHERE t1 IS NOT NULL
+      |  UNION ALL SELECT 2, 'click', count(*) FROM c
+      |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_attribution_last_touch" ->
       """WITH o AS (
@@ -386,21 +420,10 @@ object MoreQueries {
         |GROUP BY event_type, next_type""".stripMargin,
     // Sequenced CTE formulation (first view -> first later click -> first
     // later purchase) — deliberately different from the windowed staging
-    // the Spark side plans.
-    "q_funnel_steps" ->
-      """WITH b AS (SELECT user_id, event_type, ts FROM events),
-        |u AS (SELECT user_id, min(CASE WHEN event_type = 'view' THEN ts END) AS t1
-        |      FROM b GROUP BY user_id),
-        |c AS (SELECT b.user_id, min(b.ts) AS t2 FROM b JOIN u USING (user_id)
-        |      WHERE b.event_type = 'click' AND u.t1 IS NOT NULL AND b.ts > u.t1
-        |      GROUP BY b.user_id),
-        |p AS (SELECT b.user_id, min(b.ts) AS t3 FROM b JOIN c USING (user_id)
-        |      WHERE b.event_type = 'purchase' AND b.ts > c.t2
-        |      GROUP BY b.user_id)
-        |SELECT CAST(step AS INTEGER) AS step, event_type, n_users FROM (
-        |  SELECT 1 AS step, 'view' AS event_type, count(*) AS n_users FROM u WHERE t1 IS NOT NULL
-        |  UNION ALL SELECT 2, 'click', count(*) FROM c
-        |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)""".stripMargin,
+    // the Spark side plans. The streaming twin shares the SAME oracle:
+    // the gate checks stream/batch parity, not just the rows.
+    "q_funnel_steps" -> funnelOracleSql,
+    "q_stream_funnel_parity" -> funnelOracleSql,
     "q_retention_cohort" ->
       """WITH e AS (SELECT user_id, CAST(ts AS DATE) AS day FROM events),
         |f AS (SELECT user_id, min(day) AS cohort_day FROM e GROUP BY user_id),

@@ -181,43 +181,35 @@ object EventStream {
     * the staging here is the test harness's stand-in for a Kafka topic or a
     * file-drop directory — at scale only this staging changes, not the
     * query). */
-  def runSessionizeFileStream(s: SparkSession, eventsDf: DataFrame, workDir: String,
-      slices: Int = 3): DataFrame = {
+  /** Shared staging for the file-stream runners: cut `ev` (must carry
+    * `user_id` and `ts`; extra columns ride along) into `slices`
+    * CONTIGUOUS event-time ranges, one parquet file each, landed with
+    * strictly increasing modification times, followed by the two
+    * sentinel batches (watermark advance at +40 min, then the batch in
+    * which event-time timeouts fire). Sentinel rows take nulls in any
+    * extra column and negative user_ids. One partitioned write stages
+    * everything; the rename loop pins deterministic names and mod times
+    * (the file source orders its backlog by mod time, so batch order is
+    * a property of the data, not of staging-job wall-clock).
+    * Returns (minMs, maxMs) of the data, or None when `ev` is empty. */
+  private def stageEventTimeSlices(s: SparkSession, ev: DataFrame, workDir: String,
+      slices: Int): Option[(Long, Long)] = {
     import s.implicits._
-    val stage = s"$workDir/stage"
-    val outDir = s"$workDir/sessions"
     val hconf = s.sparkContext.hadoopConfiguration
-    val stagePath = new org.apache.hadoop.fs.Path(stage)
+    val stagePath = new org.apache.hadoop.fs.Path(s"$workDir/stage")
     val fs = stagePath.getFileSystem(hconf)
     fs.mkdirs(stagePath)
-
-    val ev = eventsDf.select(col("user_id"), col("ts"), col("event_type"))
     val bounds = ev.agg(min(unix_millis(col("ts"))).as("mn"), max(unix_millis(col("ts"))).as("mx")).head()
-    if (bounds.isNullAt(0)) {
-      // no events → no sessions, matching the batch twin on the same input
-      import s.implicits._
-      return Seq.empty[(Long, Long, Long, Long, Double)]
-        .toDF("user_id", "n_events", "first_ms", "last_ms", "duration_sec")
-    }
+    if (bounds.isNullAt(0)) return None
     val (minMs, maxMs) = (bounds.getLong(0), bounds.getLong(1))
     val span = maxMs - minMs + 1
-
-    // Stage every slice AND both sentinels in ONE partitioned write (slices
-    // and sentinels share the file schema; `slice` is a directory, not a
-    // column): one pass over the events instead of one filter-scan per
-    // slice. repartition on the slice id puts each slice wholly in one task
-    // → exactly one part file per slice directory. The files are then
-    // renamed into the stage under deterministic names with deterministic
-    // mod times (fixed base + 60s per slice): the file source orders its
-    // backlog by mod time, so the stream's batch order is a property of the
-    // data, not of how fast the staging jobs happened to run.
     val sentinels = Seq(
       (-1L, new java.sql.Timestamp(maxMs + 40 * 60 * 1000L), "sentinel_wm", slices),
       (-2L, new java.sql.Timestamp(maxMs + 80 * 60 * 1000L), "sentinel_fire", slices + 1)
     ).toDF("user_id", "ts", "event_type", "slice")
     val tmp = new org.apache.hadoop.fs.Path(s"$workDir/.stage_tmp")
     ev.withColumn("slice", ((unix_millis(col("ts")) - minMs) * slices / span).cast("int"))
-      .unionByName(sentinels)
+      .unionByName(sentinels, allowMissingColumns = true)
       .repartition(slices + 2, col("slice"))
       .write.mode("overwrite").partitionBy("slice").parquet(tmp.toString)
     val mtimeBase = 1600000000000L
@@ -237,6 +229,21 @@ object EventStream {
       }
     }
     fs.delete(tmp, true)
+    Some((minMs, maxMs))
+  }
+
+  def runSessionizeFileStream(s: SparkSession, eventsDf: DataFrame, workDir: String,
+      slices: Int = 3): DataFrame = {
+    import s.implicits._
+    val stage = s"$workDir/stage"
+    val outDir = s"$workDir/sessions"
+
+    val ev = eventsDf.select(col("user_id"), col("ts"), col("event_type"))
+    if (stageEventTimeSlices(s, ev, workDir, slices).isEmpty) {
+      // no events → no sessions, matching the batch twin on the same input
+      return Seq.empty[(Long, Long, Long, Long, Double)]
+        .toDF("user_id", "n_events", "first_ms", "last_ms", "duration_sec")
+    }
 
     val src = s.readStream
       .schema(StructType(Seq(
@@ -304,5 +311,110 @@ object EventStream {
             closed.result().iterator
           }
       }
+  }
+
+  // -----------------------------------------------------------------------
+  // Streaming funnel: the ordered view → click → purchase matcher
+  // (MoreQueries.qFunnelSteps) as a REAL stateful streaming query. State is
+  // three epoch-micro stage timestamps per ACTIVE user — O(users), never
+  // O(events). Unlike sessionize, a funnel stage is never "closed" by a
+  // quiet gap: the state must survive to end-of-stream, so the event-time
+  // timeout is pinned at a FIXED flush deadline past the data's maximum
+  // event time (passed in by the runner) rather than trailing the user's
+  // last event — a trailing deadline would flush mid-stream users whose
+  // next event is far away, double-emitting them.
+  // -----------------------------------------------------------------------
+  final case class FunnelInput(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, event_id: java.lang.Long)
+  /** Stage timestamps in epoch MICROS (-1 = not reached). Micros, not
+    * millis: the batch twin compares full microsecond timestamps, and two
+    * events 500 µs apart must not collapse into a tie here. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+  final case class FunnelOutput(user_id: Long, t1: Long, t2: Long, t3: Long)
+
+  private def epochMicros(t: java.sql.Timestamp): Long =
+    Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
+
+  def funnelStages(events: Dataset[FunnelInput], flushAtMs: Long): Dataset[FunnelOutput] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelOutput](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[FunnelInput], state: GroupState[FunnelState]) =>
+          if (userId < 0) {
+            // Sentinel groups exist only to advance the watermark; giving
+            // them state would set a timeout already behind the watermark
+            // in the fire batch (rejected by the state store).
+            Iterator.empty
+          } else if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(FunnelOutput(userId, s.t1, s.t2, s.t3))
+          } else {
+            var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+            // Slices are contiguous in event time, so cross-batch arrival is
+            // already time-ordered per user; the in-batch sort by
+            // (micros, event_id) completes the same total order the batch
+            // window uses. The strictly-after fold is then exactly the
+            // batch semantics: first view, first later click, first
+            // later-still purchase.
+            rows.toSeq
+              .sortBy(e => (epochMicros(e.ts), Option(e.event_id).map(_.toLong).getOrElse(-1L)))
+              .foreach { e =>
+                val m = epochMicros(e.ts)
+                e.event_type match {
+                  case "view" if s.t1 < 0 => s = s.copy(t1 = m)
+                  case "click" if s.t2 < 0 && s.t1 >= 0 && m > s.t1 => s = s.copy(t2 = m)
+                  case "purchase" if s.t3 < 0 && s.t2 >= 0 && m > s.t2 => s = s.copy(t3 = m)
+                  case _ =>
+                }
+              }
+            state.update(s)
+            state.setTimeoutTimestamp(flushAtMs)
+            Iterator.empty
+          }
+      }
+  }
+
+  /** Run [[funnelStages]] as a file-stream query over the given events
+    * relation (same staging harness as [[runSessionizeFileStream]]) and
+    * return each real user's final stage timestamps as a batch frame. */
+  def runFunnelFileStream(s: SparkSession, eventsDf: DataFrame, workDir: String,
+      slices: Int = 3): DataFrame = {
+    import s.implicits._
+    val outDir = s"$workDir/funnel"
+    val ev = eventsDf.select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    val staged = stageEventTimeSlices(s, ev, workDir, slices)
+    if (staged.isEmpty)
+      return Seq.empty[(Long, Long, Long, Long)].toDF("user_id", "t1", "t2", "t3")
+    val maxMs = staged.get._2
+    // Flush deadline: past every data event, before the +40 min sentinel's
+    // watermark — so every user times out exactly once, in the fire batch.
+    val flushAtMs = maxMs + 30 * 60 * 1000L
+
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("event_id", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$workDir/stage")
+      .withWatermark("ts", "1 minute")
+      .as[FunnelInput]
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = funnelStages(src, flushAtMs).writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.read.parquet(outDir).filter(col("user_id") >= 0)
   }
 }
