@@ -335,6 +335,25 @@ object EventStream {
   private def epochMicros(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** The strictly-after stage fold, as a pure function of a TIME-ORDERED
+    * (micros, event_type) sequence resuming from `s` — property-pinned
+    * (FunnelFoldProps) against the declarative definition (first view,
+    * min later click, min later-still purchase), which is what makes the
+    * incremental cross-batch replay provably equal to the batch window. */
+  private[streaming] def foldFunnel(s0: FunnelState,
+      ordered: Iterable[(Long, String)]): FunnelState = {
+    var s = s0
+    ordered.foreach { case (m, tpe) =>
+      tpe match {
+        case "view" if s.t1 < 0 => s = s.copy(t1 = m)
+        case "click" if s.t2 < 0 && s.t1 >= 0 && m > s.t1 => s = s.copy(t2 = m)
+        case "purchase" if s.t3 < 0 && s.t2 >= 0 && m > s.t2 => s = s.copy(t3 = m)
+        case _ =>
+      }
+    }
+    s
+  }
+
   def funnelStages(events: Dataset[FunnelInput], flushAtMs: Long): Dataset[FunnelOutput] = {
     import events.sparkSession.implicits._
     events
@@ -359,17 +378,9 @@ object EventStream {
             // window uses. The strictly-after fold is then exactly the
             // batch semantics: first view, first later click, first
             // later-still purchase.
-            rows.toSeq
+            s = foldFunnel(s, rows.toSeq
               .sortBy(e => (epochMicros(e.ts), Option(e.event_id).map(_.toLong).getOrElse(-1L)))
-              .foreach { e =>
-                val m = epochMicros(e.ts)
-                e.event_type match {
-                  case "view" if s.t1 < 0 => s = s.copy(t1 = m)
-                  case "click" if s.t2 < 0 && s.t1 >= 0 && m > s.t1 => s = s.copy(t2 = m)
-                  case "purchase" if s.t3 < 0 && s.t2 >= 0 && m > s.t2 => s = s.copy(t3 = m)
-                  case _ =>
-                }
-              }
+              .map(e => (epochMicros(e.ts), e.event_type)))
             state.update(s)
             state.setTimeoutTimestamp(flushAtMs)
             Iterator.empty
