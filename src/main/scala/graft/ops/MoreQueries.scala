@@ -338,7 +338,20 @@ object MoreQueries {
         " as (step, event_type, n_users)")
   }
 
+  /** Streaming face of the transition matrix: incremental per-event
+    * emission against one stored previous-type per user
+    * (graft.streaming.EventStream.transitionStream — no timeout, nothing
+    * withheld), rolled up to the same (event_type, next_type, n) rows;
+    * the oracle is the SAME SQL as the batch entry. */
+  def qStreamTransitionsParity(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_trans").toString
+    graft.streaming.EventStream.runTransitionFileStream(s, events(s, d), work)
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_transitions_parity" -> (qStreamTransitionsParity _),
     "q_stream_funnel_parity" -> (qStreamFunnelParity _),
     "q_attribution_last_touch" -> (qAttributionLastTouch _),
     "q_event_transitions" -> (qEventTransitions _),
@@ -398,6 +411,16 @@ object MoreQueries {
       |  UNION ALL SELECT 2, 'click', count(*) FROM c
       |  UNION ALL SELECT 3, 'purchase', count(*) FROM p)""".stripMargin
 
+  private val transitionsOracleSql: String =
+    """WITH o AS (
+      |  SELECT user_id, event_type,
+      |         lead(event_type) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id) AS next_type
+      |  FROM events)
+      |SELECT event_type, next_type, count(*) AS n
+      |FROM o WHERE next_type IS NOT NULL
+      |GROUP BY event_type, next_type""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
     "q_attribution_last_touch" ->
       """WITH o AS (
@@ -409,15 +432,8 @@ object MoreQueries {
         |  FROM events)
         |SELECT COALESCE(touch, 'none') AS touch_type, count(*) AS n_purchases
         |FROM o WHERE event_type = 'purchase' GROUP BY touch_type""".stripMargin,
-    "q_event_transitions" ->
-      """WITH o AS (
-        |  SELECT user_id, event_type,
-        |         lead(event_type) OVER (PARTITION BY user_id
-        |           ORDER BY ts, event_id) AS next_type
-        |  FROM events)
-        |SELECT event_type, next_type, count(*) AS n
-        |FROM o WHERE next_type IS NOT NULL
-        |GROUP BY event_type, next_type""".stripMargin,
+    "q_event_transitions" -> transitionsOracleSql,
+    "q_stream_transitions_parity" -> transitionsOracleSql,
     // Sequenced CTE formulation (first view -> first later click -> first
     // later purchase) — deliberately different from the windowed staging
     // the Spark side plans. The streaming twin shares the SAME oracle:

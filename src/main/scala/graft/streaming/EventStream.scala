@@ -388,6 +388,77 @@ object EventStream {
       }
   }
 
+  // -----------------------------------------------------------------------
+  // Streaming transition matrix: the third stateful shape after sessionize
+  // (gap-closed state) and the funnel (end-of-stream flush) — INCREMENTAL
+  // EMISSION: each arriving event pairs with the user's stored previous
+  // event type and emits one transition immediately; state is one string
+  // per active user and never needs a timeout (nothing is withheld, so
+  // there is nothing to flush — a production deployment would still expire
+  // idle users' state with a timeout to bound the store).
+  // -----------------------------------------------------------------------
+  final case class TransInput(user_id: Long, ts: java.sql.Timestamp,
+      event_type: String, event_id: java.lang.Long)
+  final case class TransState(lastType: String)
+  final case class TransOutput(user_id: Long, event_type: String, next_type: String)
+
+  def transitionStream(events: Dataset[TransInput]): Dataset[TransOutput] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOutput](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        (userId: Long, rows: Iterator[TransInput], state: GroupState[TransState]) =>
+          if (userId < 0) Iterator.empty
+          else {
+            val out = List.newBuilder[TransOutput]
+            var prev = state.getOption.map(_.lastType)
+            rows.toSeq
+              .sortBy(e => (epochMicros(e.ts), Option(e.event_id).map(_.toLong).getOrElse(-1L)))
+              .foreach { e =>
+                prev.foreach(p => out += TransOutput(userId, p, e.event_type))
+                prev = Some(e.event_type)
+              }
+            prev.foreach(p => state.update(TransState(p)))
+            out.result().iterator
+          }
+      }
+  }
+
+  /** Run [[transitionStream]] over the staged file stream and return every
+    * emitted transition as a batch frame. */
+  def runTransitionFileStream(s: SparkSession, eventsDf: DataFrame, workDir: String,
+      slices: Int = 3): DataFrame = {
+    import s.implicits._
+    val outDir = s"$workDir/transitions"
+    val ev = eventsDf.select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    if (stageEventTimeSlices(s, ev, workDir, slices).isEmpty)
+      return Seq.empty[(Long, String, String)].toDF("user_id", "event_type", "next_type")
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("event_id", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(s"$workDir/stage")
+      .withWatermark("ts", "1 minute")
+      .as[TransInput]
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = transitionStream(src).writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.read.parquet(outDir).filter(col("user_id") >= 0)
+  }
+
   /** Run [[funnelStages]] as a file-stream query over the given events
     * relation (same staging harness as [[runSessionizeFileStream]]) and
     * return each real user's final stage timestamps as a batch frame. */

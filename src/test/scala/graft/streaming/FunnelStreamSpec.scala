@@ -38,6 +38,19 @@ class FunnelStreamSpec extends AnyFunSuite {
     }
   }
 
+  test("transition stream equals the batch lead-window matrix at 3 and 5 slices") {
+    val expected = graft.ops.MoreQueries.qEventTransitions(spark, dir)
+    for (slices <- Seq(3, 5)) {
+      val work = java.nio.file.Files.createTempDirectory(s"trans_spec_$slices").toString
+      val got = EventStream.runTransitionFileStream(spark,
+          graft.ops.Tables.events(spark, dir), work, slices = slices)
+        .groupBy(col("event_type"), col("next_type"))
+        .agg(count(lit(1)).as("n"))
+      assert(got.exceptAll(expected).count() == 0 &&
+        expected.exceptAll(got).count() == 0, s"slices=$slices diverged")
+    }
+  }
+
   test("stage ordering invariant: t1 <= t2 <= t3 wherever set, strictly after") {
     val st = stream(4)
     assert(st.filter(col("t2") >= 0 && col("t2") <= col("t1")).count() == 0)
