@@ -51,6 +51,17 @@ class SoftWeightsSpec extends AnyFunSuite {
     assert(got("b") == ((2L, 1L, 17L, 10L * 333333L + 7L * 1000000L)))
   }
 
+  test("cross-entry consistency: dup-cluster membership equals the pair relation's support") {
+    // Docs counted in multi-doc clusters are exactly the docs appearing in
+    // at least one near-dup pair — ties the audit to the candidate
+    // relation it is derived from.
+    val inClusters = audit.agg(sum(col("n_in_dup_clusters"))).head().getLong(0)
+    val pairs = Dedup.dedupSimhash(spark, dir)
+    val support = pairs.select(col("doc_a").as("d"))
+      .union(pairs.select(col("doc_b").as("d"))).distinct().count()
+    assert(inClusters == support, s"audit $inClusters vs pair support $support")
+  }
+
   test("each dup cluster contributes ~1e6 ppm of document mass") {
     // Recompute the same cluster relation the operator weights on and
     // check: sum of per-doc weight_ppm within a cluster of size k is
