@@ -23,6 +23,12 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(byStep(1) >= byStep(2) && byStep(2) >= byStep(3))
     assert(byStep(1) <= nUsers)
     assert(byStep(3) > 0, "fixture must carry users through the whole funnel")
+    // step 1 is exactly the users with at least one view — ties the
+    // funnel to the raw stream, independent of the oracle formulation
+    val viewers = Tables.events(spark, dir)
+      .filter(col("event_type") === "view")
+      .select(col("user_id")).distinct().count()
+    assert(byStep(1) == viewers)
   }
 
   test("retention offset-0 equals each cohort's size; later days never exceed it") {
