@@ -402,6 +402,18 @@ object EventStream {
   final case class TransState(lastType: String)
   final case class TransOutput(user_id: Long, event_type: String, next_type: String)
 
+  /** The per-batch transition fold as a pure function of a TIME-ORDERED
+    * type sequence resuming from `prev`: every arriving event pairs with
+    * the carried previous type. Property-pinned (FunnelFoldProps) to the
+    * chunked-replay law — emitting per chunk with the carried state equals
+    * the whole-sequence pairwise zip — which is exactly the boundary-pair
+    * correctness the cross-batch stream depends on. */
+  private[streaming] def foldTransitions(prev: Option[String],
+      ordered: Seq[String]): (Seq[(String, String)], Option[String]) = {
+    val all = prev.toSeq ++ ordered
+    (all.zip(all.drop(1)), all.lastOption)
+  }
+
   def transitionStream(events: Dataset[TransInput]): Dataset[TransOutput] = {
     import events.sparkSession.implicits._
     events
@@ -411,16 +423,12 @@ object EventStream {
         (userId: Long, rows: Iterator[TransInput], state: GroupState[TransState]) =>
           if (userId < 0) Iterator.empty
           else {
-            val out = List.newBuilder[TransOutput]
-            var prev = state.getOption.map(_.lastType)
-            rows.toSeq
+            val ordered = rows.toSeq
               .sortBy(e => (epochMicros(e.ts), Option(e.event_id).map(_.toLong).getOrElse(-1L)))
-              .foreach { e =>
-                prev.foreach(p => out += TransOutput(userId, p, e.event_type))
-                prev = Some(e.event_type)
-              }
-            prev.foreach(p => state.update(TransState(p)))
-            out.result().iterator
+              .map(_.event_type)
+            val (emitted, last) = foldTransitions(state.getOption.map(_.lastType), ordered)
+            last.foreach(p => state.update(TransState(p)))
+            emitted.iterator.map { case (a, b) => TransOutput(userId, a, b) }
           }
       }
   }

@@ -36,4 +36,17 @@ object FunnelFoldProps extends Properties("FunnelFold") {
       val chunks = if (ev.isEmpty) Seq(ev) else ev.grouped(math.max(1, ev.size / k)).toSeq
       chunks.foldLeft(empty)(foldFunnel) == foldFunnel(empty, ev)
     }
+
+  property("transition fold: chunked emission with carried state equals the pairwise zip") =
+    forAll(genEvents, Gen.chooseNum(1, 5)) { (ev, k) =>
+      val types = ev.map(_._2)
+      val chunks = if (types.isEmpty) Seq(types) else types.grouped(math.max(1, types.size / k)).toSeq
+      val (chunked, lastState) = chunks.foldLeft(
+          (Seq.empty[(String, String)], Option.empty[String])) {
+        case ((acc, prev), chunk) =>
+          val (out, next) = EventStream.foldTransitions(prev, chunk)
+          (acc ++ out, next)
+      }
+      chunked == types.zip(types.drop(1)) && lastState == types.lastOption
+    }
 }
