@@ -3,6 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
 import Tables._
 import TextAnalysis.{tokensCol, tokenCountCol}
 
@@ -503,7 +504,14 @@ object Dedup {
         count(lit(1)).as("n_docs"),
         sum(when(col("csize") > 1, 1L).otherwise(0L)).as("n_in_dup_clusters"),
         sum(col("n_tokens")).as("raw_tokens"),
-        sum(col("n_tokens") * col("weight_ppm")).as("weighted_tokens_ppm"))
+        // DECIMAL(38,0) accumulator: ppm-weighted token mass reaches
+        // ~1e6 × corpus tokens, which blows past Long at the ~1e13-token
+        // (100 TB) scale this audit is for — a plain Long sum would wrap
+        // silently under non-ANSI Spark while the DuckDB twin widened to
+        // HUGEINT. The per-row product is overflow-safe (n_tokens ≤ ~1e6,
+        // ppm ≤ 1e6); only the SUM needs the wide type.
+        sum((col("n_tokens") * col("weight_ppm")).cast(DecimalType(38, 0)))
+          .as("weighted_tokens_ppm"))
   }
 
   /** Near-dup cluster-size histogram (catalog `x_dup_cluster_sizes`):
@@ -1285,7 +1293,7 @@ object Dedup {
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_clusters,
          |  CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
-         |  CAST(sum(n_tokens * weight_ppm) AS BIGINT) AS weighted_tokens_ppm
+         |  CAST(sum(CAST(n_tokens * weight_ppm AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS weighted_tokens_ppm
          |FROM w GROUP BY source""".stripMargin,
     // Same transitive closure as the CC oracle but over the WIDE pair
     // family, then the salted md5 residue law 80/10/10 on the CLUSTER id —

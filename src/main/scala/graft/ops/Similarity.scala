@@ -519,17 +519,43 @@ object Similarity {
     * The corpus count is one control-plane aggregate riding the same
     * eager-at-construction regime as the Lloyd training jobs ([[
     * trainIvfCentroids]]); like them it snapshots the corpus at build
-    * time. Not a catalog entry: k is data-dependent, so a static SQL
-    * oracle can't replay it — the k=16 and k=64 catalog entries pin the
-    * underlying machinery exactly, and the spec pins this wrapper's k
-    * arithmetic and result-equality to the manual call. */
+    * time. Catalog entry `x_dedup_semantic_auto` gates this path: the
+    * driver-computed k is RECORDED at query-construction time and inlined
+    * into the generated oracle SQL (exactly how [[ivfAssignCtes]] already
+    * inlines the fixed families' k literals) — the count probe is
+    * deterministic per sf directory, so DuckDB replays training,
+    * assignment, and pairing at the same k, end-to-end. The k=16 and
+    * k=64 fixed entries stay as regression pins. */
   def dedupSemanticAuto(s: SparkSession, d: String,
       targetOccupancy: Long = 512L): DataFrame = {
     require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
     val n = vectors(s, d).count()
-    val k = math.max(IVF_K, ((n + targetOccupancy - 1) / targetOccupancy).toInt)
+    // toIntExact: for corpus counts where ceil(n/occupancy) exceeds Int a
+    // silent truncation would train a garbage (possibly negative) cluster
+    // count — fail loudly instead (k > 2^31 also means the caller wants a
+    // hierarchical index, not flat k-means).
+    val k = math.max(IVF_K,
+      math.toIntExact((n + targetOccupancy - 1) / targetOccupancy))
+    lastAutoK.set(k)
     dedupSemantic(s, d, k)
   }
+
+  /** Demo occupancy of the `x_dedup_semantic_auto` catalog entry: small
+    * enough that the data-driven k is NON-TRIVIAL at the correctness-gate
+    * scales (k=20 at sf0.01's 500 vectors, k=80 at sf0.1's 2000 — neither
+    * equals the fixed 16/64 pins, so the gate genuinely exercises the
+    * probe→inline machinery), large enough that the sf5 bench point stays
+    * sane (k=4000 over 100k vectors — assignment n·k bounded, pair space
+    * n·occupancy). Production default stays 512. */
+  private val AUTO_DEMO_OCCUPANCY = 25L
+
+  /** k recorded by the most recent [[dedupSemanticAuto]] construction —
+    * read by [[oracleSql]] so the DuckDB twin replays the SAME k the Spark
+    * plan trained with. graft.Verify constructs every query for ONE sf
+    * directory and only then dumps oracle SQL, so last-write-wins is exact
+    * there; sessions that never construct the auto entry fall back to the
+    * IVF_K floor (the value every gate scale below 16·occupancy yields). */
+  private val lastAutoK = new java.util.concurrent.atomic.AtomicInteger(IVF_K)
 
   /** Cluster-coverage representatives (catalog `x_cluster_medoids`): for
     * each trained k-means cluster, the member closest to the centroid
@@ -919,6 +945,8 @@ object Similarity {
     "x_dedup_embedding" -> (dedupEmbedding _),
     "x_dedup_semantic" -> ((s: SparkSession, d: String) => dedupSemantic(s, d)),
     "x_dedup_semantic_fine" -> ((s: SparkSession, d: String) => dedupSemantic(s, d, SEM_FINE_K)),
+    "x_dedup_semantic_auto" -> ((s: SparkSession, d: String) =>
+      dedupSemanticAuto(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_knn_label_vote" -> (knnLabelVote _),
     "x_cluster_medoids" -> (clusterMedoids _),
     "x_ann_matryoshka" -> (annMatryoshka _),
@@ -1091,7 +1119,14 @@ object Similarity {
        |       CAST(SUM(CASE WHEN rnk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_top3
        |FROM $sketchCte LEFT JOIN ex USING (q_id, nn_id)""".stripMargin
 
-  val oracleSql: Map[String, String] = Map(
+  /** Static twins plus the auto-k semantic entry, whose oracle is GENERATED
+    * at dump time from the k the query construction recorded ([[lastAutoK]])
+    * — same SQL text as the fixed families modulo the inlined literals, so
+    * the data-driven production path is replayed end-to-end too. */
+  def oracleSql: Map[String, String] =
+    staticOracleSql + ("x_dedup_semantic_auto" -> semanticOracleSql(lastAutoK.get))
+
+  private val staticOracleSql: Map[String, String] = Map(
     // Same trained assignment relation as the ANN/semantic oracles; the
     // medoid is row 1 of a per-cluster cosine-to-final-centroid order.
     "x_cluster_medoids" ->

@@ -335,6 +335,15 @@ object EventStream {
   private def epochMicros(t: java.sql.Timestamp): Long =
     Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
 
+  /** In-batch tie key matching the batch windows' `orderBy(ts, event_id)`
+    * default NULLS FIRST exactly: null ids sort before EVERY real id —
+    * including negative ones, which the previous -1 sentinel collided
+    * with. Residual caveat (documented, not fixable with a Long key): a
+    * REAL id of Long.MinValue itself would tie with null — that one value
+    * is reserved, vs. the whole negative range before. */
+  private def nullsFirstId(id: java.lang.Long): Long =
+    Option(id).map(_.toLong).getOrElse(Long.MinValue)
+
   /** The strictly-after stage fold, as a pure function of a TIME-ORDERED
     * (micros, event_type) sequence resuming from `s` — property-pinned
     * (FunnelFoldProps) against the declarative definition (first view,
@@ -379,7 +388,7 @@ object EventStream {
             // batch semantics: first view, first later click, first
             // later-still purchase.
             s = foldFunnel(s, rows.toSeq
-              .sortBy(e => (epochMicros(e.ts), Option(e.event_id).map(_.toLong).getOrElse(-1L)))
+              .sortBy(e => (epochMicros(e.ts), nullsFirstId(e.event_id)))
               .map(e => (epochMicros(e.ts), e.event_type)))
             state.update(s)
             state.setTimeoutTimestamp(flushAtMs)
@@ -424,7 +433,7 @@ object EventStream {
           if (userId < 0) Iterator.empty
           else {
             val ordered = rows.toSeq
-              .sortBy(e => (epochMicros(e.ts), Option(e.event_id).map(_.toLong).getOrElse(-1L)))
+              .sortBy(e => (epochMicros(e.ts), nullsFirstId(e.event_id)))
               .map(_.event_type)
             val (emitted, last) = foldTransitions(state.getOption.map(_.lastType), ordered)
             last.foreach(p => state.update(TransState(p)))

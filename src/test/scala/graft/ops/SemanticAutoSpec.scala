@@ -32,6 +32,30 @@ class SemanticAutoSpec extends AnyFunSuite {
       manual.exceptAll(auto).count() == 0)
   }
 
+  test("catalog entry records its k and the generated oracle inlines it") {
+    // n=500 at sf0.001 with the demo occupancy 25 -> k=20: run the catalog
+    // entry, then the dumped oracle must be the k=20 SQL (range(0,20) seeds,
+    // LIMIT 20) — the driver replay contract.
+    val df = Similarity.queries("x_dedup_semantic_auto")(spark, dir)
+    df.collect() // construction already recorded k; collect proves it runs
+    val sql = Similarity.oracleSql("x_dedup_semantic_auto")
+    val expectedK = math.max(16, ((n + 24) / 25).toInt)
+    assert(sql.contains(s"range(0,$expectedK)") && sql.contains(s"LIMIT $expectedK"),
+      s"oracle SQL does not inline k=$expectedK")
+    val manual = Similarity.dedupSemantic(spark, dir, k = expectedK)
+    assert(df.exceptAll(manual).count() == 0 && manual.exceptAll(df).count() == 0)
+  }
+
+  test("out-of-Int k fails loudly instead of truncating") {
+    // n=500, occupancy 1 -> k=500 (fine); the guard is about the cast, so
+    // exercise the arithmetic path directly: occupancy so small relative
+    // to a huge synthetic n is not constructible from the fixture, but the
+    // require(>=1) edge is:
+    intercept[IllegalArgumentException] {
+      Similarity.dedupSemanticAuto(spark, dir, targetOccupancy = 0L)
+    }
+  }
+
   // NOTE deliberately absent: "finer k finds fewer dups" — false in
   // general. Lloyd solutions at different k are not nested refinements,
   // so a larger k can co-locate a pair k=16 separated (observed on this
