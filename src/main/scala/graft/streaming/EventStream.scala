@@ -192,7 +192,7 @@ object EventStream {
     * (the file source orders its backlog by mod time, so batch order is
     * a property of the data, not of staging-job wall-clock).
     * Returns (minMs, maxMs) of the data, or None when `ev` is empty. */
-  private def stageEventTimeSlices(s: SparkSession, ev: DataFrame, workDir: String,
+  private[streaming] def stageEventTimeSlices(s: SparkSession, ev: DataFrame, workDir: String,
       slices: Int): Option[(Long, Long)] = {
     import s.implicits._
     val hconf = s.sparkContext.hadoopConfiguration
@@ -442,10 +442,64 @@ object EventStream {
       }
   }
 
-  /** Run [[transitionStream]] over the staged file stream and return every
-    * emitted transition as a batch frame. */
+  /** [[transitionStream]] with an idle-user TTL — the deployment shape.
+    * The NoTimeout variant's state grows with distinct-users-EVER; this one
+    * expires a user once the event-time watermark passes `idleTtlMs` past
+    * their last event, so the store stays O(users active within the
+    * horizon). Semantics of expiry: a user who returns AFTER the horizon
+    * starts fresh — the boundary pair (last-before-idle → first-after-idle)
+    * is NOT emitted, which is the intended reading (separate visits that
+    * far apart are separate behavioral sessions, the same judgment the
+    * sessionize operator's gap rule makes).
+    *
+    * Guarantee (spec-pinned, TransitionTtlSpec): a pair whose gap is
+    * ≤ idleTtlMs is ALWAYS emitted — expiry fires when the watermark
+    * passes last+ttl, and the watermark trails the maximum event time
+    * seen, so a return event inside the horizon always lands before its
+    * user's timeout can fire. Past the horizon, expiry is best-effort
+    * (watermark granularity), exactly like every watermark-based eviction
+    * in this module: state may briefly outlive the horizon, never the
+    * reverse.
+    *
+    * The timeout timestamp clamps to watermark+1: a late-arriving group
+    * whose last+ttl already trails the watermark must still set a LEGAL
+    * timeout (Spark rejects timestamps at or behind the watermark), and
+    * "expire at the next opportunity" is the correct reading for a user
+    * already idle past the horizon. */
+  def transitionStreamTtl(events: Dataset[TransInput], idleTtlMs: Long): Dataset[TransOutput] = {
+    require(idleTtlMs > 0, "idleTtlMs must be positive")
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[TransState, TransOutput](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId: Long, rows: Iterator[TransInput], state: GroupState[TransState]) =>
+          if (userId < 0) Iterator.empty // watermark sentinels carry no state
+          else if (state.hasTimedOut) {
+            // Transitions are emitted incrementally, so expiry withholds
+            // nothing — it only drops the carried lastType.
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = rows.toSeq
+              .sortBy(e => (epochMicros(e.ts), nullsFirstId(e.event_id)))
+            val (emitted, last) = foldTransitions(
+              state.getOption.map(_.lastType), sorted.map(_.event_type))
+            last.foreach(p => state.update(TransState(p)))
+            val lastMs = Math.floorDiv(epochMicros(sorted.last.ts), 1000L)
+            state.setTimeoutTimestamp(
+              math.max(state.getCurrentWatermarkMs() + 1, lastMs + idleTtlMs))
+            emitted.iterator.map { case (a, b) => TransOutput(userId, a, b) }
+          }
+      }
+  }
+
+  /** Run [[transitionStream]] (or, with `idleTtlMs`, [[transitionStreamTtl]])
+    * over the staged file stream and return every emitted transition as a
+    * batch frame. The catalog parity entry passes no TTL — its oracle is the
+    * full lead-window matrix; deployments pass a horizon. */
   def runTransitionFileStream(s: SparkSession, eventsDf: DataFrame, workDir: String,
-      slices: Int = 3): DataFrame = {
+      slices: Int = 3, idleTtlMs: Option[Long] = None): DataFrame = {
     import s.implicits._
     val outDir = s"$workDir/transitions"
     val ev = eventsDf.select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
@@ -462,9 +516,10 @@ object EventStream {
       .withWatermark("ts", "1 minute")
       .as[TransInput]
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    val transitions = idleTtlMs.fold(transitionStream(src))(transitionStreamTtl(src, _))
     try {
       s.conf.set("spark.sql.shuffle.partitions", "8")
-      val q = transitionStream(src).writeStream
+      val q = transitions.writeStream
         .format("parquet")
         .option("path", outDir)
         .option("checkpointLocation", s"$workDir/ckpt")
