@@ -176,13 +176,176 @@ object Multimodal {
       .select(col("doc_id"), col("kind"), col("width"), col("height"),
         col("fit.w").as("fit_w"), col("fit.h").as("fit_h"))
 
+  // ---- Image near-duplicate family (dHash over the stub-decode grid) -------
+  //
+  // Perceptual dedup for an image corpus: decode → downscale to a tiny
+  // grayscale grid → dHash (each bit compares two adjacent grid cells) →
+  // band the hash exactly like every other LSH family in ops/Dedup. The
+  // CODEC is this environment's stub (no image libraries): the "decoded
+  // grid" is a deterministic 6×11 byte grid derived from the payload via
+  // md5 — swap gridCol for a real decode+resize and everything downstream
+  // (hashing, banding, verification, the DuckDB twin discipline) is the
+  // production pipeline unchanged. Near-duplicates are PLANTED at grid
+  // level (every 5th doc gets a clone with 0–3 pixels bumped by +16 —
+  // exactly what a re-encode/gamma-shift does to a real thumbnail grid),
+  // which gives the family an exact ground truth for its precision audit.
+  //
+  // Scale shape: the grid+hash is one codegen'd scan-speed pass (66 md5 per
+  // payload, no shuffle); pairs ride the shared banded kernel
+  // (Dedup.simhashBandedPairs) at 4 bands × 15 bits — 32768 buckets/band,
+  // chosen by the kernel's sizing rule because md5 grids are
+  // UNIFORM-random (the adversarial case for banding: real image hashes
+  // cluster, these don't), so candidate volume is 4·n²/2¹⁵ — ~4M pairs at
+  // 250k images, linear-ish through the measured range.
+
+  private val IMG_ROWS = 6
+  private val IMG_COLS = 11 // 10 comparisons per row → 60 dHash bits
+  private val IMG_CLONE_OFFSET = 10000000L
+  private val IMG_CLONE_MOD = 5 // every 5th doc gets a planted clone
+  private val IMG_PERT_DELTA = 16 // grid-level bump per perturbed pixel
+  private val IMG_BAND_BITS = 15
+  private val IMG_MAX_HAMMING = 3 // bands-1: pigeonhole-complete
+
+  /** The stub "decoded thumbnail": pixel i = first md5 byte of
+    * (payload, '#g', i) — 66 uniform bytes standing in for the real
+    * decode+downscale output. */
+  private def gridPix(payload: Column, i: Column): Column =
+    conv(substring(md5(concat(payload, lit("#g"), i.cast("string"))), 1, 2), 16, 10)
+      .cast("long")
+
+  private def gridCol(payload: Column): Column =
+    transform(sequence(lit(0), lit(IMG_ROWS * IMG_COLS - 1)), i => gridPix(payload, i))
+
+  /** Clone grid: n_pert = (doc_id/5) % 4 pixels bumped by +16, at positions
+    * (i·7 + doc_id) % 66 < n_pert — 7 is coprime to 66, so exactly n_pert
+    * distinct pixels move. A +16 bump flips a dHash bit only where the
+    * neighboring cells were within 16 grey levels — small, local signature
+    * damage, the perceptual-hash robustness model. Derived FROM the
+    * already-computed grid (index-aware transform), so the md5 work is not
+    * repeated. */
+  private def cloneGridCol(grid: Column, origId: Column): Column = {
+    // origId is always a multiple of IMG_CLONE_MOD, so the double division
+    // Spark's `/` performs is exact; the cast back to long is the floor-div
+    // the DuckDB twin writes as doc_id // 5.
+    val nPert = (origId / IMG_CLONE_MOD).cast("long") % 4
+    transform(grid, (p, i) =>
+      p + when((i * 7 + origId) % (IMG_ROWS * IMG_COLS) < nPert, IMG_PERT_DELTA)
+        .otherwise(0L))
+  }
+
+  /** 60-bit dHash of a 66-cell grid: bit (r·10+c) = 1 iff cell (r, c+1) >
+    * cell (r, c) — gradient direction, the classic difference hash. */
+  private def dhashCol(grid: Column): Column =
+    (for { r <- 0 until IMG_ROWS; c <- 0 until IMG_COLS - 1 } yield
+      when(element_at(grid, r * IMG_COLS + c + 2) > element_at(grid, r * IMG_COLS + c + 1),
+        lit(1L << (r * (IMG_COLS - 1) + c))).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Signature relation (doc_id, w0) over corpus ∪ planted clones — the
+    * input shape Dedup.simhashBandedPairs takes. Clones live at
+    * doc_id + 10⁷ (disjoint from any fixture id range). */
+  private[ops] def imageSignatures(s: SparkSession, d: String): DataFrame = {
+    // One scan, no Union: each doc explodes into its own (id, grid) struct
+    // plus — for every 5th doc — the planted clone's. (A Union of the two
+    // projections trips Catalyst's union-constraint rewrite: the alias
+    // constraints still reference the pruned `text` attribute.)
+    val grid = gridCol(col("text"))
+    val self = struct(col("doc_id").as("doc_id"), grid.as("g"))
+    val clone = struct((col("doc_id") + IMG_CLONE_OFFSET).as("doc_id"),
+      cloneGridCol(grid, col("doc_id")).as("g"))
+    documents(s, d)
+      .select(explode(
+        when(col("doc_id") % IMG_CLONE_MOD === 0, array(self, clone))
+          .otherwise(array(self))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), dhashCol(col("r.g")).as("w0"))
+  }
+
+  /** Image near-dup pairs (catalog `x_dedup_image`): banded dHash
+    * candidates, hamming-verified — the shared kernel at 4×15-bit bands
+    * (see the sizing note above; uniform grids need the wide band space
+    * the 10-bit default would quadratically flood). */
+  def dedupImage(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashBandedPairs(imageSignatures(s, d),
+      words = 1, bandBits = IMG_BAND_BITS, maxHamming = IMG_MAX_HAMMING)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Precision audit vs the planted ground truth (catalog
+    * `x_dedup_image_precision`): found pairs vs the (doc, clone) pairs the
+    * fixture planted. Exact counts — n_both/n_planted is recall of the
+    * planted clones (perturbed clones whose bit damage exceeds hamming 3
+    * are the honest misses), n_both/n_candidates is precision against
+    * random-grid collisions. */
+  def dedupImagePrecision(s: SparkSession, d: String): DataFrame = {
+    val cand = dedupImage(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_cand"))
+    val planted = documents(s, d)
+      .filter(col("doc_id") % IMG_CLONE_MOD === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + IMG_CLONE_OFFSET).as("doc_b"), lit(1).as("is_planted"))
+    cand.join(planted, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(col("is_cand")).as("n_candidates"),
+        sum(col("is_planted")).as("n_planted"),
+        sum(col("is_cand") * col("is_planted")).as("n_both"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_multimodal_meta" -> (multimodalMeta _),
     "x_frame_sample" -> (frameSample _),
-    "x_resize_plan" -> (resizePlan _)
+    "x_resize_plan" -> (resizePlan _),
+    "x_dedup_image" -> (dedupImage _),
+    "x_dedup_image_precision" -> (dedupImagePrecision _)
   )
 
+  /** The 60 dHash comparison terms, unrolled (same generation discipline as
+    * Similarity's bucketArmsSql): g is the 1-based 66-cell grid list. */
+  private def dhashTermsSql: String =
+    (for { r <- 0 until IMG_ROWS; c <- 0 until IMG_COLS - 1 } yield {
+      val lo = r * IMG_COLS + c + 1
+      s"CASE WHEN g[${lo + 1}] > g[$lo] THEN (1::BIGINT << ${r * (IMG_COLS - 1) + c}) ELSE 0 END"
+    }).mkString("\n     + ")
+
+  /** Grid → signature → band → verified-candidate CTE chain ending at
+    * `icand(doc_a, doc_b, hamming)` — the DuckDB twin of [[dedupImage]]'s
+    * whole pipeline including the planted clones. */
+  private def imageCtes: String =
+    s"""ig AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0,${IMG_ROWS * IMG_COLS}),
+       |           i -> CAST('0x' || substring(md5(text || '#g' || i),1,2) AS BIGINT)) AS g
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IMG_CLONE_OFFSET,
+       |         list_transform(range(0,${IMG_ROWS * IMG_COLS}),
+       |           i -> CAST('0x' || substring(md5(text || '#g' || i),1,2) AS BIGINT)
+       |                + CASE WHEN ((i*7 + doc_id) % ${IMG_ROWS * IMG_COLS}) < ((doc_id // $IMG_CLONE_MOD) % 4)
+       |                       THEN $IMG_PERT_DELTA ELSE 0 END)
+       |  FROM documents WHERE doc_id % $IMG_CLONE_MOD = 0),
+       |isig AS (SELECT doc_id, CAST($dhashTermsSql AS BIGINT) AS w0 FROM ig),
+       |iband AS (SELECT doc_id, w0, b.b AS band_idx,
+       |                 (w0 >> CAST(b.b*$IMG_BAND_BITS AS INTEGER)) & ${(1 << IMG_BAND_BITS) - 1} AS band_val
+       |          FROM isig, (SELECT unnest(range(0,${60 / IMG_BAND_BITS})) AS b) b),
+       |icand AS (
+       |  SELECT doc_a, doc_b, hamming FROM (
+       |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           CAST(bit_count(xor(a.w0, b.w0)) AS INTEGER) AS hamming
+       |    FROM iband a JOIN iband b
+       |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= $IMG_MAX_HAMMING)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "x_dedup_image" ->
+      s"""WITH $imageCtes
+         |SELECT doc_a, doc_b, hamming FROM icand""".stripMargin,
+    "x_dedup_image_precision" ->
+      s"""WITH $imageCtes,
+         |planted AS (SELECT doc_id AS doc_a, doc_id + $IMG_CLONE_OFFSET AS doc_b
+         |            FROM documents WHERE doc_id % $IMG_CLONE_MOD = 0)
+         |SELECT CAST(count(c.doc_a) AS BIGINT) AS n_candidates,
+         |       CAST(count(p.doc_a) AS BIGINT) AS n_planted,
+         |       CAST(SUM(CASE WHEN c.doc_a IS NOT NULL AND p.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |FROM icand c FULL OUTER JOIN planted p
+         |  ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b""".stripMargin,
     "x_resize_plan" ->
       """WITH m AS (
         |  SELECT doc_id,

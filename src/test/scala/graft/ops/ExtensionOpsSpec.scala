@@ -473,4 +473,33 @@ class ExtensionOpsSpec extends AnyFunSuite {
         fh == math.max(1, math.floor(h * scale).toInt))
     }
   }
+
+  test("image dHash: clone damage is bounded by 2 bits per perturbed pixel") {
+    // Each +16 pixel bump touches at most its left and right comparisons,
+    // so hamming(orig, clone) <= 2 * n_pert — the locality property that
+    // makes a difference hash a PERCEPTUAL hash.
+    val sigs = Multimodal.imageSignatures(spark, SparkTestSession.sfDir)
+    val orig = sigs.filter(col("doc_id") < 10000000L)
+    val clones = sigs.filter(col("doc_id") >= 10000000L)
+      .select((col("doc_id") - 10000000L).as("doc_id"), col("w0").as("cw0"))
+    val rows = orig.join(clones, "doc_id")
+      .select(col("doc_id"),
+        bit_count(col("w0").bitwiseXOR(col("cw0"))).as("hamming"))
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, ham) =>
+      val nPert = (id / 5) % 4
+      assert(ham <= 2 * nPert, s"doc $id: hamming $ham > ${2 * nPert}")
+    }
+    // n_pert = 0 clones are bit-identical
+    assert(rows.filter { case (id, _) => (id / 5) % 4 == 0 }.forall(_._2 == 0))
+  }
+
+  test("image near-dup family: every planted clone is recovered on the fixture") {
+    val r = Multimodal.dedupImagePrecision(spark, SparkTestSession.sfDir).head()
+    val (cand, planted, both) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(planted > 0 && both == planted,
+      s"planted $planted, found $both — a clone exceeded the banding budget")
+    assert(cand >= planted)
+  }
 }
