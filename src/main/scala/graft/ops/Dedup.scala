@@ -975,6 +975,21 @@ object Dedup {
   def dupSpans(s: SparkSession, d: String): DataFrame =
     islandSpans(dupPositions(s, d))
 
+  /** Post-scrub token mass per document — the COUNT face of
+    * [[dupSpanScrub]] (islands are disjoint by construction, so
+    * n_after = n_before − Σ span_tokens without rebuilding the token
+    * array; a spec pins equality to the rewrite's size). Feeds the
+    * full-pipeline composition, where only the mass matters. */
+  private[ops] def scrubbedTokenCounts(s: SparkSession, d: String): DataFrame = {
+    val per = islandSpans(dupPositions(s, d, dropCanonical = true))
+      .groupBy(col("doc_id")).agg(sum(col("span_tokens")).as("dup_tokens"))
+    documents(s, d)
+      .select(col("doc_id"), tokenCountCol(col("text")).cast("long").as("n_before"))
+      .join(per, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        (col("n_before") - coalesce(col("dup_tokens"), lit(0L))).as("n_tokens"))
+  }
+
   /** The consuming transformation (catalog `x_dup_span_scrub`): rewrite
     * each document with its duplicated spans REMOVED, keeping the
     * corpus-wide first occurrence — a token position is scrubbed iff the
@@ -1056,7 +1071,7 @@ object Dedup {
     * cross-doc duplicated grams (min≠max doc) → island merge — the same
     * algebra the Spark plan executes, token for token. `posFilter`
     * injects the scrub's keep-first-occurrence rule. */
-  private def dupSpanCtes(posFilter: String = ""): String =
+  private[ops] def dupSpanCtes(posFilter: String = ""): String =
     s"""tok AS (
        |  SELECT doc_id, regexp_extract_all(lower(text), '\\S+') AS w FROM documents),
        |gp AS (
@@ -1129,11 +1144,14 @@ object Dedup {
   /** Wide-family (120-bit, 8×15-bit-band) signature + candidate CTE chain,
     * ending in `wcand(doc_a, doc_b, hamming)` — shared by the wide-dedup
     * oracle and the leakage-safe-split oracle. */
-  private def simhashWideCtes(): String =
-    s"""tok AS (SELECT doc_id, unnest(regexp_extract_all(text,'\\S+')) AS tok FROM documents),
+  /** `tokName` de-collides the leading token CTE when this chain is glued
+    * into a larger WITH pile that already defines `tok` (the pipeline
+    * composition oracle does, via [[dupSpanCtes]]). */
+  private[ops] def simhashWideCtes(tokName: String = "tok"): String =
+    s"""$tokName AS (SELECT doc_id, unnest(regexp_extract_all(text,'\\S+')) AS tok FROM documents),
        |h2 AS (SELECT doc_id,
        |              CAST('0x' || substring(md5(tok),1,15) AS BIGINT) AS h0,
-       |              CAST('0x' || substring(md5(tok),16,15) AS BIGINT) AS h1 FROM tok),
+       |              CAST('0x' || substring(md5(tok),16,15) AS BIGINT) AS h1 FROM $tokName),
        |wbits AS (SELECT doc_id, i.i AS i,
        |                 SUM(CASE WHEN (h0 >> CAST(i.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s0,
        |                 SUM(CASE WHEN (h1 >> CAST(i.i AS INTEGER)) & 1 = 1 THEN 1 ELSE -1 END) AS s1

@@ -645,7 +645,10 @@ object TextAnalysis {
     * [[langId]] two-level trick) — each regex/scan runs once per row in
     * the partial aggregate, whose output is bounded by |lang|×2⁵
     * regardless of corpus size; the rollup then sums a tiny frame. */
-  def gopherRules(s: SparkSession, d: String): DataFrame = {
+  /** The five Gopher failure flags as columns over `text` — shared by the
+    * per-language audit ([[gopherRules]]) and the pipeline composition's
+    * document gate. */
+  private def gopherFlagCols: Seq[(String, Column)] = {
     val txt = lower(col("text"))
     val padded = concat(lit(" "), txt, lit(" "))
     val nWords = tokenCountCol(txt)
@@ -654,13 +657,22 @@ object TextAnalysis {
     val nSym = occurrences(txt, "#") + occurrences(txt, "...")
     val nStop = Seq(" the ", " a ", " of ", " and ", " to ")
       .map(m => when(padded.contains(m), 1).otherwise(0)).reduce(_ + _)
+    Seq(
+      "f_words" -> (nWords < 10 || nWords > 100000),
+      "f_word_len" -> (nWordChars < nWords * 3 || nWordChars > nWords * 10),
+      "f_alpha" -> (nAlphaWords * 5 < nWords * 4),
+      "f_symbol" -> (nSym * 10 > nWords),
+      "f_stop" -> (nStop < 2))
+  }
+
+  /** True iff the document passes ALL five Gopher rules. */
+  private[ops] def gopherPassCol: Column =
+    gopherFlagCols.map { case (_, f) => !f }.reduce(_ && _)
+
+  def gopherRules(s: SparkSession, d: String): DataFrame = {
+    val flags = gopherFlagCols
     val grouped = documents(s, d).groupBy(
-      col("lang"),
-      (nWords < 10 || nWords > 100000).as("f_words"),
-      (nWordChars < nWords * 3 || nWordChars > nWords * 10).as("f_word_len"),
-      (nAlphaWords * 5 < nWords * 4).as("f_alpha"),
-      (nSym * 10 > nWords).as("f_symbol"),
-      (nStop < 2).as("f_stop"))
+      col("lang") +: flags.map { case (n, f) => f.as(n) }: _*)
       .agg(count(lit(1)).as("n0"))
     grouped.groupBy(col("lang")).agg(
       sum(col("n0")).as("n_docs"),
@@ -693,9 +705,15 @@ object TextAnalysis {
     * constant bound lets WindowGroupLimit prune at the shuffle (quota ≤ T
     * always, so the constant-bound prefilter loses nothing). Output is
     * the sampled MEMBERSHIP itself — the strongest oracle shape. */
-  def stratifiedSample(s: SparkSession, d: String, t: Int = STRAT_T): DataFrame = {
+  def stratifiedSample(s: SparkSession, d: String, t: Int = STRAT_T): DataFrame =
+    stratifiedSampleOver(
+      documents(s, d).select(col("lang"), col("source"), col("doc_id")), t)
+
+  /** [[stratifiedSample]] over an arbitrary `(lang, source, doc_id)`
+    * population — the composable form the pipeline entry feeds with its
+    * gated+split survivors. */
+  private[ops] def stratifiedSampleOver(docs: DataFrame, t: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val docs = documents(s, d).select(col("lang"), col("source"), col("doc_id"))
     val strata = docs.groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
     val alloc = strata
       .crossJoin(broadcast(strata.agg(sum(col("n")).as("n_tot"))))
@@ -740,6 +758,58 @@ object TextAnalysis {
         count(lit(1)).as("n_docs"),
         sum(nTokens).as("total_tokens"),
         sum(nWins).as("total_windows"))
+  }
+
+  /** Sample budget of the full-pipeline composition: small enough that the
+    * gated train split exceeds it at every fixture scale (so the sampling
+    * stage genuinely selects), large enough that the shard stage emits a
+    * multi-shard manifest. */
+  private[ops] val PIPE_T = 120
+
+  /** The WHOLE corpus-assembly pipeline as one declarative chain (catalog
+    * `x_pipeline_full`) — the composition story for the round-9 additions,
+    * each stage feeding the next instead of being exercised one at a time:
+    *
+    *   1. Gopher gate        — keep documents passing all five rules
+    *   2. span scrub         — token mass after removing cross-doc
+    *                           duplicated spans ([[Dedup.scrubbedTokenCounts]])
+    *   3. leakage-safe split — keep the train split (cluster-salted 80%,
+    *                           riding the WIDE SimHash family)
+    *   4. stratified sample  — Hamilton-allocated [[PIPE_T]]-doc budget over
+    *                           (lang, source) strata of the gated train docs
+    *   5. balanced shard     — distributed prefix-sum sharding of the
+    *                           sample by its SCRUBBED token mass
+    *
+    * Output: the shard manifest (shard_id, n_docs, n_tokens) — compact,
+    * exact, and replayed end-to-end by one DuckDB oracle (every stage's
+    * CTE chain glued into a single WITH RECURSIVE pile).
+    *
+    * Plan shape / no recomputation: the chain is linear — each stage's
+    * relation is consumed exactly once, so nothing is evaluated twice
+    * (the one intentionally-shared intermediate, the shard stage's
+    * range-partitioned relation, is persisted inside
+    * [[shardBalancedOver]]). The corpus is scanned once per independent
+    * DERIVATION (gate predicate, gram positions, wide signatures, strata
+    * keys) — those are different projections Catalyst prunes to different
+    * columns, the scan-speed regime, not recomputation of a stage. The
+    * expensive stages keep their individually-measured plans: the span
+    * grams are one corpus-sized groupBy, the split's pair space is
+    * band-bounded, the sample's allocation runs on the strata aggregate,
+    * and the shard windows run over the PIPE_T-row sample. */
+  def pipelineFull(s: SparkSession, d: String): DataFrame = {
+    val gated = documents(s, d)
+      .filter(gopherPassCol)
+      .select(col("doc_id"), col("lang"), col("source"))
+    val train = Dedup.leakageSafeSplit(s, d)
+      .filter(col("split") === "train").select(col("doc_id"))
+    val sampled = stratifiedSampleOver(
+      gated.join(train, "doc_id").select(col("lang"), col("source"), col("doc_id")),
+      PIPE_T)
+    val withMass = sampled.select(col("doc_id"))
+      .join(Dedup.scrubbedTokenCounts(s, d), "doc_id")
+    shardBalancedOver(s, withMass)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("n_tokens"))
   }
 
   /** Gopher-style repetition signals per document: distinct-token ratio,
@@ -892,17 +962,37 @@ object TextAnalysis {
   private val shardPartedCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
 
+  private val SHARD_BUDGET = 2048L // power of two: floor-of-double == integer division (see x_pack_bins oracle note)
+  private val SHARD_PARTS = 8
+
   def shardBalanced(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val BUDGET = 2048L // power of two: floor-of-double == integer division (see x_pack_bins oracle note)
-    val PARTS = 8
     val h = md5(concat(lit("shard:"), col("doc_id").cast("string")))
     shardPartedCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
     val parted = shardPartedCache.computeIfAbsent((s, d), _ =>
       documents(s, d)
         .select(col("doc_id"), tokenCountCol(col("text")).cast("long").as("n_tokens"), h.as("h"))
-        .repartitionByRange(PARTS, col("h"), col("doc_id"))
+        .repartitionByRange(SHARD_PARTS, col("h"), col("doc_id"))
         .persist())
+    shardFromParted(s, parted)
+  }
+
+  /** [[shardBalanced]] over an arbitrary `(doc_id, n_tokens)` relation —
+    * the composable form. Persists its range-partitioned intermediate
+    * (REQUIRED for partition-id stability across the two prefix-sum jobs,
+    * same as the catalog path); callers run it once per session. */
+  private[ops] def shardBalancedOver(s: SparkSession, docsTok: DataFrame): DataFrame = {
+    val h = md5(concat(lit("shard:"), col("doc_id").cast("string")))
+    val parted = docsTok
+      .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), h.as("h"))
+      .repartitionByRange(SHARD_PARTS, col("h"), col("doc_id"))
+      .persist()
+    shardFromParted(s, parted)
+  }
+
+  private def shardFromParted(s: SparkSession, parted: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val BUDGET = SHARD_BUDGET
+    val PARTS = SHARD_PARTS
     // One row per partition → driver → exclusive prefix offsets. Partition
     // ids are stable here: spark_partition_id reads the slice the range
     // exchange produced, and both jobs below reuse the same persisted
@@ -1158,6 +1248,7 @@ object TextAnalysis {
     "x_pack_bins" -> (packBins _),
     "x_shard_balanced" -> (shardBalanced _),
     "x_pipeline_e2e" -> (pipelineE2e _),
+    "x_pipeline_full" -> (pipelineFull _),
     "x_repetition" -> (repetitionStats _),
     "x_mix_weighted" -> (mixWeighted _),
     "x_token_rarity" -> (tokenRarity _),
@@ -1468,6 +1559,74 @@ object TextAnalysis {
         |    < CASE lang WHEN 'en' THEN 5000 WHEN 'de' THEN 8000 WHEN 'fr' THEN 2500 WHEN 'es' THEN 1000 WHEN 'zh' THEN 10000 ELSE 0 END
         |    THEN n_chars ELSE 0 END) AS BIGINT) AS kept_chars
         |FROM documents GROUP BY lang""".stripMargin,
+    // The full composition, replayed end-to-end as ONE statement: span CTEs
+    // (scrub mass), wide-simhash + recursive walk (leakage split), per-doc
+    // Gopher gate, Hamilton allocation over the gated train split, then the
+    // running-sum shard law — every fragment verbatim from the stage
+    // oracles, glued with de-collided CTE names.
+    "x_pipeline_full" ->
+      s"""WITH RECURSIVE ${graft.ops.Dedup.dupSpanCtes(" WHERE doc_id <> mn")},
+         |sc0 AS (SELECT doc_id, SUM(span_tokens) AS dup_tokens FROM spans GROUP BY doc_id),
+         |scrub AS (SELECT t.doc_id, CAST(len(t.w) AS BIGINT) - COALESCE(s.dup_tokens, 0) AS n_tokens
+         |          FROM tok t LEFT JOIN sc0 s USING (doc_id)),
+         |${graft.ops.Dedup.simhashWideCtes("wtok")},
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM wcand
+         |      UNION ALL SELECT doc_b, doc_a FROM wcand),
+         |walk(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT w.u, e2.v FROM walk w JOIN e e2 ON w.v = e2.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM walk GROUP BY u),
+         |asg AS (SELECT d.doc_id, COALESCE(cc.cluster_id, d.doc_id) AS cluster_id
+         |        FROM documents d LEFT JOIN cc USING (doc_id)),
+         |tr AS (SELECT doc_id FROM asg
+         |       WHERE CAST('0x' || substring(md5('split:' || CAST(cluster_id AS VARCHAR)), 1, 7) AS BIGINT) % 100 < 80),
+         |gf AS (
+         |  SELECT doc_id, lang, source,
+         |         len(regexp_extract_all(lower(text), '\\S+')) AS n_words,
+         |         length(regexp_replace(lower(text), '\\s+', '', 'g')) AS n_word_chars,
+         |         len(regexp_extract_all(lower(text), '\\S*\\pL\\S*')) AS n_alpha_words,
+         |         (length(lower(text)) - length(replace(lower(text), '#', '')))
+         |           + (length(lower(text)) - length(replace(lower(text), '...', ''))) // 3 AS n_sym,
+         |         (CASE WHEN contains(' ' || lower(text) || ' ', ' the ') THEN 1 ELSE 0 END
+         |        + CASE WHEN contains(' ' || lower(text) || ' ', ' a ') THEN 1 ELSE 0 END
+         |        + CASE WHEN contains(' ' || lower(text) || ' ', ' of ') THEN 1 ELSE 0 END
+         |        + CASE WHEN contains(' ' || lower(text) || ' ', ' and ') THEN 1 ELSE 0 END
+         |        + CASE WHEN contains(' ' || lower(text) || ' ', ' to ') THEN 1 ELSE 0 END) AS n_stop
+         |  FROM documents),
+         |gate AS (
+         |  SELECT doc_id, lang, source FROM gf
+         |  WHERE NOT (n_words < 10 OR n_words > 100000)
+         |    AND NOT (n_word_chars < n_words * 3 OR n_word_chars > n_words * 10)
+         |    AND NOT (n_alpha_words * 5 < n_words * 4)
+         |    AND NOT (n_sym * 10 > n_words)
+         |    AND NOT (n_stop < 2)),
+         |pop AS (SELECT g.lang, g.source, g.doc_id FROM gate g JOIN tr USING (doc_id)),
+         |strata AS (SELECT lang, source, count(*) AS n FROM pop GROUP BY 1, 2),
+         |tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_tot FROM strata),
+         |alloc AS (SELECT lang, source, n,
+         |            $PIPE_T * n // n_tot AS base, $PIPE_T * n % n_tot AS rem
+         |          FROM strata, tot),
+         |extra AS (SELECT $PIPE_T - CAST(sum(base) AS BIGINT) AS extra FROM alloc),
+         |quotas AS (SELECT lang, source,
+         |             base + CASE WHEN row_number() OVER (ORDER BY rem DESC, lang, source)
+         |                         <= extra THEN 1 ELSE 0 END AS quota
+         |           FROM alloc, extra),
+         |ranked AS (SELECT p.lang, p.source, p.doc_id, q.quota,
+         |             row_number() OVER (PARTITION BY p.lang, p.source
+         |               ORDER BY CAST('0x' || substring(md5('strat:' || CAST(p.doc_id AS VARCHAR)), 1, 15) AS BIGINT),
+         |                        p.doc_id) AS rk
+         |           FROM pop p JOIN quotas q USING (lang, source)),
+         |samp AS (SELECT doc_id FROM ranked WHERE rk <= quota),
+         |st AS (SELECT s.doc_id, sc.n_tokens, md5('shard:' || CAST(s.doc_id AS VARCHAR)) AS h
+         |       FROM samp s JOIN scrub sc USING (doc_id)),
+         |csum AS (SELECT doc_id, n_tokens,
+         |                sum(n_tokens) OVER (ORDER BY h, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |         FROM st)
+         |SELECT CAST((cum - n_tokens) // ${SHARD_BUDGET} AS BIGINT) AS shard_id,
+         |       count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS n_tokens
+         |FROM csum GROUP BY 1""".stripMargin,
     "x_pipeline_e2e" ->
       """WITH ok AS (
         |  SELECT doc_id, lang, text,

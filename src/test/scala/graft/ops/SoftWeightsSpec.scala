@@ -29,7 +29,10 @@ class SoftWeightsSpec extends AnyFunSuite {
       col("raw_tokens"), col("weighted_tokens_ppm")).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      val (nd, raw, w) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      // weighted mass accumulates as DECIMAL(38,0) (Long wraps at ~9e12
+      // corpus tokens); exact long-valued on this fixture
+      val (nd, raw, w) =
+        (r.getLong(1), r.getLong(2), r.getDecimal(3).longValueExact())
       assert(w <= raw * 1000000L, s"${r.getString(0)}: inflated mass")
       if (nd == 0L) assert(w == raw * 1000000L,
         s"${r.getString(0)}: no dup clusters but mass deflated")
@@ -46,7 +49,7 @@ class SoftWeightsSpec extends AnyFunSuite {
       (4L, "b", 7L)).toDF("doc_id", "source", "n_tokens")
     val got = Dedup.dedupSoftWeightsOver(pairs, docs)
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getLong(4)))).toMap
+        r.getLong(3), r.getDecimal(4).longValueExact()))).toMap
     assert(got("a") == ((2L, 2L, 150L, 150L * 333333L)))
     assert(got("b") == ((2L, 1L, 17L, 10L * 333333L + 7L * 1000000L)))
   }
