@@ -130,6 +130,96 @@ object Multimodal {
     floor((wavDataBytes(bin) * 8000L) /
       (wavSampleRate(bin).cast("long") * wavChannels(bin) * wavBitsPerSample(bin))).cast("long")
 
+  // ---- JPEG (JFIF segment stream) ------------------------------------------
+  //
+  // Unlike PNG's fixed-offset IHDR, JPEG dimensions live in an SOF segment
+  // at a VARIABLE offset: the header is a marker-length segment chain
+  // (FF <marker> <len_be16> <payload>) that must be walked. The walk is a
+  // bounded fold over column expressions — `aggregate` carries an
+  // (offset, w, h) state across up to JPEG_MAX_SEGS segments, reading one
+  // marker per step. Canonical header streams (SOI, APPn/COM/DQT/DHT…,
+  // then SOF) resolve well inside the bound; streams that hit SOS/EOI
+  // first, break the FF framing, truncate, or exceed the bound parse as
+  // not-found — correct for a pre-codec filter (those rows fall through
+  // to the codec path instead of being silently mis-sized).
+
+  private val JPEG_MAX_SEGS = 16
+
+  def isJpeg(bin: Column): Column = hex(substring(bin, 1, 2)) === "FFD8"
+
+  /** Big-endian u8/u16 at a DYNAMIC 1-based offset (hex+conv like the PNG
+    * readers, but `substr` takes column offsets); -1 on reads past the end
+    * so every malformed stream fails the framing checks instead of
+    * null-poisoning the fold. */
+  private def dynU8(bin: Column, off: Column): Column =
+    coalesce(conv(hex(substr(bin, off, lit(1))), 16, 10).cast("int"), lit(-1))
+  private def dynU16(bin: Column, off: Column): Column =
+    coalesce(conv(hex(substr(bin, off, lit(2))), 16, 10).cast("int"), lit(-1))
+
+  /** The marker walk: (w, h) struct, fields -1 when no SOF was found.
+    * Accepts baseline (C0), extended-sequential (C1) and progressive (C2)
+    * frames — the three frame types web images actually use. */
+  def jpegDims(bin: Column): Column = {
+    val dead = struct(lit(-1).as("off"), lit(-1).as("w"), lit(-1).as("h"))
+    val folded = aggregate(
+      sequence(lit(1), lit(JPEG_MAX_SEGS)),
+      struct(lit(3).as("off"), lit(-1).as("w"), lit(-1).as("h")),
+      (st, _) => {
+        val off = st.getField("off")
+        val ff = dynU8(bin, off)
+        val marker = dynU8(bin, off + 1)
+        val segLen = dynU16(bin, off + 2)
+        val isSof = marker.isin(0xC0, 0xC1, 0xC2)
+        when(st.getField("w") >= 0 || off < 0, st) // resolved: hold state
+          .otherwise(when(
+            ff =!= 0xFF || marker === 0xD9 || marker === 0xDA || segLen < 2,
+            dead) // broken framing, EOI, or entropy data before any SOF
+          .otherwise(when(isSof,
+            struct(off.as("off"),
+              dynU16(bin, off + 7).as("w"), dynU16(bin, off + 5).as("h")))
+          .otherwise(
+            struct((off + segLen + 2).as("off"), lit(-1).as("w"), lit(-1).as("h")))))
+      })
+    struct(folded.getField("w").as("w"), folded.getField("h").as("h"))
+  }
+
+  def jpegWidth(bin: Column): Column = {
+    val w = jpegDims(bin).getField("w")
+    when(isJpeg(bin) && w >= 0, w)
+  }
+  def jpegHeight(bin: Column): Column = {
+    val h = jpegDims(bin).getField("h")
+    when(isJpeg(bin) && h >= 0, h)
+  }
+
+  /** Catalog query `x_multimodal_jpeg`: synthesize a JFIF stream per doc —
+    * SOI, a COM segment whose LENGTH VARIES with doc_id (so the SOF offset
+    * is different row to row and the walk is genuinely exercised), then an
+    * SOF0 carrying planted dimensions — and parse it back with the column
+    * walker; every 10th doc gets a corrupt payload (no SOI) that must
+    * reject. The DuckDB oracle states the PLANTED ground truth directly,
+    * so the gate checks the parser against independent truth rather than
+    * a mirrored reimplementation. */
+  def multimodalJpeg(s: SparkSession, d: String): DataFrame = {
+    val width = (lit(16) + col("doc_id") % 624).cast("int")
+    val height = (lit(16) + col("doc_id") % 464).cast("int")
+    val comLen = (col("doc_id") % 7 + 4).cast("int") // includes its own 2 bytes
+    val good = concat(
+      lit("FFD8"),
+      lit("FFFE"), lpad(hex(comLen), 4, "0"), repeat(lit("20"), comLen - 2),
+      lit("FFC0"), lit("0011"), lit("08"),
+      lpad(hex(height), 4, "0"), lpad(hex(width), 4, "0"),
+      lit("03")) // walk stops at SOF; the remaining component bytes are moot
+    val payload = unhex(when(col("doc_id") % 10 === 0, concat(lit("00"), good))
+      .otherwise(good))
+    documents(s, d)
+      .filter(col("doc_id") < 300)
+      .select(col("doc_id"),
+        isJpeg(payload).as("is_jpeg"),
+        jpegWidth(payload).as("width"),
+        jpegHeight(payload).as("height"))
+  }
+
   /** Aspect-preserving fit of (w, h) into a (maxW, maxH) box — the resize
     * TARGET computation (the actual pixel resample is the codec's job; the
     * planning math is exact integer/double column arithmetic). Each axis
@@ -294,7 +384,8 @@ object Multimodal {
     "x_frame_sample" -> (frameSample _),
     "x_resize_plan" -> (resizePlan _),
     "x_dedup_image" -> (dedupImage _),
-    "x_dedup_image_precision" -> (dedupImagePrecision _)
+    "x_dedup_image_precision" -> (dedupImagePrecision _),
+    "x_multimodal_jpeg" -> (multimodalJpeg _)
   )
 
   /** The 60 dHash comparison terms, unrolled (same generation discipline as
@@ -334,6 +425,15 @@ object Multimodal {
        |  WHERE hamming <= $IMG_MAX_HAMMING)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Ground truth, not a mirrored parser: the synthesized stream plants
+    // width/height as pure doc_id arithmetic, so the oracle states what the
+    // marker walk MUST recover (and NULL for the corrupt every-10th rows).
+    "x_multimodal_jpeg" ->
+      """SELECT doc_id,
+        |       (doc_id % 10 <> 0) AS is_jpeg,
+        |       CASE WHEN doc_id % 10 <> 0 THEN CAST(16 + doc_id % 624 AS INTEGER) END AS width,
+        |       CASE WHEN doc_id % 10 <> 0 THEN CAST(16 + doc_id % 464 AS INTEGER) END AS height
+        |FROM documents WHERE doc_id < 300""".stripMargin,
     "x_dedup_image" ->
       s"""WITH $imageCtes
          |SELECT doc_a, doc_b, hamming FROM icand""".stripMargin,

@@ -474,6 +474,43 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("JPEG SOF parse: real segment streams yield true dimensions; malformed reject") {
+    import spark.implicits._
+    def bytes(xs: Int*): Array[Byte] = xs.map(_.toByte).toArray
+    // canonical baseline JFIF: SOI, APP0 (JFIF\0 header, 16 bytes),
+    // COM (5 bytes), DQT (4-byte stub), SOF0 at a non-trivial offset
+    val baseline = bytes(0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x10, 'J', 'F', 'I', 'F', 0x00, 0x01, 0x02, 0x00,
+      0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xFF, 0xFE, 0x00, 0x05, 'h', 'i', '!',
+      0xFF, 0xDB, 0x00, 0x04, 0x00, 0x01,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x01, 0xE0, 0x02, 0x80, 0x03, // 640x480
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01)
+    // progressive: same stream with SOF2 and different dims (31x17)
+    val progressive = bytes(0xFF, 0xD8,
+      0xFF, 0xFE, 0x00, 0x04, 'o', 'k',
+      0xFF, 0xC2, 0x00, 0x11, 0x08, 0x00, 0x11, 0x00, 0x1F, 0x01, 0x01, 0x22, 0x00)
+    // SOS before any SOF (entropy data begins): must reject, not mis-read
+    val sosFirst = bytes(0xFF, 0xD8, 0xFF, 0xDA, 0x00, 0x04, 0x01, 0x00, 0xAB, 0xCD)
+    // truncated mid-segment and a non-JPEG payload
+    val truncated = bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00)
+    val notJpeg = bytes(0x89, 0x50, 0x4E, 0x47)
+    val df = Seq(
+      (1L, baseline), (2L, progressive), (3L, sosFirst), (4L, truncated), (5L, notJpeg)
+    ).toDF("id", "payload")
+    val got = df.select(col("id"),
+        Multimodal.isJpeg(col("payload")).as("ok"),
+        Multimodal.jpegWidth(col("payload")).as("w"),
+        Multimodal.jpegHeight(col("payload")).as("h"))
+      .collect().map(r => r.getLong(0) ->
+        (r.getBoolean(1), Option(r.get(2)), Option(r.get(3)))).toMap
+    assert(got(1L) == ((true, Some(640), Some(480))))
+    assert(got(2L) == ((true, Some(31), Some(17))))
+    assert(got(3L) == ((true, None, None)), "SOS-first stream must parse as no-SOF")
+    assert(got(4L) == ((true, None, None)), "truncated stream must parse as no-SOF")
+    assert(got(5L) == ((false, None, None)))
+  }
+
   test("image dHash: clone damage is bounded by 2 bits per perturbed pixel") {
     // Each +16 pixel bump touches at most its left and right comparisons,
     // so hamming(orig, clone) <= 2 * n_pert — the locality property that
