@@ -130,4 +130,35 @@ class ExamplesSpec extends AnyFunSuite {
     // generation — sub-linear probes at corpus scale:
     assert(graft.ops.Similarity.annLsh(spark, dir).count() > 0)
   }
+
+  test("example 8: event analytics — funnel, retention, attribution, transitions") {
+    import graft.ops.MoreQueries
+    val dir = "/root/testdata/sf0.001"
+
+    // conversion funnel: users surviving view -> later click -> later purchase
+    val funnel = MoreQueries.qFunnelSteps(spark, dir) // (step, event_type, n_users)
+    val steps = funnel.orderBy(col("step")).collect().map(_.getLong(2))
+    assert(steps.length == 3 && steps(0) >= steps(1) && steps(1) >= steps(2),
+      "a funnel can only narrow step to step")
+
+    // day-N retention by first-seen cohort (offsets 0..7)
+    val retention = MoreQueries.qRetentionCohort(spark, dir) // (cohort_day, day_offset, n_users)
+    assert(retention.filter(col("day_offset") === 0).count() > 0)
+    assert(retention.filter(col("day_offset") < 0 || col("day_offset") > 7).count() == 0)
+
+    // last-touch attribution: each purchase credited to the most recent
+    // prior view/click ('none' if the purchase leads the stream)
+    val credit = MoreQueries.qAttributionLastTouch(spark, dir) // (touch_type, n_purchases)
+    val totalPurchases = graft.ops.Tables.events(spark, dir)
+      .filter(col("event_type") === "purchase").count()
+    assert(credit.agg(sum(col("n_purchases"))).head().getLong(0) == totalPurchases,
+      "attribution must tile the purchase set exactly")
+
+    // first-order Markov transition counts between event types
+    val matrix = MoreQueries.qEventTransitions(spark, dir) // (event_type, next_type, n)
+    val nUsers = graft.ops.Tables.events(spark, dir).select(col("user_id")).distinct().count()
+    val nEvents = graft.ops.Tables.events(spark, dir).count()
+    assert(matrix.agg(sum(col("n"))).head().getLong(0) == nEvents - nUsers,
+      "each user's k events yield exactly k-1 transitions")
+  }
 }
