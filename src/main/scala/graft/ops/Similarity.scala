@@ -276,8 +276,18 @@ object Similarity {
     transform(centsLit(cents), c => org.apache.spark.sql.graftbridge.dotProduct(v, c))
 
   /** Nearest-centroid id: argmax similarity, ties to the lowest cluster
-    * index (array_position returns the first match, 1-based). */
-  private def assignCluster(v: Column, cents: Array[Array[Double]]): Column = {
+    * index — the native NearestCentroid expression (one JIT'd two-level
+    * loop). The HOF formulation it replaced ([[assignClusterViaHof]],
+    * spec-pinned identical) pays an interpreted lambda call per CENTROID
+    * per row: at the occupancy-targeted k the auto-k entry trains
+    * (k=4000 at sf5) that was ~60 s of the operator's 68 s cold run. */
+  private def assignCluster(v: Column, cents: Array[Array[Double]]): Column =
+    org.apache.spark.sql.graftbridge.nearestCentroid(v, cents)
+
+  /** The transform/array_position formulation [[assignCluster]] replaced —
+    * retained as the independent parity reference its spec pins the native
+    * expression against (the simhashSignaturesViaExplode discipline). */
+  private[ops] def assignClusterViaHof(v: Column, cents: Array[Array[Double]]): Column = {
     val sims = centroidSims(v, cents)
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
@@ -641,12 +651,12 @@ object Similarity {
   private def unitVectors(s: SparkSession, d: String): DataFrame =
     vectors(s, d).select(col("vec_id"), unit(col("v"), col("nrm")).as("w"))
 
-  /** Nearest sub-centroid of subspace `m`, ties to the lowest code. */
+  /** Nearest sub-centroid of subspace `m`, ties to the lowest code — the
+    * same native argmax expression as [[assignCluster]], over the sliced
+    * subvector. */
   private def assignSubCluster(w: Column, books: Array[Array[Array[Double]]], m: Int): Column = {
     val sub = slice(w, m * PQ_SUBDIM + 1, PQ_SUBDIM)
-    val sims = transform(centsLit(books(m)),
-      c => org.apache.spark.sql.graftbridge.dotProduct(sub, c))
-    (array_position(sims, array_max(sims)) - 1).cast("int")
+    org.apache.spark.sql.graftbridge.nearestCentroid(sub, books(m))
   }
 
   private val pqBookCache = new SessionCache[Array[Array[Array[Double]]]]()

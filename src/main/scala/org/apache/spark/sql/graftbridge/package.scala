@@ -19,6 +19,12 @@ package object graftbridge {
   def dotProduct(a: Column, b: Column): Column =
     ExpressionUtils.column(DotProduct(ExpressionUtils.expression(a), ExpressionUtils.expression(b)))
 
+  /** Codegen'd argmax-dot-product centroid assignment, ties to the lowest
+    * index (see [[graftbridge.NearestCentroid]]). */
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    ExpressionUtils.column(
+      NearestCentroid(ExpressionUtils.expression(v), centroids.map(_.toSeq).toSeq))
+
   /** Codegen'd merge-count of two SORTED distinct array<string> columns
     * (see [[graftbridge.SortedIntersectCount]]). */
   def sortedIntersectCount(a: Column, b: Column): Column =

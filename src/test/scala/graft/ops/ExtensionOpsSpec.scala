@@ -308,6 +308,45 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(codegen(1) == ((0.0, 0, 0)))
   }
 
+  test("NearestCentroid: ties to lowest index, codegen == interpreted, == HOF formulation") {
+    import spark.implicits._
+    import org.apache.spark.sql.graftbridge.nearestCentroid
+    val cents = Array(Array(1.0, 0.0), Array(0.0, 1.0), Array(1.0, 0.0)) // 2 ties with 0
+    val df = Seq(
+      Seq(2.0, 1.0),   // nearest = 0 (tie with 2 -> lowest index wins)
+      Seq(0.0, 3.0),   // nearest = 1
+      Seq(-1.0, -2.0), // sims (-1,-2,-1): all negative, first max -> 0
+      Seq.empty[Double] // all sims 0.0 -> ties -> 0
+    ).toDF("v")
+    def run(): Seq[Int] =
+      df.select(nearestCentroid(col("v"), cents).as("c")).collect().toSeq.map(_.getInt(0))
+    val codegen = run()
+    assert(codegen == Seq(0, 1, 0, 0))
+    val saved = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    try {
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      spark.conf.set("spark.sql.codegen.wholeStage", "false")
+      assert(run() == codegen)
+    } finally {
+      spark.conf.set("spark.sql.codegen.wholeStage", "true")
+      saved match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+        case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+      }
+    }
+    // parity with the retained HOF formulation on REAL embeddings at a
+    // trivial and a non-trivial k (the auto-k regime)
+    for (k <- Seq(16, 20)) {
+      val cs = Similarity.trainIvfCentroids(spark, SparkTestSession.sfDir, k)
+      val vecs = Tables.embeddings(spark, SparkTestSession.sfDir)
+        .select(col("vec_id"), expr("transform(embedding, x -> cast(x as double))").as("v"))
+      val native = vecs.select(col("vec_id"), nearestCentroid(col("v"), cs).as("c"))
+      val viaHof = vecs.select(col("vec_id"), Similarity.assignClusterViaHof(col("v"), cs).as("c"))
+      assert(native.exceptAll(viaHof).count() == 0 &&
+        viaHof.exceptAll(native).count() == 0, s"k=$k diverged")
+    }
+  }
+
   test("LshBuckets equals the per-plane sign-bit formulation, codegen and interpreted") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.lshBuckets
