@@ -200,7 +200,11 @@ object Multimodal {
     * reject. The DuckDB oracle states the PLANTED ground truth directly,
     * so the gate checks the parser against independent truth rather than
     * a mirrored reimplementation. */
-  def multimodalJpeg(s: SparkSession, d: String): DataFrame = {
+  /** The synthesized JFIF fixture payload (shared by the parse entry and
+    * the multimodal pipeline): planted dims 16+doc_id%624 × 16+doc_id%464,
+    * COM length varies with doc_id so the SOF offset differs row to row,
+    * and every 10th doc is corrupted (no SOI). */
+  private def jpegFixturePayload: Column = {
     val width = (lit(16) + col("doc_id") % 624).cast("int")
     val height = (lit(16) + col("doc_id") % 464).cast("int")
     val comLen = (col("doc_id") % 7 + 4).cast("int") // includes its own 2 bytes
@@ -210,14 +214,65 @@ object Multimodal {
       lit("FFC0"), lit("0011"), lit("08"),
       lpad(hex(height), 4, "0"), lpad(hex(width), 4, "0"),
       lit("03")) // walk stops at SOF; the remaining component bytes are moot
-    val payload = unhex(when(col("doc_id") % 10 === 0, concat(lit("00"), good))
-      .otherwise(good))
+    unhex(when(col("doc_id") % 10 === 0, concat(lit("00"), good)).otherwise(good))
+  }
+
+  def multimodalJpeg(s: SparkSession, d: String): DataFrame = {
+    val payload = jpegFixturePayload
     documents(s, d)
       .filter(col("doc_id") < 300)
       .select(col("doc_id"),
         isJpeg(payload).as("is_jpeg"),
         jpegWidth(payload).as("width"),
         jpegHeight(payload).as("height"))
+  }
+
+  /** The multimodal corpus-assembly composition (catalog
+    * `x_pipeline_multimodal`) — the image twin of the text pipeline's
+    * `x_pipeline_full`, each stage feeding the next:
+    *
+    *   1. header gate     — parse the JPEG stream ([[jpegDims]] marker
+    *                        walk over the synthesized fixture payloads);
+    *                        keep docs whose parse succeeds
+    *   2. image near-dup  — dHash banding over the GATED corpus, greedy
+    *                        keep-first drop (a doc is dropped iff it pairs
+    *                        with any lower-id doc — doc_b of the kernel's
+    *                        ordered pairs)
+    *   3. resize plan     — aspect-preserving fit into the 224×224 model
+    *                        input box on the survivors
+    *   4. pixel sharding  — balanced shards by fit-pixel mass (the vision
+    *                        loader's batch budget), 4M-pixel budget via
+    *                        the shared distributed prefix sum
+    *
+    * Output: the shard manifest (shard_id, n_images, n_pixels). The
+    * DuckDB oracle gates on the synthesis GROUND TRUTH (doc_id % 10) and
+    * states planted dims directly, so any parser deviation inside the
+    * pipeline changes fit/shard arithmetic and fails the hash — parse
+    * correctness is checked against independent truth, not a mirrored
+    * walker (x_multimodal_jpeg pins the walker row-by-row separately).
+    *
+    * Scale shape: stages 1 and 3 are per-row expressions at scan speed;
+    * stage 2 is the banded kernel (the only shuffle of corpus-order data);
+    * stage 4's windows run per range partition with control-plane offsets.
+    * The chain is linear — no stage consumed twice. */
+  def pipelineMultimodal(s: SparkSession, d: String): DataFrame = {
+    val payload = jpegFixturePayload
+    val parsed = documents(s, d)
+      .select(col("doc_id"), col("text"),
+        jpegWidth(payload).as("w"), jpegHeight(payload).as("h"))
+      .filter(col("w").isNotNull && col("h").isNotNull)
+    val sigs = parsed.select(col("doc_id"), dhashCol(gridCol(col("text"))).as("w0"))
+    val dropped = Dedup.simhashBandedPairs(sigs,
+        words = 1, bandBits = IMG_BAND_BITS, maxHamming = IMG_MAX_HAMMING)
+      .select(col("doc_b").as("doc_id")).distinct()
+    val fit = fitWithin(col("w"), col("h"), 224, 224)
+    val planned = parsed.join(dropped, Seq("doc_id"), "left_anti")
+      .withColumn("fit", fit)
+      .select(col("doc_id"),
+        (col("fit.w").cast("long") * col("fit.h")).as("n_tokens"))
+    TextAnalysis.shardBalancedOver(s, planned, budget = 1L << 22)
+      .groupBy(col("shard_id"))
+      .agg(count(lit(1)).as("n_images"), sum(col("n_tokens")).as("n_pixels"))
   }
 
   /** Aspect-preserving fit of (w, h) into a (maxW, maxH) box — the resize
@@ -385,7 +440,8 @@ object Multimodal {
     "x_resize_plan" -> (resizePlan _),
     "x_dedup_image" -> (dedupImage _),
     "x_dedup_image_precision" -> (dedupImagePrecision _),
-    "x_multimodal_jpeg" -> (multimodalJpeg _)
+    "x_multimodal_jpeg" -> (multimodalJpeg _),
+    "x_pipeline_multimodal" -> (pipelineMultimodal _)
   )
 
   /** The 60 dHash comparison terms, unrolled (same generation discipline as
@@ -437,6 +493,43 @@ object Multimodal {
     "x_dedup_image" ->
       s"""WITH $imageCtes
          |SELECT doc_a, doc_b, hamming FROM icand""".stripMargin,
+    // The composed image pipeline: the gate and dims come from the
+    // synthesis GROUND TRUTH (doc_id arithmetic) — a parser deviation
+    // inside the Spark chain changes fit/shard numbers and fails the hash.
+    "x_pipeline_multimodal" ->
+      s"""WITH mj AS (
+         |  SELECT doc_id, text,
+         |         CAST(16 + doc_id % 624 AS INTEGER) AS w,
+         |         CAST(16 + doc_id % 464 AS INTEGER) AS h
+         |  FROM documents WHERE doc_id % 10 <> 0),
+         |g2 AS (SELECT doc_id,
+         |         list_transform(range(0,${IMG_ROWS * IMG_COLS}),
+         |           i -> CAST('0x' || substring(md5(text || '#g' || i),1,2) AS BIGINT)) AS g
+         |       FROM mj),
+         |s2 AS (SELECT doc_id, CAST($dhashTermsSql AS BIGINT) AS w0 FROM g2),
+         |b2 AS (SELECT doc_id, w0, b.b AS band_idx,
+         |              (w0 >> CAST(b.b*$IMG_BAND_BITS AS INTEGER)) & ${(1 << IMG_BAND_BITS) - 1} AS band_val
+         |       FROM s2, (SELECT unnest(range(0,${60 / IMG_BAND_BITS})) AS b) b),
+         |drp AS (SELECT doc_id FROM (
+         |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_id,
+         |           CAST(bit_count(xor(a.w0, b.w0)) AS INTEGER) AS hamming
+         |    FROM b2 a JOIN b2 b
+         |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+         |  WHERE hamming <= $IMG_MAX_HAMMING),
+         |sv AS (SELECT m.doc_id, m.w, m.h FROM mj m ANTI JOIN drp USING (doc_id)),
+         |ft AS (SELECT doc_id,
+         |         CAST(greatest(floor(w * sc), 1) AS BIGINT)
+         |           * CAST(greatest(floor(h * sc), 1) AS BIGINT) AS px
+         |       FROM (SELECT doc_id, w, h,
+         |               least(CAST(224 AS DOUBLE) / w, CAST(224 AS DOUBLE) / h, CAST(1 AS DOUBLE)) AS sc
+         |             FROM sv)),
+         |st2 AS (SELECT doc_id, px, md5('shard:' || CAST(doc_id AS VARCHAR)) AS hh FROM ft),
+         |cs2 AS (SELECT doc_id, px,
+         |               sum(px) OVER (ORDER BY hh, doc_id ROWS UNBOUNDED PRECEDING) AS cum
+         |        FROM st2)
+         |SELECT CAST((cum - px) // ${1L << 22} AS BIGINT) AS shard_id,
+         |       count(*) AS n_images, CAST(sum(px) AS BIGINT) AS n_pixels
+         |FROM cs2 GROUP BY 1""".stripMargin,
     "x_dedup_image_precision" ->
       s"""WITH $imageCtes,
          |planted AS (SELECT doc_id AS doc_a, doc_id + $IMG_CLONE_OFFSET AS doc_b

@@ -980,18 +980,23 @@ object TextAnalysis {
     * the composable form. Persists its range-partitioned intermediate
     * (REQUIRED for partition-id stability across the two prefix-sum jobs,
     * same as the catalog path); callers run it once per session. */
-  private[ops] def shardBalancedOver(s: SparkSession, docsTok: DataFrame): DataFrame = {
+  private[ops] def shardBalancedOver(s: SparkSession, docsTok: DataFrame,
+      budget: Long = SHARD_BUDGET): DataFrame = {
+    require(budget > 0 && (budget & (budget - 1)) == 0,
+      "budget must be a power of two: the floor-of-double shard cut is only " +
+        "exactly integer division (and so exactly oracle-replayable) then")
     val h = md5(concat(lit("shard:"), col("doc_id").cast("string")))
     val parted = docsTok
       .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"), h.as("h"))
       .repartitionByRange(SHARD_PARTS, col("h"), col("doc_id"))
       .persist()
-    shardFromParted(s, parted)
+    shardFromParted(s, parted, budget)
   }
 
-  private def shardFromParted(s: SparkSession, parted: DataFrame): DataFrame = {
+  private def shardFromParted(s: SparkSession, parted: DataFrame,
+      budget: Long = SHARD_BUDGET): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val BUDGET = SHARD_BUDGET
+    val BUDGET = budget
     val PARTS = SHARD_PARTS
     // One row per partition → driver → exclusive prefix offsets. Partition
     // ids are stable here: spark_partition_id reads the slice the range

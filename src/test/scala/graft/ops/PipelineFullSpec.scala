@@ -39,4 +39,25 @@ class PipelineFullSpec extends AnyFunSuite {
       assert(tok >= 2048 - maxDoc && tok <= 2048 + maxDoc, s"shard $id: $tok tokens")
     }
   }
+
+  test("multimodal manifest: gate drops exactly the corrupt tenth, shards balance pixels") {
+    val rows = Multimodal.pipelineMultimodal(spark, dir)
+      .orderBy(col("shard_id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == (0L until rows.length)) // contiguous ids
+    // population = docs passing the header gate (doc_id % 10 != 0 by the
+    // synthesis law) minus the greedy image-dedup drops — never more than
+    // the gated count, and the gate must have dropped the corrupt tenth
+    val n = Tables.documents(spark, dir).count()
+    val gated = Tables.documents(spark, dir).filter(col("doc_id") % 10 =!= 0).count()
+    assert(gated < n)
+    val images = rows.map(_._2).sum
+    assert(images <= gated && images > gated * 9 / 10, s"$images of $gated survived")
+    // every full shard is within one image's pixels of the 4M budget
+    val maxPx = 224L * 224L
+    rows.init.foreach { case (id, _, px) =>
+      assert(px >= (1L << 22) - maxPx && px <= (1L << 22) + maxPx, s"shard $id: $px px")
+    }
+  }
 }
