@@ -618,6 +618,48 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** 5-NN majority vote THROUGH the IVF index (catalog `x_knn_vote_ivf`):
+    * the same eval as [[knnLabelVote]] but with candidates generated by
+    * probing the top-[[IVF_NPROBE]] trained clusters instead of scanning
+    * the corpus — the index actually USED for a task, not just
+    * recall-audited. Probe construction is bit-identical to [[annIvf]]'s
+    * (same tie order), so the oracle replays training → probes → top-5 →
+    * vote end-to-end. A query whose probed clusters hold no other vector
+    * casts no vote (the honest ANN behavior; the spec pins conservation
+    * against the voted-query count).
+    *
+    * At 100 TB: the query side is eval-sized and broadcast; the corpus
+    * side is touched once via the cluster equi-join, candidates per query
+    * bounded by NPROBE × occupancy. */
+  def knnLabelVoteIvf(s: SparkSession, d: String): DataFrame = {
+    val cents = trainIvfCentroids(s, d)
+    val lab = ivfAssigned(s, d)
+      .join(embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+    val simStructs = transform(centroidSims(col("qv"), cents),
+      (sim, i) => struct(sim.as("sim"), i.as("cl")))
+    val q = lab.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"),
+        col("label").as("true_label"))
+      .withColumn("probes", slice(reverse(array_sort(simStructs)), 1, IVF_NPROBE))
+      .select(col("q_id"), col("qv"), col("qn"), col("true_label"),
+        explode(col("probes.cl")).as("cluster"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+    val top5 = q.join(lab, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("true_label"), col("vec_id").as("nn_id"), col("label"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+    val wv = Window.partitionBy(col("q_id")).orderBy(col("votes").desc, col("label"))
+    top5
+      .groupBy(col("q_id"), col("true_label"), col("label"))
+      .agg(count(lit(1)).as("votes"))
+      .withColumn("vr", row_number().over(wv))
+      .filter(col("vr") === 1)
+      .groupBy(col("true_label"), col("label").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   def annLshRecall(s: SparkSession, d: String): DataFrame =
     recallAgainstExact(annLsh(s, d), exactTop3(s, d, 200))
 
@@ -958,6 +1000,7 @@ object Similarity {
     "x_dedup_semantic_auto" -> ((s: SparkSession, d: String) =>
       dedupSemanticAuto(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_knn_label_vote" -> (knnLabelVote _),
+    "x_knn_vote_ivf" -> (knnLabelVoteIvf _),
     "x_cluster_medoids" -> (clusterMedoids _),
     "x_ann_matryoshka" -> (annMatryoshka _),
     "x_ann_matryoshka_recall" -> (annMatryoshkaRecall _),
@@ -1217,6 +1260,35 @@ object Similarity {
          |WHERE list_dot_product(qa.v, qb.v) / (qa.nrm * qb.nrm) >= 0.5""".stripMargin,
     "x_dedup_semantic" -> semanticOracleSql(IVF_K),
     "x_dedup_semantic_fine" -> semanticOracleSql(SEM_FINE_K),
+    // Same trained assignment + probe CTEs as the ANN oracle, then the
+    // knn-vote chain over IVF candidates instead of the full corpus.
+    "x_knn_vote_ivf" ->
+      s"""WITH ${ivfAssignCtes(IVF_K)},
+         |lab AS (SELECT af.vec_id, af.v, af.nrm, af.cl, e.label
+         |        FROM af JOIN embeddings e ON e.vec_id = af.vec_id),
+         |pr AS (SELECT q_id, cl AS cluster FROM (
+         |    SELECT n.vec_id AS q_id, c.cl,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY list_dot_product(n.v, c.cent) DESC, c.cl DESC) AS rn
+         |    FROM n, c$IVF_ITERS c WHERE n.vec_id < 200) WHERE rn <= $IVF_NPROBE),
+         |top5 AS (SELECT q_id, true_label, label FROM (
+         |    SELECT p.q_id, q.label AS true_label, b.label,
+         |           row_number() OVER (PARTITION BY p.q_id
+         |             ORDER BY list_dot_product(q.v, b.v) / (q.nrm * b.nrm) DESC, b.vec_id) AS rnk
+         |    FROM pr p JOIN lab q ON q.vec_id = p.q_id
+         |              JOIN lab b ON b.cl = p.cluster AND b.vec_id <> p.q_id)
+         |  WHERE rnk <= 5),
+         |votes AS (
+         |  SELECT q_id, true_label, label, count(*) AS votes
+         |  FROM top5 GROUP BY q_id, true_label, label),
+         |winner AS (
+         |  SELECT q_id, true_label, label FROM (
+         |    SELECT q_id, true_label, label,
+         |           row_number() OVER (PARTITION BY q_id ORDER BY votes DESC, label) AS vr
+         |    FROM votes)
+         |  WHERE vr = 1)
+         |SELECT true_label, label AS predicted, count(*) AS n
+         |FROM winner GROUP BY true_label, label""".stripMargin,
     "x_knn_label_vote" ->
       s"""WITH $baseCtes,
          |l AS (SELECT n.vec_id, n.v, n.nrm, e.label

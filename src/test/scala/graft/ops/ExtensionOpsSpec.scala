@@ -347,6 +347,23 @@ class ExtensionOpsSpec extends AnyFunSuite {
     }
   }
 
+  test("IVF knn vote: every query with candidates votes once; accuracy tracks brute force") {
+    def tally(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(sum(col("n")),
+        sum(when(col("true_label") === col("predicted"), col("n")).otherwise(0L))).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (bTot, bCor) = tally(Similarity.knnLabelVote(spark, SparkTestSession.sfDir))
+    val (iTot, iCor) = tally(Similarity.knnLabelVoteIvf(spark, SparkTestSession.sfDir))
+    assert(bTot == 200, "brute force votes every query")
+    // a probed query can only miss a vote if its NPROBE clusters hold no
+    // other vector — never on this fixture (500 vectors / 16 clusters)
+    assert(iTot == 200, s"IVF voted $iTot of 200")
+    // random-label fixture: both sit near the 1/|labels| baseline; the
+    // index must not systematically diverge from the exact eval
+    assert(math.abs(iCor - bCor) <= 20, s"IVF $iCor vs brute $bCor correct")
+  }
+
   test("LshBuckets equals the per-plane sign-bit formulation, codegen and interpreted") {
     import spark.implicits._
     import org.apache.spark.sql.graftbridge.lshBuckets
