@@ -350,8 +350,26 @@ object MoreQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The DEPLOYMENT transition stream — the idle-TTL variant — through the
+    * same staged file stream, gated by the same batch lead-window oracle:
+    * with a horizon wider than any gap the fixture holds (one year vs an
+    * hours-scale event table), every pair is in-horizon, so TTL output ==
+    * untimed output == the batch matrix — which is exactly the
+    * "emissions unchanged inside the horizon" guarantee run through the
+    * driver's hash gate rather than only the spec. The state-bounding half
+    * of the contract (eviction past the horizon) is TransitionTtlSpec's,
+    * where gaps are synthetic and controllable. */
+  def qStreamTransitionsTtl(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_trans_ttl").toString
+    graft.streaming.EventStream.runTransitionFileStream(s, events(s, d), work,
+        idleTtlMs = Some(365L * 24 * 3600 * 1000))
+      .groupBy(col("event_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_stream_transitions_parity" -> (qStreamTransitionsParity _),
+    "q_stream_transitions_ttl" -> (qStreamTransitionsTtl _),
     "q_stream_funnel_parity" -> (qStreamFunnelParity _),
     "q_attribution_last_touch" -> (qAttributionLastTouch _),
     "q_event_transitions" -> (qEventTransitions _),
@@ -434,6 +452,7 @@ object MoreQueries {
         |FROM o WHERE event_type = 'purchase' GROUP BY touch_type""".stripMargin,
     "q_event_transitions" -> transitionsOracleSql,
     "q_stream_transitions_parity" -> transitionsOracleSql,
+    "q_stream_transitions_ttl" -> transitionsOracleSql,
     // Sequenced CTE formulation (first view -> first later click -> first
     // later purchase) — deliberately different from the windowed staging
     // the Spark side plans. The streaming twin shares the SAME oracle:
