@@ -161,4 +161,21 @@ class ExamplesSpec extends AnyFunSuite {
     assert(matrix.agg(sum(col("n"))).head().getLong(0) == nEvents - nUsers,
       "each user's k events yield exactly k-1 transitions")
   }
+
+  test("example 9: the composed assembly pipelines emit balanced manifests") {
+    val dir = "/root/testdata/sf0.001"
+
+    // text: gate -> scrub -> split -> sample -> shard
+    val shards = graft.ops.TextAnalysis.pipelineFull(spark, dir)
+    assert(shards.count() > 0)
+    assert(shards.agg(sum(col("n_docs"))).head().getLong(0) == 120L,
+      "the stratified stage's 120-doc budget is hit exactly")
+
+    // images: header gate -> near-dup drop -> resize plan -> pixel shards
+    val batches = graft.ops.Multimodal.pipelineMultimodal(spark, dir)
+    assert(batches.count() > 0)
+    val docs = graft.ops.Tables.documents(spark, dir).count()
+    val imgs = batches.agg(sum(col("n_images"))).head().getLong(0)
+    assert(imgs < docs, "the gate and dedup must drop something")
+  }
 }
