@@ -509,9 +509,18 @@ object Dedup {
         // (100 TB) scale this audit is for — a plain Long sum would wrap
         // silently under non-ANSI Spark while the DuckDB twin widened to
         // HUGEINT. The per-row product is overflow-safe (n_tokens ≤ ~1e6,
-        // ppm ≤ 1e6); only the SUM needs the wide type.
+        // ppm ≤ 1e6); only the SUM needs the wide type. The EMITTED column
+        // is the ppm sum scaled back to whole tokens as BIGINT
+        // (IntegralDivide on the decimal sum): bounded by raw token mass,
+        // so Long-safe at any corpus size, and — unlike a raw
+        // DECIMAL(38,0) column — bit-stable through every downstream hash
+        // canonicalization (a decimal literal stringifies differently
+        // across engines even when the value is equal).
         sum((col("n_tokens") * col("weight_ppm")).cast(DecimalType(38, 0)))
-          .as("weighted_tokens_ppm"))
+          .as("wsum_ppm"))
+      .withColumn("weighted_tokens",
+        expr("CAST(wsum_ppm div 1000000 AS BIGINT)"))
+      .drop("wsum_ppm")
   }
 
   /** Near-dup cluster-size histogram (catalog `x_dup_cluster_sizes`):
@@ -1311,7 +1320,8 @@ object Dedup {
          |SELECT source, count(*) AS n_docs,
          |  CAST(sum(CASE WHEN csize > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_in_dup_clusters,
          |  CAST(sum(n_tokens) AS BIGINT) AS raw_tokens,
-         |  CAST(sum(CAST(n_tokens * weight_ppm AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS weighted_tokens_ppm
+         |  CAST(CAST(sum(CAST(n_tokens * weight_ppm AS HUGEINT)) AS HUGEINT)
+         |       // 1000000 AS BIGINT) AS weighted_tokens
          |FROM w GROUP BY source""".stripMargin,
     // Same transitive closure as the CC oracle but over the WIDE pair
     // family, then the salted md5 residue law 80/10/10 on the CLUSTER id —

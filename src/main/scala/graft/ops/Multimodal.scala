@@ -149,12 +149,18 @@ object Multimodal {
 
   /** Big-endian u8/u16 at a DYNAMIC 1-based offset (hex+conv like the PNG
     * readers, but `substr` takes column offsets); -1 on reads past the end
-    * so every malformed stream fails the framing checks instead of
-    * null-poisoning the fold. */
+    * OR truncated mid-read so every malformed stream fails the framing
+    * checks instead of null-poisoning the fold. The u16 reader needs the
+    * explicit length guard: with exactly one byte remaining `substr`
+    * returns that single byte and `conv` would report its 0-255 value as
+    * a bogus "u16" — a stream cut inside an SOF payload must parse as
+    * not-found, not as a wrong small dimension. */
   private def dynU8(bin: Column, off: Column): Column =
     coalesce(conv(hex(substr(bin, off, lit(1))), 16, 10).cast("int"), lit(-1))
   private def dynU16(bin: Column, off: Column): Column =
-    coalesce(conv(hex(substr(bin, off, lit(2))), 16, 10).cast("int"), lit(-1))
+    when(length(bin) >= off + 1,
+      coalesce(conv(hex(substr(bin, off, lit(2))), 16, 10).cast("int"), lit(-1)))
+      .otherwise(lit(-1))
 
   /** The marker walk: (w, h) struct, fields -1 when no SOF was found.
     * Accepts baseline (C0), extended-sequential (C1) and progressive (C2)
@@ -180,7 +186,15 @@ object Multimodal {
           .otherwise(
             struct((off + segLen + 2).as("off"), lit(-1).as("w"), lit(-1).as("h")))))
       })
-    struct(folded.getField("w").as("w"), folded.getField("h").as("h"))
+    // All-or-nothing emission: a stream truncated BETWEEN the height and
+    // width fields yields one good read and one -1 — reporting the
+    // surviving dimension would half-size a rejected frame, so both reads
+    // must succeed or neither is reported.
+    val fw = folded.getField("w")
+    val fh = folded.getField("h")
+    val ok = fw >= 0 && fh >= 0
+    struct(when(ok, fw).otherwise(lit(-1)).as("w"),
+      when(ok, fh).otherwise(lit(-1)).as("h"))
   }
 
   def jpegWidth(bin: Column): Column = {

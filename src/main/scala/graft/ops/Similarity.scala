@@ -576,7 +576,6 @@ object Similarity {
     // hierarchical index, not flat k-means).
     val k = math.max(IVF_K,
       math.toIntExact((n + targetOccupancy - 1) / targetOccupancy))
-    lastAutoK.set(k)
     dedupSemantic(s, d, k)
   }
 
@@ -589,17 +588,10 @@ object Similarity {
     * n·occupancy). Production default stays 512. */
   private val AUTO_DEMO_OCCUPANCY = 25L
 
-  /** k recorded by the most recent [[dedupSemanticAuto]] construction —
-    * read by [[oracleSql]] so the DuckDB twin replays the SAME k the Spark
-    * plan trained with. graft.Verify constructs every query for ONE sf
-    * directory and only then dumps oracle SQL, so last-write-wins is exact
-    * there; sessions that never construct the auto entry fall back to the
-    * IVF_K floor (the value every gate scale below 16·occupancy yields). */
-  private val lastAutoK = new java.util.concurrent.atomic.AtomicInteger(IVF_K)
-
   /** Cluster-coverage representatives (catalog `x_cluster_medoids`): for
     * each trained k-means cluster, the member closest to the centroid
-    * (max cosine, ties to the lowest vec_id) plus the cluster's size —
+    * (max cosine at ppm granularity, ties to the lowest vec_id) plus the
+    * cluster's size —
     * the diversity-sampling primitive: k medoids summarize the corpus's
     * modes, and sampling budgets allocated per cluster (instead of
     * uniformly) keep rare modes represented. Reuses the shared
@@ -613,13 +605,23 @@ object Similarity {
     val cents = trainIvfCentroids(s, d)
     val cos = org.apache.spark.sql.graftbridge.dotProduct(
       col("v"), element_at(centsLit(cents), col("cluster") + 1)) / col("nrm")
-    val w = Window.partitionBy(col("cluster")).orderBy(col("cos").desc, col("vec_id"))
+    // The score is emitted AND ordered as integral ppm (catalog float
+    // discipline, same as x_lm_bigram_score): the raw double is not
+    // bit-stable cross-engine here — the centroid literal passes through a
+    // decimal→double conversion that DuckDB's CAST(…)/cn composes in a
+    // different association, and at sf0.1 the difference reaches the last
+    // ~3 ulps (round-10 verdict, cluster 14). Quantizing BOTH the output
+    // and the ORDER BY key makes the medoid choice and the gated value
+    // depend only on ppm-scale geometry, never on fold order.
+    val w = Window.partitionBy(col("cluster"))
+      .orderBy(col("cos_ppm").desc, col("vec_id"))
     ivfAssigned(s, d)
-      .withColumn("cos", cos)
+      .withColumn("cos_ppm", floor(cos * lit(1000000d)).cast("long"))
       .withColumn("csize", count(lit(1)).over(Window.partitionBy(col("cluster"))))
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
-      .select(col("cluster"), col("vec_id").as("medoid_id"), col("csize"), col("cos"))
+      .select(col("cluster"), col("vec_id").as("medoid_id"), col("csize"),
+        col("cos_ppm"))
   }
 
   /** 5-NN majority-vote label prediction audited against the true labels —
@@ -1099,9 +1101,27 @@ object Similarity {
   /** The semantic-dedup oracle at cluster count `k`: the SAME SQL text
     * modulo the Lloyd literals — both the default and the fine family are
     * replayed end-to-end. */
-  private def semanticOracleSql(k: Int, maxVecId: Option[Long] = None): String = {
+  private def semanticOracleSql(k: Int, maxVecId: Option[Long] = None): String =
+    semanticOracleSqlExpr(k.toString, "", maxVecId)
+
+  /** The AUTO-k semantic oracle: instead of smuggling the trained k out of
+    * the Spark session, the DuckDB twin derives it from the SAME count
+    * probe and sizing law ([[dedupSemanticAuto]]: max(IVF_K,
+    * ceil(n/occupancy)) as integer arithmetic) in a scalar `kk` CTE — the
+    * SQL text is deterministic for any corpus directory, so a parallel
+    * Verify, a multi-directory session, or a dump-before-construct path
+    * all emit the correct oracle. */
+  private def semanticOracleSqlAuto(occupancy: Long): String =
+    semanticOracleSqlExpr("(SELECT k FROM kk)",
+      s"""kk AS (SELECT greatest($IVF_K,
+         |  CAST((count(*) + ${occupancy - 1}) // $occupancy AS INT)) AS k FROM n),
+         |""".stripMargin,
+      None)
+
+  private def semanticOracleSqlExpr(kExpr: String, preCtes: String,
+      maxVecId: Option[Long]): String = {
     val bound = maxVecId.map(m => s" AND a.vec_id < $m AND b.vec_id < $m").getOrElse("")
-    s"""WITH ${ivfAssignCtes(k)},
+    s"""WITH ${ivfAssignCtes(kExpr, preCtes)},
        |sp AS (
        |  SELECT a.vec_id AS vec_id, a.cl AS cluster, b.vec_id AS dup_of,
        |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
@@ -1114,7 +1134,13 @@ object Similarity {
        |WHERE rnk = 1""".stripMargin
   }
 
-  private def ivfAssignCtes(k: Int): String = {
+  private def ivfAssignCtes(k: Int): String = ivfAssignCtes(k.toString, "")
+
+  /** `kExpr` is any scalar SQL expression — an integer literal for the
+    * fixed families, a scalar subquery over a `preCtes`-defined relation
+    * for the auto entry. `preCtes` is spliced after the base CTEs (so it
+    * may reference `n`) and must end with ",\n" when non-empty. */
+  private def ivfAssignCtes(kExpr: String, preCtes: String): String = {
     def assign(cPrev: String, aName: String, extra: String = "", from: String = "n") =
       s"""$aName AS (SELECT vec_id, v,$extra cl FROM (
          |  SELECT n.vec_id, n.v,$extra c.cl,
@@ -1135,13 +1161,13 @@ object Similarity {
         recompute(s"a$i", s"c${i - 1}", s"c$i")
     }.mkString(",\n")
     s"""$baseCtes,
-       |ts AS (SELECT vec_id, v FROM n
+       |${preCtes}ts AS (SELECT vec_id, v FROM n
        |       WHERE (vec_id * $IVF_TRAIN_MULT + $IVF_TRAIN_ADD) % $IVF_TRAIN_MOD < $IVF_TRAIN_KEEP),
        |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cent
        |       FROM n WHERE vec_id IN (
-       |         SELECT i.i * (SELECT greatest(1, count(*) // $k) FROM n)
-       |         FROM (SELECT unnest(range(0,$k)) AS i) i)
-       |       ORDER BY vec_id LIMIT $k),
+       |         SELECT i.i * (SELECT greatest(1, count(*) // ($kExpr)) FROM n)
+       |         FROM (SELECT unnest(range(0,($kExpr))) AS i) i)
+       |       ORDER BY vec_id LIMIT ($kExpr)),
        |$iters,
        |${assign(s"c$IVF_ITERS", "af", " nrm,")}""".stripMargin
   }
@@ -1206,24 +1232,27 @@ object Similarity {
        |       CAST(SUM(CASE WHEN rnk IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_top3
        |FROM $sketchCte LEFT JOIN ex USING (q_id, nn_id)""".stripMargin
 
-  /** Static twins plus the auto-k semantic entry, whose oracle is GENERATED
-    * at dump time from the k the query construction recorded ([[lastAutoK]])
-    * — same SQL text as the fixed families modulo the inlined literals, so
-    * the data-driven production path is replayed end-to-end too. */
+  /** Static twins plus the auto-k semantic entry, whose oracle DERIVES k
+    * from the same count probe and sizing law the Spark construction runs
+    * ([[semanticOracleSqlAuto]]) — deterministic SQL text, no shared
+    * driver state, so the data-driven production path is replayed
+    * end-to-end for any directory. */
   def oracleSql: Map[String, String] =
-    staticOracleSql + ("x_dedup_semantic_auto" -> semanticOracleSql(lastAutoK.get))
+    staticOracleSql +
+      ("x_dedup_semantic_auto" -> semanticOracleSqlAuto(AUTO_DEMO_OCCUPANCY))
 
   private val staticOracleSql: Map[String, String] = Map(
     // Same trained assignment relation as the ANN/semantic oracles; the
     // medoid is row 1 of a per-cluster cosine-to-final-centroid order.
     "x_cluster_medoids" ->
       s"""WITH ${ivfAssignCtes(IVF_K)}
-         |SELECT CAST(cluster AS INTEGER) AS cluster, medoid_id, csize, cos FROM (
+         |SELECT CAST(cluster AS INTEGER) AS cluster, medoid_id, csize, cos_ppm FROM (
          |  SELECT a.cl AS cluster, a.vec_id AS medoid_id,
          |         count(*) OVER (PARTITION BY a.cl) AS csize,
-         |         list_dot_product(a.v, c.cent) / a.nrm AS cos,
+         |         CAST(floor(list_dot_product(a.v, c.cent) / a.nrm * 1000000) AS BIGINT) AS cos_ppm,
          |         row_number() OVER (PARTITION BY a.cl
-         |           ORDER BY list_dot_product(a.v, c.cent) / a.nrm DESC, a.vec_id) AS rn
+         |           ORDER BY CAST(floor(list_dot_product(a.v, c.cent) / a.nrm * 1000000) AS BIGINT) DESC,
+         |                    a.vec_id) AS rn
          |  FROM af a JOIN c$IVF_ITERS c ON c.cl = a.cl)
          |WHERE rn = 1""".stripMargin,
     "x_ann_bruteforce" ->

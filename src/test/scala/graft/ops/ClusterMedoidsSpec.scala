@@ -21,9 +21,9 @@ class ClusterMedoidsSpec extends AnyFunSuite {
     assert(med.count() > 1, "fixture must populate multiple clusters")
   }
 
-  test("medoid cosine is a valid similarity and every id is distinct") {
-    val rows = med.select(col("cos"), col("medoid_id")).collect()
-    rows.foreach(r => assert(r.getDouble(0) >= -1.0001 && r.getDouble(0) <= 1.0001))
+  test("medoid cosine ppm is a valid similarity and every id is distinct") {
+    val rows = med.select(col("cos_ppm"), col("medoid_id")).collect()
+    rows.foreach(r => assert(r.getLong(0) >= -1000001L && r.getLong(0) <= 1000000L))
     assert(rows.map(_.getLong(1)).distinct.length == rows.length)
   }
 

@@ -551,8 +551,15 @@ class ExtensionOpsSpec extends AnyFunSuite {
     // truncated mid-segment and a non-JPEG payload
     val truncated = bytes(0xFF, 0xD8, 0xFF, 0xE0, 0x00)
     val notJpeg = bytes(0x89, 0x50, 0x4E, 0x47)
+    // truncated INSIDE the SOF payload, ending with exactly ONE byte of
+    // the width u16 present: a naive 1-byte read would report that byte's
+    // 0-255 value as the width (and the already-complete height as 480) —
+    // the truncate-rejects contract demands (None, None)
+    val sofCut = bytes(0xFF, 0xD8,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x01, 0xE0, 0x02)
     val df = Seq(
-      (1L, baseline), (2L, progressive), (3L, sosFirst), (4L, truncated), (5L, notJpeg)
+      (1L, baseline), (2L, progressive), (3L, sosFirst), (4L, truncated),
+      (5L, notJpeg), (6L, sofCut)
     ).toDF("id", "payload")
     val got = df.select(col("id"),
         Multimodal.isJpeg(col("payload")).as("ok"),
@@ -565,6 +572,8 @@ class ExtensionOpsSpec extends AnyFunSuite {
     assert(got(3L) == ((true, None, None)), "SOS-first stream must parse as no-SOF")
     assert(got(4L) == ((true, None, None)), "truncated stream must parse as no-SOF")
     assert(got(5L) == ((false, None, None)))
+    assert(got(6L) == ((true, None, None)),
+      "stream cut inside the SOF payload must reject, not half-size")
   }
 
   test("image dHash: clone damage is bounded by 2 bits per perturbed pixel") {

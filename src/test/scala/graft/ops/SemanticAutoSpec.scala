@@ -32,16 +32,24 @@ class SemanticAutoSpec extends AnyFunSuite {
       manual.exceptAll(auto).count() == 0)
   }
 
-  test("catalog entry records its k and the generated oracle inlines it") {
-    // n=500 at sf0.001 with the demo occupancy 25 -> k=20: run the catalog
-    // entry, then the dumped oracle must be the k=20 SQL (range(0,20) seeds,
-    // LIMIT 20) — the driver replay contract.
+  test("catalog entry matches manual k; the oracle derives k in-SQL") {
+    // n=500 at sf0.001 with the demo occupancy 25 -> k=20. The dumped
+    // oracle no longer inlines a driver-recorded literal (that shared
+    // state emitted a wrong-k oracle under parallel Verify or
+    // dump-before-construct): it derives k from the SAME count probe and
+    // sizing law in a `kk` CTE, so its text is construction-order- and
+    // directory-independent. DuckDB replay of the derivation is covered
+    // by the committed oracle_check tallies.
     val df = Similarity.queries("x_dedup_semantic_auto")(spark, dir)
-    df.collect() // construction already recorded k; collect proves it runs
     val sql = Similarity.oracleSql("x_dedup_semantic_auto")
+    assert(sql.contains("kk AS (SELECT greatest(16,") &&
+      sql.contains("// 25 AS INT)) AS k FROM n)") &&
+      sql.contains("(SELECT k FROM kk)"),
+      "oracle SQL does not derive k via the sizing-law CTE")
+    // dump order must not matter: reading the oracle before running the
+    // query yields the same text
+    assert(Similarity.oracleSql("x_dedup_semantic_auto") == sql)
     val expectedK = math.max(16, ((n + 24) / 25).toInt)
-    assert(sql.contains(s"range(0,$expectedK)") && sql.contains(s"LIMIT $expectedK"),
-      s"oracle SQL does not inline k=$expectedK")
     val manual = Similarity.dedupSemantic(spark, dir, k = expectedK)
     assert(df.exceptAll(manual).count() == 0 && manual.exceptAll(df).count() == 0)
   }

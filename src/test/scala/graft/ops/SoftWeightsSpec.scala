@@ -26,15 +26,14 @@ class SoftWeightsSpec extends AnyFunSuite {
 
   test("weighting only deflates; sources with no dup clusters keep full mass") {
     val rows = audit.select(col("source"), col("n_in_dup_clusters"),
-      col("raw_tokens"), col("weighted_tokens_ppm")).collect()
+      col("raw_tokens"), col("weighted_tokens")).collect()
     assert(rows.nonEmpty)
     rows.foreach { r =>
-      // weighted mass accumulates as DECIMAL(38,0) (Long wraps at ~9e12
-      // corpus tokens); exact long-valued on this fixture
-      val (nd, raw, w) =
-        (r.getLong(1), r.getLong(2), r.getDecimal(3).longValueExact())
-      assert(w <= raw * 1000000L, s"${r.getString(0)}: inflated mass")
-      if (nd == 0L) assert(w == raw * 1000000L,
+      // mass accumulates as DECIMAL(38,0) internally but is EMITTED as
+      // whole tokens (ppm sum div 1e6) — BIGINT, hash-stable
+      val (nd, raw, w) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(w <= raw, s"${r.getString(0)}: inflated mass")
+      if (nd == 0L) assert(w == raw,
         s"${r.getString(0)}: no dup clusters but mass deflated")
     }
     // the fixture must actually exercise the deflation path
@@ -49,9 +48,11 @@ class SoftWeightsSpec extends AnyFunSuite {
       (4L, "b", 7L)).toDF("doc_id", "source", "n_tokens")
     val got = Dedup.dedupSoftWeightsOver(pairs, docs)
       .collect().map(r => (r.getString(0), (r.getLong(1), r.getLong(2),
-        r.getLong(3), r.getDecimal(4).longValueExact()))).toMap
-    assert(got("a") == ((2L, 2L, 150L, 150L * 333333L)))
-    assert(got("b") == ((2L, 1L, 17L, 10L * 333333L + 7L * 1000000L)))
+        r.getLong(3), r.getLong(4)))).toMap
+    // ppm sums before the div-1e6 emission: a = 150*333333 = 49,999,950
+    // -> 49 tokens; b = 10*333333 + 7*1000000 = 10,333,330 -> 10 tokens.
+    assert(got("a") == ((2L, 2L, 150L, 49L)))
+    assert(got("b") == ((2L, 1L, 17L, 10L)))
   }
 
   test("cross-entry consistency: dup-cluster membership equals the pair relation's support") {
