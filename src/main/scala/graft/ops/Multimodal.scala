@@ -8,11 +8,16 @@ import Tables._
 /** Multimodal-column plumbing: media payloads as opaque `binary` columns with
   * typed metadata, decoded via per-partition batch functions.
   *
-  * The image/audio codec libraries are not available in this environment, so
-  * the decode step is a clearly-marked deterministic STUB; everything around
-  * it — binary schema, partition-batched invocation, metadata struct shape,
-  * and the expression-only fast path — is real Spark plumbing, tested and
-  * oracled. Swap [[decodeStub]] for a real codec and nothing else changes.
+  * External codec libraries are not available in this environment, so the
+  * generic media decode step is a clearly-marked deterministic STUB;
+  * everything around it — binary schema, partition-batched invocation,
+  * metadata struct shape, and the expression-only fast path — is real Spark
+  * plumbing, tested and oracled. For IMAGES specifically the JDK's own
+  * `javax.imageio` codecs make a real pixel path possible with no external
+  * dependency: [[decodedGrids]]/[[imageSignaturesDecoded]] decode actual
+  * JPEG/PNG bytes into the same grayscale grid the stub emits, so the
+  * dHash near-dup family runs end-to-end on real images (spec-proven on
+  * crafted PNGs/JPEGs) while the stub grid remains the oracled fixture.
   */
 object Multimodal {
 
@@ -418,6 +423,92 @@ object Multimodal {
           .otherwise(array(self))).as("r"))
       .select(col("r.doc_id").as("doc_id"), dhashCol(col("r.g")).as("w0"))
   }
+
+  /** REAL-codec grid source for the dHash family: decode via
+    * `javax.imageio` (the JDK's own JPEG/PNG/BMP/GIF codecs — no external
+    * dependency), then area-average down to the same IMG_ROWS×IMG_COLS
+    * grayscale grid the stub emits. Runs in the identical per-partition
+    * batch shape as [[withDecodedMeta]] (a stateful codec initializes once
+    * per partition; ImageIO's plugin registry scan amortizes the same
+    * way). Undecodable payloads are DROPPED, not nulled — in a production
+    * pipeline they fall through to a quarantine path, and a null grid
+    * would poison the hash.
+    *
+    * Grayscale is integer BT.601 ((299R+587G+114B)/1000) and the
+    * downscale is an integer box average over the pixel rectangle each
+    * grid cell covers — no float resampling, so the grid (and every hash
+    * bit derived from it) is bit-deterministic across JVMs and platforms.
+    */
+  def decodedGrids(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("g", ArrayType(LongType, containsNull = false), nullable = false)))
+    val rdd = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          val img =
+            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+            catch { case _: java.io.IOException => None }
+          img.filter(i => i.getWidth > 0 && i.getHeight > 0)
+            .map(i => Row(r.getLong(0), grayGrid(i)))
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** The integer box-average grayscale grid of a decoded image (see
+    * [[decodedGrids]]); cells whose rectangle falls outside a tiny image
+    * read as 0. */
+  private def grayGrid(img: java.awt.image.BufferedImage): Array[Long] = {
+    val w = img.getWidth
+    val h = img.getHeight
+    val out = new Array[Long](IMG_ROWS * IMG_COLS)
+    var r = 0
+    while (r < IMG_ROWS) {
+      var c = 0
+      while (c < IMG_COLS) {
+        val x0 = c * w / IMG_COLS
+        val x1 = math.min(math.max((c + 1) * w / IMG_COLS, x0 + 1), w)
+        val y0 = r * h / IMG_ROWS
+        val y1 = math.min(math.max((r + 1) * h / IMG_ROWS, y0 + 1), h)
+        var sum = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val rgb = img.getRGB(x, y)
+            sum += (299L * ((rgb >> 16) & 0xFF) + 587L * ((rgb >> 8) & 0xFF) +
+              114L * (rgb & 0xFF)) / 1000L
+            x += 1
+          }
+          y += 1
+        }
+        out(r * IMG_COLS + c) =
+          if (x1 <= x0 || y1 <= y0) 0L
+          else sum / ((x1 - x0).toLong * (y1 - y0))
+        c += 1
+      }
+      r += 1
+    }
+    out
+  }
+
+  /** (doc_id, w0) signatures from REAL image bytes — the production twin
+    * of [[imageSignatures]]: the SAME [[dhashCol]] expression over the
+    * decoded grid, feeding the SAME banded kernel. This is the one-seam
+    * codec swap the family was designed around; the stub path stays as
+    * the oracled fixture. */
+  def imageSignaturesDecoded(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    decodedGrids(df, idCol, payloadCol)
+      .select(col("doc_id"), dhashCol(col("g")).as("w0"))
+
+  /** [[dedupImage]] over real image bytes: decode → grid → dHash → the
+    * shared banded kernel at the family's band parameters. */
+  def dedupImageDecoded(df: DataFrame, idCol: String, payloadCol: String): DataFrame =
+    Dedup.simhashBandedPairs(imageSignaturesDecoded(df, idCol, payloadCol),
+      words = 1, bandBits = IMG_BAND_BITS, maxHamming = IMG_MAX_HAMMING)
 
   /** Image near-dup pairs (catalog `x_dedup_image`): banded dHash
     * candidates, hamming-verified — the shared kernel at 4×15-bit bands

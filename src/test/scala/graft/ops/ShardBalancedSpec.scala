@@ -51,4 +51,22 @@ class ShardBalancedSpec extends AnyFunSuite {
     val again = TextAnalysis.shardBalanced(spark, dir)
     assert(sharded.exceptAll(again).count() == 0 && again.exceptAll(sharded).count() == 0)
   }
+
+  test("repeated Over-form calls reuse one persisted intermediate (no cache leak)") {
+    // The composable form persists its range-partitioned intermediate for
+    // pid stability; without the plan-keyed session cache every
+    // bench/verify re-invocation of the composed pipelines pinned a NEW
+    // set of cached blocks. Plan-equal inputs must hit the same entry.
+    val docsTok = Tables.documents(spark, dir)
+      .select(col("doc_id"), TextAnalysis.tokenCountCol(col("text")).cast("long").as("n_tokens"))
+    TextAnalysis.shardBalancedOver(spark, docsTok).count()
+    val after1 = spark.sparkContext.getPersistentRDDs.size
+    (1 to 3).foreach { _ =>
+      val again = Tables.documents(spark, dir)
+        .select(col("doc_id"), TextAnalysis.tokenCountCol(col("text")).cast("long").as("n_tokens"))
+      TextAnalysis.shardBalancedOver(spark, again).count()
+    }
+    assert(spark.sparkContext.getPersistentRDDs.size == after1,
+      "plan-equal re-invocations must not pin new cached blocks")
+  }
 }
