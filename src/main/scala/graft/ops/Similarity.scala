@@ -588,6 +588,131 @@ object Similarity {
     * n·occupancy). Production default stays 512. */
   private val AUTO_DEMO_OCCUPANCY = 25L
 
+  // ---- Two-level (coarse × fine) quantizer ---------------------------------
+  //
+  // The scale seam every flat-k-means comment in this file points at: with
+  // the occupancy rule, flat k ≈ n/occupancy makes TRAINING and ASSIGNMENT
+  // n·k = n²/occupancy flops — the honest quadratic the sf5 bench charges
+  // the auto entry (13.1 s at k=4000 over 100k vectors). The two-level
+  // quantizer trains k coarse cells and k fine cells INSIDE each coarse
+  // cell (k = ceil(sqrt(cells)), cells = ceil(n/occupancy)), so assignment
+  // is n·2k = n·2√cells — at the sf5 point that is 100k·18 vs 100k·4000
+  // dots, and at 10⁹ vectors (k ≈ 6325 flat) it is the difference between
+  // an index build that finishes and one that doesn't. Pair space is
+  // unchanged (Σ n_cell² ≈ n·occupancy over k² cells). This is exactly
+  // FAISS's IVF-with-two-level-coarse-quantizer composition.
+
+  /** Demo occupancy matches the flat auto entry so the two paths are
+    * directly comparable at every bench scale. */
+  private val L2_OCCUPANCY = 25L
+  private val L2_FINE_ITERS = 2
+
+  /** Side length: k1 = k2 = max(2, ceil(sqrt(ceil(n/occupancy)))) — integer
+    * sqrt-of-integer double math, replayed verbatim by the DuckDB oracle's
+    * `kk` CTE (IEEE sqrt of an exact integer is correctly rounded in both
+    * engines). */
+  private def twoLevelK(n: Long, occupancy: Long): Int = {
+    val cells = (n + occupancy - 1) / occupancy
+    math.max(2, math.ceil(math.sqrt(cells.toDouble)).toInt)
+  }
+
+  private val twoLevelCache =
+    new SessionCache[(Array[Array[Double]], Array[Array[Double]], Int)]()
+
+  /** Train the two-level quantizer: coarse = the SHARED deterministic Lloyd
+    * ([[trainIvfCentroids]] at k), then k fine centroids per coarse cell,
+    * trained by a GROUPED Lloyd over the same hash sample — every
+    * iteration is ONE distributed job for all k² fine cells (assignment
+    * via the native [[org.apache.spark.sql.graftbridge.NearestCentroidSlice]]
+    * — each row scans only its own cell's k candidates — and one exact
+    * DECIMAL recompute grouped by (c1, c2)), never a per-cell loop.
+    * Fine seeds are per-cell strided sample members (row_number within
+    * cell / stride); cells thinner than k keep the coarse centroid in
+    * their unseeded slots, and empty fine cells keep their previous
+    * centroid — the same conventions as the flat trainer, so the oracle
+    * replays bit-for-bit. Returns (coarse k×dim, fine flat k²×dim, k). */
+  private[ops] def trainTwoLevel(s: SparkSession, d: String)
+      : (Array[Array[Double]], Array[Array[Double]], Int) =
+    cached(twoLevelCache, s, d) {
+      val n = vectors(s, d).count()
+      val k = twoLevelK(n, L2_OCCUPANCY)
+      val coarse = trainIvfCentroids(s, d, k)
+      val sa = ivfTrainSet(s, d)
+        .withColumn("c1", assignCluster(col("v"), coarse))
+        .persist()
+      val seedRows = {
+        val wCell = Window.partitionBy(col("c1")).orderBy(col("vec_id"))
+        sa.withColumn("rn", row_number().over(wCell).cast("long") - 1)
+          .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("c1"))))
+          .withColumn("stride", expr(s"greatest(1, cnt div $k)"))
+          .filter(expr("rn % stride = 0") && expr(s"rn div stride < $k"))
+          .select(col("c1"), expr("CAST(rn div stride AS INT)").as("c2"), col("v"))
+          .collect()
+      }
+      var fine = Array.tabulate(k * k)(i => coarse(i / k).clone())
+      seedRows.foreach(r =>
+        fine(r.getInt(0) * k + r.getInt(1)) = r.getSeq[Double](2).toArray)
+      for (_ <- 1 to L2_FINE_ITERS) {
+        val assigned = sa.withColumn("c2",
+          org.apache.spark.sql.graftbridge.nearestCentroidSlice(
+            col("v"), col("c1"), fine, k))
+        val sums = assigned
+          .select(col("c1"), col("c2"), posexplode(col("v")).as(Seq("pos", "x")))
+          .groupBy(col("c1"), col("c2"), col("pos"))
+          .agg(sum(col("x").cast(DecimalType(28, 12))).as("sx"),
+            count(lit(1)).as("cn"))
+          .collect()
+        val next = fine.map(_.clone())
+        sums.groupBy(r => (r.getInt(0), r.getInt(1))).foreach {
+          case ((c1, c2), rows) =>
+            val dim = rows.map(_.getInt(2)).max + 1
+            val arr = new Array[Double](dim)
+            rows.foreach(r =>
+              arr(r.getInt(2)) = r.getDecimal(3).doubleValue / r.getLong(4))
+            next(c1 * k + c2) = arr
+        }
+        fine = next
+      }
+      sa.unpersist(blocking = false)
+      (coarse, fine, k)
+    }
+
+  /** Full-corpus two-level assignment `(vec_id, v, nrm, c1, c2)` — n·2k
+    * native-codegen dots per vector, one persisted pass per directory. */
+  private val twoLevelAssignedCache = new SessionCache[DataFrame]()
+
+  private def twoLevelAssigned(s: SparkSession, d: String): DataFrame =
+    cached(twoLevelAssignedCache, s, d) {
+      val (coarse, fine, k) = trainTwoLevel(s, d)
+      vectors(s, d)
+        .withColumn("c1", assignCluster(col("v"), coarse))
+        .withColumn("c2", org.apache.spark.sql.graftbridge.nearestCentroidSlice(
+          col("v"), col("c1"), fine, k))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** SemDeDup over the two-level quantizer (catalog
+    * `x_dedup_semantic_2level`): same pair semantics as [[dedupSemantic]]
+    * — nearest same-cell earlier neighbor at cos ≥ SEM_TAU — but the cell
+    * is the composite (c1, c2) fine cell, i.e. the production shape whose
+    * quantizer cost stays n·2√cells as the corpus grows. One shuffle on
+    * the composite cell id; cos is a class-B per-row raw-vector fold
+    * (SURVEY §8.4). */
+  def dedupSemantic2Level(s: SparkSession, d: String): DataFrame = {
+    val a = twoLevelAssigned(s, d)
+    val pairs = a.as("x")
+      .join(a.as("y"),
+        col("x.c1") === col("y.c1") && col("x.c2") === col("y.c2") &&
+          col("y.vec_id") < col("x.vec_id"))
+      .select(col("x.vec_id").as("vec_id"), col("x.c1").as("c1"),
+        col("x.c2").as("c2"), col("y.vec_id").as("dup_of"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .filter(col("cos") >= SEM_TAU)
+    val w = Window.partitionBy(col("vec_id")).orderBy(col("dup_of"))
+    pairs.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("vec_id"), col("c1"), col("c2"), col("dup_of"), col("cos"))
+  }
+
   /** Cluster-coverage representatives (catalog `x_cluster_medoids`): for
     * each trained k-means cluster, the member closest to the centroid
     * (max cosine at ppm granularity, ties to the lowest vec_id) plus the
@@ -1033,6 +1158,7 @@ object Similarity {
       dedupSemantic(s, d, SEM_FINE_K, maxVecId = Some(SEM_PIN_MAX_ID))),
     "x_dedup_semantic_auto" -> ((s: SparkSession, d: String) =>
       dedupSemanticAuto(s, d, AUTO_DEMO_OCCUPANCY)),
+    "x_dedup_semantic_2level" -> (dedupSemantic2Level _),
     "x_knn_label_vote" -> (knnLabelVote _),
     "x_knn_vote_ivf" -> (knnLabelVoteIvf _),
     "x_cluster_medoids" -> (clusterMedoids _),
@@ -1117,6 +1243,84 @@ object Similarity {
          |  CAST((count(*) + ${occupancy - 1}) // $occupancy AS INT)) AS k FROM n),
          |""".stripMargin,
       None)
+
+  /** The two-level oracle: the coarse phase reuses the expression-k
+    * unrolled-Lloyd machinery verbatim (side length derived in the `kk`
+    * CTE by the same sqrt-of-ceil law [[twoLevelK]] computes), then the
+    * fine phase replays the grouped Lloyd — per-cell strided seeds with
+    * coarse-centroid fallback, [[L2_FINE_ITERS]] unrolled
+    * assign/recompute rounds restricted to each row's own cell, exact
+    * DECIMAL(28,12) means, empty cells keeping their previous centroid —
+    * and finally the full-corpus composite assignment and the SemDeDup
+    * pair selection, all in one statement.
+    *
+    * Every multiply-referenced CTE is `AS MATERIALIZED`: DuckDB inlines
+    * plain CTEs per reference, and this statement references the coarse
+    * chain from four places and each fine round from three — inlining
+    * compounds MULTIPLICATIVELY through the unrolled rounds (the first
+    * draft ran >17 min of DuckDB CPU at sf0.01; materialized it is
+    * seconds). `cn`/`afm` snapshot the shared coarse-Lloyd chain once so
+    * no downstream reference re-expands it. */
+  private def semantic2LevelOracleSql(occupancy: Long): String = {
+    val kE = "(SELECT k FROM kk)"
+    val kk =
+      s"""kk AS MATERIALIZED (SELECT greatest(2,
+         |  CAST(ceil(sqrt((count(*) + ${occupancy - 1}) // $occupancy)) AS INT)) AS k FROM n),
+         |""".stripMargin
+    val fineIters = (1 to L2_FINE_ITERS).map { i =>
+      s"""fa$i AS MATERIALIZED (SELECT vec_id, v, c1, c2 FROM (
+         |  SELECT t.vec_id, t.v, t.c1, f.c2,
+         |         row_number() OVER (PARTITION BY t.vec_id
+         |           ORDER BY list_dot_product(t.v, f.cent) DESC, f.c2) AS rn
+         |  FROM tsa t JOIN f${i - 1} f ON f.c1 = t.c1) WHERE rn = 1),
+         |f$i AS MATERIALIZED (
+         |  SELECT c1, c2, list(cv ORDER BY pos) AS cent FROM (
+         |    SELECT c1, c2, pos.p AS pos,
+         |           CAST(SUM(CAST(v[pos.p] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cv
+         |    FROM fa$i, (SELECT unnest(range(1,65)) AS p) pos
+         |    GROUP BY c1, c2, pos.p) GROUP BY c1, c2
+         |  UNION ALL
+         |  SELECT f.c1, f.c2, f.cent FROM f${i - 1} f
+         |  WHERE NOT EXISTS (SELECT 1 FROM fa$i a WHERE a.c1 = f.c1 AND a.c2 = f.c2))"""
+        .stripMargin
+    }.mkString(",\n")
+    s"""WITH ${ivfAssignCtes(kE, kk)},
+       |cn AS MATERIALIZED (SELECT cl, cent FROM c$IVF_ITERS),
+       |afm AS MATERIALIZED (SELECT vec_id, v, nrm, cl FROM af),
+       |tsa AS MATERIALIZED (SELECT vec_id, v, c1 FROM (
+       |  SELECT n.vec_id, n.v, c.cl AS c1,
+       |         row_number() OVER (PARTITION BY n.vec_id
+       |           ORDER BY list_dot_product(n.v, c.cent) DESC, c.cl) AS rn
+       |  FROM ts n, cn c) WHERE rn = 1),
+       |tsr AS (SELECT vec_id, v, c1,
+       |         row_number() OVER (PARTITION BY c1 ORDER BY vec_id) - 1 AS rn,
+       |         count(*) OVER (PARTITION BY c1) AS cnt FROM tsa),
+       |fseed AS (SELECT c1, CAST(rn // greatest(1, cnt // $kE) AS INT) AS c2, v AS cent
+       |          FROM tsr WHERE rn % greatest(1, cnt // $kE) = 0
+       |            AND rn // greatest(1, cnt // $kE) < $kE),
+       |slots AS (SELECT c.cl AS c1, j.j AS c2
+       |          FROM cn c, (SELECT unnest(range(0,$kE)) AS j) j),
+       |f0 AS MATERIALIZED (SELECT s.c1, CAST(s.c2 AS INT) AS c2, COALESCE(fs.cent, cc.cent) AS cent
+       |       FROM slots s
+       |       LEFT JOIN fseed fs ON fs.c1 = s.c1 AND fs.c2 = s.c2
+       |       JOIN cn cc ON cc.cl = s.c1),
+       |$fineIters,
+       |vaf AS MATERIALIZED (SELECT vec_id, v, nrm, c1, c2 FROM (
+       |  SELECT a.vec_id, a.v, a.nrm, a.cl AS c1, f.c2,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY list_dot_product(a.v, f.cent) DESC, f.c2) AS rn
+       |  FROM afm a JOIN f$L2_FINE_ITERS f ON f.c1 = a.cl) WHERE rn = 1),
+       |sp AS (
+       |  SELECT a.vec_id, a.c1, a.c2, b.vec_id AS dup_of,
+       |         list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos
+       |  FROM vaf a JOIN vaf b ON b.c1 = a.c1 AND b.c2 = a.c2 AND b.vec_id < a.vec_id
+       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SEM_TAU)
+       |SELECT vec_id, CAST(c1 AS INTEGER) AS c1, CAST(c2 AS INTEGER) AS c2, dup_of, cos FROM (
+       |  SELECT vec_id, c1, c2, dup_of, cos,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dup_of) AS rnk
+       |  FROM sp)
+       |WHERE rnk = 1""".stripMargin
+  }
 
   private def semanticOracleSqlExpr(kExpr: String, preCtes: String,
       maxVecId: Option[Long]): String = {
@@ -1239,7 +1443,8 @@ object Similarity {
     * end-to-end for any directory. */
   def oracleSql: Map[String, String] =
     staticOracleSql +
-      ("x_dedup_semantic_auto" -> semanticOracleSqlAuto(AUTO_DEMO_OCCUPANCY))
+      ("x_dedup_semantic_auto" -> semanticOracleSqlAuto(AUTO_DEMO_OCCUPANCY)) +
+      ("x_dedup_semantic_2level" -> semantic2LevelOracleSql(L2_OCCUPANCY))
 
   private val staticOracleSql: Map[String, String] = Map(
     // Same trained assignment relation as the ANN/semantic oracles; the

@@ -25,6 +25,15 @@ package object graftbridge {
     ExpressionUtils.column(
       NearestCentroid(ExpressionUtils.expression(v), centroids.map(_.toSeq).toSeq))
 
+  /** Codegen'd argmax assignment WITHIN a flat centroid table's per-cell
+    * slice — the fine step of a two-level quantizer (see
+    * [[graftbridge.NearestCentroidSlice]]). */
+  def nearestCentroidSlice(v: Column, cell: Column,
+      centroids: Array[Array[Double]], sliceLen: Int): Column =
+    ExpressionUtils.column(NearestCentroidSlice(
+      ExpressionUtils.expression(v), ExpressionUtils.expression(cell),
+      centroids.map(_.toSeq).toSeq, sliceLen))
+
   /** Codegen'd merge-count of two SORTED distinct array<string> columns
     * (see [[graftbridge.SortedIntersectCount]]). */
   def sortedIntersectCount(a: Column, b: Column): Column =

@@ -20,7 +20,10 @@ con = duckdb.connect()
 for t in ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]:
     p = f"{sf}/{t}.parquet"
-    if os.path.exists(p):
+    if os.path.isdir(p):
+        # Spark-written table (ScaleUp output): a directory of part files
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}/*.parquet')")
+    elif os.path.exists(p):
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
 oracles = json.load(open(f"{out}/oracle_sql.json"))
 names = sorted(only or oracles.keys())
