@@ -376,7 +376,7 @@ object Similarity {
     * vector), the same amortization as the bucket/centroid caches. */
   private val ivfAssignedCache = new SessionCache[DataFrame]()
 
-  private def ivfAssigned(s: SparkSession, d: String, k: Int = IVF_K): DataFrame =
+  private[ops] def ivfAssigned(s: SparkSession, d: String, k: Int = IVF_K): DataFrame =
     cached(ivfAssignedCache, s, s"$d#k=$k") {
       vectors(s, d).withColumn("cluster", assignCluster(col("v"), trainIvfCentroids(s, d, k)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -587,6 +587,56 @@ object Similarity {
     * sane (k=4000 over 100k vectors — assignment n·k bounded, pair space
     * n·occupancy). Production default stays 512. */
   private val AUTO_DEMO_OCCUPANCY = 25L
+
+  /** Incremental (delta-vs-index) SEMANTIC dedup — the embedding-space
+    * sibling of [[graft.ops.Dedup.dedupIncremental]], completing the
+    * incremental family (exact and MinHash already have one): a new batch
+    * of vectors is checked against the EXISTING corpus without re-deduping
+    * the corpus. Same demo split (odd `vec_id` = incoming delta, even =
+    * persisted index) and the same INDEX-FRESHNESS CONTRACT, restated
+    * against its spec (IncrementalSemanticSpec): delta-vs-index matches
+    * FOUND; delta-vs-delta NOT (the batch self-dedups with
+    * [[dedupSemanticAuto]] over the delta alone); index-vs-index assumed
+    * handled at index build; batches probe-then-append so cross-batch
+    * pairs are found by the later batch.
+    *
+    * Probe shape: assign each delta vector to its nearest trained
+    * centroid (native [[org.apache.spark.sql.graftbridge.NearestCentroid]]
+    * argmax — delta·k dots), then an equi-join on the cluster key against
+    * ONLY that cluster's index members, exact cosine ≥ [[SEM_TAU]] inside
+    * the bucket. With the occupancy sizing rule (k ≈ n/occupancy, the
+    * same [[AUTO_DEMO_OCCUPANCY]] knob as the auto entry so the two gates
+    * share k) per-delta-probe work is ~occupancy index rows — O(delta)
+    * per run, never O(corpus), exactly the minhash probe's cost contract.
+    * In production the centroids and the assigned index are PERSISTED
+    * artifacts of the index build (the demo recomputes both from the
+    * day-0 snapshot so the DuckDB oracle can replay training end-to-end);
+    * the per-run job reads them, so the corpus is never rescanned.
+    *
+    * Output mirrors the minhash probe: each matching delta vector, its
+    * cluster, its canonical match (min index vec_id clearing τ), and the
+    * match count — ALL INTEGRAL columns (§8.4 new-entry rule; the cosine
+    * stays internal to the threshold predicate, a class-B per-row
+    * raw-vector fold on both engines). */
+  def dedupSemanticIncremental(s: SparkSession, d: String,
+      targetOccupancy: Long = 512L): DataFrame = {
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    val n = vectors(s, d).count()
+    val k = math.max(IVF_K,
+      math.toIntExact((n + targetOccupancy - 1) / targetOccupancy))
+    val a = ivfAssigned(s, d, k)
+    val delta = a.filter(col("vec_id") % 2 === 1)
+    val index = a.filter(col("vec_id") % 2 === 0)
+    delta.as("x")
+      .join(index.as("y"), col("x.cluster") === col("y.cluster"))
+      .select(col("x.vec_id").as("vec_id"), col("x.cluster").as("cluster"),
+        col("y.vec_id").as("match_vec"),
+        (dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm"))).as("cos"))
+      .filter(col("cos") >= SEM_TAU)
+      .groupBy(col("vec_id"), col("cluster"))
+      .agg(min(col("match_vec")).as("match_id"), count(lit(1)).as("n_matches"))
+      .orderBy(col("vec_id"))
+  }
 
   // ---- Two-level (coarse × fine) quantizer ---------------------------------
   //
@@ -1158,6 +1208,8 @@ object Similarity {
       dedupSemantic(s, d, SEM_FINE_K, maxVecId = Some(SEM_PIN_MAX_ID))),
     "x_dedup_semantic_auto" -> ((s: SparkSession, d: String) =>
       dedupSemanticAuto(s, d, AUTO_DEMO_OCCUPANCY)),
+    "x_dedup_semantic_incremental" -> ((s: SparkSession, d: String) =>
+      dedupSemanticIncremental(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_dedup_semantic_2level" -> (dedupSemantic2Level _),
     "x_knn_label_vote" -> (knnLabelVote _),
     "x_knn_vote_ivf" -> (knnLabelVoteIvf _),
@@ -1322,6 +1374,28 @@ object Similarity {
        |WHERE rnk = 1""".stripMargin
   }
 
+  /** The incremental-probe oracle: the SAME auto-k `kk` count probe and
+    * unrolled-Lloyd assignment chain as [[semanticOracleSqlAuto]], then the
+    * asymmetric delta(odd)-vs-index(even) cluster-bucketed threshold join
+    * and the canonical-match aggregate — all-integral output per the §8.4
+    * new-entry rule (the cosine lives only inside the predicate, a
+    * class-B per-row raw-vector fold in both engines). */
+  private def semanticIncrementalOracleSql(occupancy: Long): String = {
+    val kk =
+      s"""kk AS (SELECT greatest($IVF_K,
+         |  CAST((count(*) + ${occupancy - 1}) // $occupancy AS INT)) AS k FROM n),
+         |""".stripMargin
+    s"""WITH ${ivfAssignCtes("(SELECT k FROM kk)", kk)},
+       |m AS (
+       |  SELECT a.vec_id AS vec_id, a.cl AS cluster, b.vec_id AS match_vec
+       |  FROM af a JOIN af b ON b.cl = a.cl
+       |    AND a.vec_id % 2 = 1 AND b.vec_id % 2 = 0
+       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SEM_TAU)
+       |SELECT vec_id, CAST(cluster AS INTEGER) AS cluster,
+       |       min(match_vec) AS match_id, CAST(count(*) AS BIGINT) AS n_matches
+       |FROM m GROUP BY vec_id, cluster""".stripMargin
+  }
+
   private def semanticOracleSqlExpr(kExpr: String, preCtes: String,
       maxVecId: Option[Long]): String = {
     val bound = maxVecId.map(m => s" AND a.vec_id < $m AND b.vec_id < $m").getOrElse("")
@@ -1444,6 +1518,8 @@ object Similarity {
   def oracleSql: Map[String, String] =
     staticOracleSql +
       ("x_dedup_semantic_auto" -> semanticOracleSqlAuto(AUTO_DEMO_OCCUPANCY)) +
+      ("x_dedup_semantic_incremental" ->
+        semanticIncrementalOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_dedup_semantic_2level" -> semantic2LevelOracleSql(L2_OCCUPANCY))
 
   private val staticOracleSql: Map[String, String] = Map(
