@@ -1231,7 +1231,7 @@ object Similarity {
 
   private def baseCtes: String =
     """t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-      |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM t)""".stripMargin
+      |n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM t)""".stripMargin
 
   /** One UNION ALL arm per hash table: the same sign-bit bucket assembly
     * the [[org.apache.spark.sql.graftbridge.LshBuckets]] expression runs,
@@ -1417,16 +1417,23 @@ object Similarity {
   /** `kExpr` is any scalar SQL expression — an integer literal for the
     * fixed families, a scalar subquery over a `preCtes`-defined relation
     * for the auto entry. `preCtes` is spliced after the base CTEs (so it
-    * may reference `n`) and must end with ",\n" when non-empty. */
+    * may reference `n`) and must end with ",\n" when non-empty.
+    *
+    * Every multiply-referenced CTE is `AS MATERIALIZED` (same fix as the
+    * two-level oracle): DuckDB inlines plain CTEs, so the unrolled Lloyd
+    * chain — each `c$i` referencing `a$i` twice and `c${i-1}` twice —
+    * re-evaluates earlier rounds multiplicatively. At the auto entry's
+    * sf1 point (k=800) the inlined form exhausted >76 GB of DuckDB temp
+    * before failing; materialized it completes in seconds. */
   private def ivfAssignCtes(kExpr: String, preCtes: String): String = {
     def assign(cPrev: String, aName: String, extra: String = "", from: String = "n") =
-      s"""$aName AS (SELECT vec_id, v,$extra cl FROM (
+      s"""$aName AS MATERIALIZED (SELECT vec_id, v,$extra cl FROM (
          |  SELECT n.vec_id, n.v,$extra c.cl,
          |         row_number() OVER (PARTITION BY n.vec_id
          |           ORDER BY list_dot_product(n.v, c.cent) DESC, c.cl) AS rn
          |  FROM $from n, $cPrev c) WHERE rn = 1)""".stripMargin
     def recompute(aName: String, cPrev: String, cName: String) =
-      s"""$cName AS (
+      s"""$cName AS MATERIALIZED (
          |  SELECT cl, list(cv ORDER BY pos) AS cent FROM (
          |    SELECT cl, pos.p AS pos,
          |           CAST(SUM(CAST(v[pos.p] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cv
@@ -1439,9 +1446,9 @@ object Similarity {
         recompute(s"a$i", s"c${i - 1}", s"c$i")
     }.mkString(",\n")
     s"""$baseCtes,
-       |${preCtes}ts AS (SELECT vec_id, v FROM n
+       |${preCtes}ts AS MATERIALIZED (SELECT vec_id, v FROM n
        |       WHERE (vec_id * $IVF_TRAIN_MULT + $IVF_TRAIN_ADD) % $IVF_TRAIN_MOD < $IVF_TRAIN_KEEP),
-       |c0 AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cent
+       |c0 AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, v AS cent
        |       FROM n WHERE vec_id IN (
        |         SELECT i.i * (SELECT greatest(1, count(*) // ($kExpr)) FROM n)
        |         FROM (SELECT unnest(range(0,($kExpr))) AS i) i)
@@ -1698,13 +1705,13 @@ object Similarity {
   private def pqEncodeCtes(tsName: String): String = {
     def sub(rel: String, m: String) = s"$rel.w[$m*$PQ_SUBDIM+1 : $m*$PQ_SUBDIM+$PQ_SUBDIM]"
     def assign(cPrev: String, aName: String, from: String) =
-      s"""$aName AS (SELECT vec_id, m, cl FROM (
+      s"""$aName AS MATERIALIZED (SELECT vec_id, m, cl FROM (
          |  SELECT s.vec_id, c.m, c.cl,
          |         row_number() OVER (PARTITION BY s.vec_id, c.m
          |           ORDER BY list_dot_product(${sub("s", "c.m")}, c.cent) DESC, c.cl) AS rn
          |  FROM $from s, $cPrev c) WHERE rn = 1)""".stripMargin
     def recompute(aName: String, cPrev: String, cName: String) =
-      s"""$cName AS (
+      s"""$cName AS MATERIALIZED (
          |  SELECT m, cl, list(cv ORDER BY pos) AS cent FROM (
          |    SELECT a.m, a.cl, p.p AS pos,
          |           CAST(SUM(CAST(s.w[a.m*$PQ_SUBDIM + p.p] AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS cv
@@ -1718,14 +1725,14 @@ object Similarity {
     }.mkString(",\n")
     val pivot = (0 until PQ_M).map(m =>
       s"MAX(CASE WHEN m = $m THEN cl END) AS k$m").mkString(",\n         ")
-    s"""$tsName AS (SELECT vec_id, w FROM nv
+    s"""$tsName AS MATERIALIZED (SELECT vec_id, w FROM nv
        |       WHERE (vec_id * $IVF_TRAIN_MULT + $IVF_TRAIN_ADD) % $IVF_TRAIN_MOD < $IVF_TRAIN_KEEP),
-       |sd AS (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, w
+       |sd AS MATERIALIZED (SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cl, w
        |       FROM nv WHERE vec_id IN (
        |         SELECT i.i * (SELECT greatest(1, count(*) // $PQ_K) FROM nv)
        |         FROM (SELECT unnest(range(0,$PQ_K)) AS i) i)
        |       ORDER BY vec_id LIMIT $PQ_K),
-       |pc0 AS (SELECT m.m AS m, cl, ${sub("sd", "m.m").replace("sd.w", "w")} AS cent
+       |pc0 AS MATERIALIZED (SELECT m.m AS m, cl, ${sub("sd", "m.m").replace("sd.w", "w")} AS cent
        |        FROM sd, (SELECT unnest(range(0,$PQ_M)) AS m) m),
        |$iters,
        |${assign(s"pc$PQ_ITERS", "codes", "nv")},
