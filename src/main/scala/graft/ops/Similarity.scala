@@ -287,7 +287,7 @@ object Similarity {
   /** The transform/array_position formulation [[assignCluster]] replaced —
     * retained as the independent parity reference its spec pins the native
     * expression against (the simhashSignaturesViaExplode discipline). */
-  private[ops] def assignClusterViaHof(v: Column, cents: Array[Array[Double]]): Column = {
+  private[graft] def assignClusterViaHof(v: Column, cents: Array[Array[Double]]): Column = {
     val sims = centroidSims(v, cents)
     (array_position(sims, array_max(sims)) - 1).cast("int")
   }
@@ -304,7 +304,7 @@ object Similarity {
     * instead of re-running three Lloyd jobs each. */
   private val centroidCache = new SessionCache[Array[Array[Double]]]()
 
-  private[ops] def trainIvfCentroids(s: SparkSession, d: String,
+  private[graft] def trainIvfCentroids(s: SparkSession, d: String,
       k: Int = IVF_K): Array[Array[Double]] =
     cached(centroidCache, s, s"$d#k=$k")(trainIvfCentroidsUncached(s, d, k))
 
@@ -376,7 +376,7 @@ object Similarity {
     * vector), the same amortization as the bucket/centroid caches. */
   private val ivfAssignedCache = new SessionCache[DataFrame]()
 
-  private[ops] def ivfAssigned(s: SparkSession, d: String, k: Int = IVF_K): DataFrame =
+  private[graft] def ivfAssigned(s: SparkSession, d: String, k: Int = IVF_K): DataFrame =
     cached(ivfAssignedCache, s, s"$d#k=$k") {
       vectors(s, d).withColumn("cluster", assignCluster(col("v"), trainIvfCentroids(s, d, k)))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -636,6 +636,35 @@ object Similarity {
       .groupBy(col("vec_id"), col("cluster"))
       .agg(min(col("match_vec")).as("match_id"), count(lit(1)).as("n_matches"))
       .orderBy(col("vec_id"))
+  }
+
+  /** The incremental semantic probe run as a REAL Structured Streaming
+    * query — [[graft.streaming.SemanticStream]]'s parity-theorem demo
+    * (self ∪ probe tiles the one-shot same-cluster τ-pair set; contract
+    * and 100 TB story in its scaladoc). Centroids are trained once from
+    * the day-0 snapshot with the auto entry's occupancy sizing law and
+    * PINNED across batches; the corpus is staged as three files (one
+    * micro-batch each, `vec_id` mod 3) and drained with AvailableNow.
+    * Output is the accumulated undirected pair set — all integral
+    * columns, gated by the one-shot pair-set oracle. */
+  def dedupSemanticStreamIncremental(s: SparkSession, d: String,
+      targetOccupancy: Long = 512L): DataFrame = {
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    val n = vectors(s, d).count()
+    val k = math.max(IVF_K,
+      math.toIntExact((n + targetOccupancy - 1) / targetOccupancy))
+    val cents = trainIvfCentroids(s, d, k)
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_sem").toString
+    val stage = s"$work/stage"
+    val vecs = vectors(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    (0 until 3).foreach { b =>
+      vecs.filter(col("vec_id") % 3 === b)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    graft.streaming.SemanticStream.runIncremental(s, stage, work,
+        v => assignCluster(v, cents), SEM_TAU)
+      .select(col("vec_a"), col("vec_b"), col("cluster"))
+      .orderBy(col("vec_a"), col("vec_b"))
   }
 
   // ---- Two-level (coarse × fine) quantizer ---------------------------------
@@ -1210,6 +1239,8 @@ object Similarity {
       dedupSemanticAuto(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_dedup_semantic_incremental" -> ((s: SparkSession, d: String) =>
       dedupSemanticIncremental(s, d, AUTO_DEMO_OCCUPANCY)),
+    "x_stream_semantic_incremental" -> ((s: SparkSession, d: String) =>
+      dedupSemanticStreamIncremental(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_dedup_semantic_2level" -> (dedupSemantic2Level _),
     "x_knn_label_vote" -> (knnLabelVote _),
     "x_knn_vote_ivf" -> (knnLabelVoteIvf _),
@@ -1396,6 +1427,23 @@ object Similarity {
        |FROM m GROUP BY vec_id, cluster""".stripMargin
   }
 
+  /** The streaming parity entry's oracle: the ONE-SHOT same-cluster τ-pair
+    * set (undirected, `vec_a < vec_b`) over the same auto-k assignment
+    * chain — the parity theorem says the stream's self ∪ probe union must
+    * equal exactly this, so the oracle IS the theorem's right-hand side. */
+  private def semanticStreamOracleSql(occupancy: Long): String = {
+    val kk =
+      s"""kk AS (SELECT greatest($IVF_K,
+         |  CAST((count(*) + ${occupancy - 1}) // $occupancy AS INT)) AS k FROM n),
+         |""".stripMargin
+    s"""WITH ${ivfAssignCtes("(SELECT k FROM kk)", kk)},
+       |m AS (
+       |  SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.cl AS cluster
+       |  FROM af a JOIN af b ON b.cl = a.cl AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SEM_TAU)
+       |SELECT vec_a, vec_b, CAST(cluster AS INTEGER) AS cluster FROM m""".stripMargin
+  }
+
   private def semanticOracleSqlExpr(kExpr: String, preCtes: String,
       maxVecId: Option[Long]): String = {
     val bound = maxVecId.map(m => s" AND a.vec_id < $m AND b.vec_id < $m").getOrElse("")
@@ -1527,6 +1575,8 @@ object Similarity {
       ("x_dedup_semantic_auto" -> semanticOracleSqlAuto(AUTO_DEMO_OCCUPANCY)) +
       ("x_dedup_semantic_incremental" ->
         semanticIncrementalOracleSql(AUTO_DEMO_OCCUPANCY)) +
+      ("x_stream_semantic_incremental" ->
+        semanticStreamOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_dedup_semantic_2level" -> semantic2LevelOracleSql(L2_OCCUPANCY))
 
   private val staticOracleSql: Map[String, String] = Map(
