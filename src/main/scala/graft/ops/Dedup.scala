@@ -1110,7 +1110,7 @@ object Dedup {
   /** DuckDB twin of the full MinHash pipeline (shared CTE pile for the
     * sketch query and the precision audit). The (a, b) constants are the
     * SAME Scala values as [[minhashParams]], inlined as a VALUES list. */
-  private def minhashCtes(docFilter: String = ""): String = {
+  private[ops] def minhashCtes(docFilter: String = ""): String = {
     val perm = minhashParams.zipWithIndex
       .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
     s"""w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents$docFilter),

@@ -667,6 +667,46 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** Ensemble (lexical ∪ semantic) near-dup — the two detectors a real
+    * dedup pass runs TOGETHER, because each catches what the other misses:
+    * MinHash-LSH flags near-verbatim copies (shared shingles) but is blind
+    * to paraphrase; embedding-space SemDeDup flags paraphrase (close in
+    * meaning space) but is blind to short verbatim overlap that barely
+    * moves a document's embedding. The entry joins the two pair sets FULL
+    * OUTER on the shared id space (`vec_id` i is document i's embedding —
+    * the corpus convention every embedding-side entry uses) and labels each
+    * pair with which detector(s) fired — the drop-list builder unions them,
+    * the audit reads the disagreement rows. Both constituent pair sets are
+    * the EXACT catalog relations (`x_dedup_minhash`'s candidates and the
+    * streaming entry's one-shot same-cluster τ-set), so the composed oracle
+    * is their CTE chains FULL JOINed — nothing re-derived, nothing sampled.
+    *
+    * At 100 TB: cost is the two detectors' own banded/bucketed costs (both
+    * pair-space-bounded, see their entries) plus a pair-keyed join of two
+    * pair sets — each tiny relative to the corpus. The detectors share no
+    * shuffle, so they pipeline independently until the final join. */
+  def dedupEnsemble(s: SparkSession, d: String,
+      targetOccupancy: Long = 512L): DataFrame = {
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    val lex = Dedup.dedupMinhashLsh(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("via_lexical"))
+    val n = vectors(s, d).count()
+    val k = math.max(IVF_K,
+      math.toIntExact((n + targetOccupancy - 1) / targetOccupancy))
+    val a = ivfAssigned(s, d, k)
+    val sem = a.as("x").join(a.as("y"),
+        col("x.cluster") === col("y.cluster") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .filter(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) >= SEM_TAU)
+      .select(col("x.vec_id").as("doc_a"), col("y.vec_id").as("doc_b"),
+        lit(1).as("via_semantic"))
+    lex.join(sem, Seq("doc_a", "doc_b"), "full_outer")
+      .select(col("doc_a"), col("doc_b"),
+        coalesce(col("via_lexical"), lit(0)).as("via_lexical"),
+        coalesce(col("via_semantic"), lit(0)).as("via_semantic"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   // ---- Two-level (coarse × fine) quantizer ---------------------------------
   //
   // The scale seam every flat-k-means comment in this file points at: with
@@ -1241,6 +1281,8 @@ object Similarity {
       dedupSemanticIncremental(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_stream_semantic_incremental" -> ((s: SparkSession, d: String) =>
       dedupSemanticStreamIncremental(s, d, AUTO_DEMO_OCCUPANCY)),
+    "x_dedup_ensemble" -> ((s: SparkSession, d: String) =>
+      dedupEnsemble(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_dedup_semantic_2level" -> (dedupSemantic2Level _),
     "x_knn_label_vote" -> (knnLabelVote _),
     "x_knn_vote_ivf" -> (knnLabelVoteIvf _),
@@ -1444,6 +1486,27 @@ object Similarity {
        |SELECT vec_a, vec_b, CAST(cluster AS INTEGER) AS cluster FROM m""".stripMargin
   }
 
+  /** The ensemble oracle: the minhash candidate chain and the semantic
+    * assignment chain spliced into ONE WITH clause (disjoint CTE name
+    * spaces by construction), FULL JOINed on the canonical pair key. */
+  private def ensembleOracleSql(occupancy: Long): String = {
+    val kk =
+      s"""kk AS (SELECT greatest($IVF_K,
+         |  CAST((count(*) + ${occupancy - 1}) // $occupancy AS INT)) AS k FROM n),
+         |""".stripMargin
+    s"""WITH ${Dedup.minhashCtes()},
+       |${ivfAssignCtes("(SELECT k FROM kk)", kk)},
+       |sp AS (
+       |  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b
+       |  FROM af a JOIN af b ON b.cl = a.cl AND a.vec_id < b.vec_id
+       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SEM_TAU)
+       |SELECT COALESCE(c.doc_a, sp.doc_a) AS doc_a,
+       |       COALESCE(c.doc_b, sp.doc_b) AS doc_b,
+       |       CAST(CASE WHEN c.doc_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS via_lexical,
+       |       CAST(CASE WHEN sp.doc_a IS NOT NULL THEN 1 ELSE 0 END AS INTEGER) AS via_semantic
+       |FROM cand c FULL JOIN sp ON c.doc_a = sp.doc_a AND c.doc_b = sp.doc_b""".stripMargin
+  }
+
   private def semanticOracleSqlExpr(kExpr: String, preCtes: String,
       maxVecId: Option[Long]): String = {
     val bound = maxVecId.map(m => s" AND a.vec_id < $m AND b.vec_id < $m").getOrElse("")
@@ -1577,6 +1640,7 @@ object Similarity {
         semanticIncrementalOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_stream_semantic_incremental" ->
         semanticStreamOracleSql(AUTO_DEMO_OCCUPANCY)) +
+      ("x_dedup_ensemble" -> ensembleOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_dedup_semantic_2level" -> semantic2LevelOracleSql(L2_OCCUPANCY))
 
   private val staticOracleSql: Map[String, String] = Map(
