@@ -1122,11 +1122,21 @@ object Similarity {
     * stage (probe order, ADC fixed-order sums, rerank ties) keeps the
     * deterministic contracts of its parent operators, so the composition
     * is oracle-exact end-to-end. */
-  def annIvfPq(s: SparkSession, d: String): DataFrame = {
-    val cents = trainIvfCentroids(s, d)
-    val books = trainPqCodebooks(s, d)
-    val codes = pqCodes(s, d)
-      .join(ivfAssigned(s, d).select(col("vec_id"), col("cluster")), "vec_id")
+  def annIvfPq(s: SparkSession, d: String): DataFrame =
+    ivfPqProbe(s, d, trainIvfCentroids(s, d), trainPqCodebooks(s, d),
+      pqCodes(s, d)
+        .join(ivfAssigned(s, d).select(col("vec_id"), col("cluster")), "vec_id"))
+
+  /** The probe half of IVF-PQ, parameterized by the three index artifacts
+    * (coarse centroids, PQ codebooks, coded+assigned corpus) — the seam
+    * between the INDEX BUILD job and the PER-RUN query job. [[annIvfPq]]
+    * feeds it the freshly trained artifacts; [[annIvfPqPersisted]] feeds it
+    * artifacts round-tripped through parquet, proving the deployment shape
+    * (build once, persist, probe many) is bit-identical to build-and-probe
+    * in one job. */
+  private def ivfPqProbe(s: SparkSession, d: String,
+      cents: Array[Array[Double]], books: Array[Array[Array[Double]]],
+      codes: DataFrame): DataFrame = {
     val adcTab = array((0 until PQ_M).flatMap { m =>
       (0 until PQ_K).map { c =>
         org.apache.spark.sql.graftbridge.dotProduct(
@@ -1168,6 +1178,48 @@ object Similarity {
     * AND the code quantization jointly cost. */
   def annIvfPqRecall(s: SparkSession, d: String): DataFrame =
     recallAgainstExact(annIvfPq(s, d), exactTop3(s, d, 200))
+
+  /** IVF-PQ probed from PERSISTED index artifacts — the deployment shape
+    * every index docstring in this file points at, demonstrated end to
+    * end: the BUILD job trains and writes three parquet artifacts
+    * (coarse centroids k×64, PQ codebooks 8×16×8, the coded+assigned
+    * corpus at ~4 B + 4 B cluster per vector), and the PER-RUN job reads
+    * them back and probes WITHOUT retraining or rescanning the corpus —
+    * only the rerank touches full vectors, 16 rows per query, exactly as
+    * in [[annIvfPq]]. Doubles and ints round-trip parquet bit-exactly, so
+    * the output is bit-identical to the build-and-probe-in-one-job entry
+    * and shares its oracle verbatim (spec additionally pins result
+    * equality and the artifact shapes).
+    *
+    * At 100 TB this seam is the whole point of the index family: training
+    * cost is paid once per index generation, probes are jobs that read
+    * broadcast-sized artifacts (centroids + codebooks) plus the code
+    * table, and index refresh is a REBUILD into fresh artifact paths —
+    * never a mutation the probes could race with. */
+  def annIvfPqPersisted(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val work = java.nio.file.Files.createTempDirectory("graft_index_persist").toString
+    // BUILD: train, encode, assign — then persist the three artifacts.
+    trainIvfCentroids(s, d).zipWithIndex
+      .map { case (c, i) => (i, c.toSeq) }.toSeq
+      .toDF("cl", "cent").write.parquet(s"$work/centroids")
+    trainPqCodebooks(s, d).zipWithIndex
+      .flatMap { case (book, m) => book.zipWithIndex.map { case (c, ci) => (m, ci, c.toSeq) } }
+      .toSeq.toDF("m", "c", "cent").write.parquet(s"$work/codebooks")
+    pqCodes(s, d)
+      .join(ivfAssigned(s, d).select(col("vec_id"), col("cluster")), "vec_id")
+      .write.parquet(s"$work/codes")
+    // PROBE: load the artifacts and query — no training state crosses the
+    // seam (the loaded arrays are rebuilt from parquet rows alone).
+    val centsL = s.read.parquet(s"$work/centroids").collect()
+      .map(r => r.getInt(0) -> r.getSeq[Double](1).toArray)
+      .sortBy(_._1).map(_._2)
+    val booksL = s.read.parquet(s"$work/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+      .groupBy(_._1).toArray.sortBy(_._1)
+      .map(_._2.sortBy(_._2).map(_._3))
+    ivfPqProbe(s, d, centsL, booksL, s.read.parquet(s"$work/codes"))
+  }
 
   /** Hard-negative mining (catalog `x_hard_negatives`): for each query
     * vector, the top-3 most-similar vectors with a DIFFERENT label — the
@@ -1290,7 +1342,8 @@ object Similarity {
     "x_ann_matryoshka" -> (annMatryoshka _),
     "x_ann_matryoshka_recall" -> (annMatryoshkaRecall _),
     "x_ann_ivfpq" -> (annIvfPq _),
-    "x_ann_ivfpq_recall" -> (annIvfPqRecall _)
+    "x_ann_ivfpq_recall" -> (annIvfPqRecall _),
+    "x_ann_ivfpq_persisted" -> (annIvfPqPersisted _)
   )
 
   // ---- DuckDB oracle twins -------------------------------------------------
@@ -1801,6 +1854,12 @@ object Similarity {
          |$exactTop3Cte
          |${recallSelect("pq")}""".stripMargin,
     "x_ann_ivfpq" ->
+      s"""WITH $ivfPqCtes
+         |SELECT q_id, nn_id, sim FROM rr WHERE rrnk = 1""".stripMargin,
+    // The persisted-artifact probe is bit-identical to the in-job build
+    // (doubles/ints round-trip parquet exactly), so the oracle IS the
+    // x_ann_ivfpq oracle — which is the entry's point.
+    "x_ann_ivfpq_persisted" ->
       s"""WITH $ivfPqCtes
          |SELECT q_id, nn_id, sim FROM rr WHERE rrnk = 1""".stripMargin,
     "x_ann_ivfpq_recall" ->
