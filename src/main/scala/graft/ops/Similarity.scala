@@ -667,6 +667,40 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The eval-set stand-in for semantic decontamination — same convention
+    * as the lexical decontam family's benchmark split (sized at 50 so the
+    * fixture exercises multi-hit aggregation at every gate scale). */
+  private val SEM_EVAL_MAX = 50L
+
+  /** SEMANTIC decontamination — the paraphrase face of the decontam family
+    * (exact 4-gram, Bloom-prefiltered, and span-scrub are its lexical
+    * siblings in ops/TextAnalysis): flag corpus vectors whose embedding
+    * clears τ against ANY eval-set vector, catching benchmark leakage that
+    * survives rewording and therefore never shares a 4-gram. The probe is
+    * the index shape, asymmetric: the tiny eval set (broadcast) joins the
+    * cluster-assigned corpus on the cluster key, exact cosine inside the
+    * shared bucket — the corpus is never shuffled and never compared
+    * all-pairs, so at 100 TB this costs one corpus scan against a
+    * broadcast eval side, same as the lexical family's broadcast-hash
+    * gram join. Output is integral (flagged vec_id, hit count, canonical
+    * lowest eval id) per the §8.4 new-entry rule. */
+  def decontamSemantic(s: SparkSession, d: String,
+      targetOccupancy: Long = 512L): DataFrame = {
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    val n = vectors(s, d).count()
+    val k = math.max(IVF_K,
+      math.toIntExact((n + targetOccupancy - 1) / targetOccupancy))
+    val a = ivfAssigned(s, d, k)
+    val eval = a.filter(col("vec_id") < SEM_EVAL_MAX)
+    val corpus = a.filter(col("vec_id") >= SEM_EVAL_MAX)
+    corpus.as("x").join(broadcast(eval.as("y")),
+        col("x.cluster") === col("y.cluster"))
+      .filter(dot(col("x.v"), col("y.v")) / (col("x.nrm") * col("y.nrm")) >= SEM_TAU)
+      .groupBy(col("x.vec_id").as("vec_id"))
+      .agg(count(lit(1)).as("n_eval_hits"), min(col("y.vec_id")).as("eval_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Ensemble (lexical ∪ semantic) near-dup — the two detectors a real
     * dedup pass runs TOGETHER, because each catches what the other misses:
     * MinHash-LSH flags near-verbatim copies (shared shingles) but is blind
@@ -1335,6 +1369,8 @@ object Similarity {
       dedupSemanticStreamIncremental(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_dedup_ensemble" -> ((s: SparkSession, d: String) =>
       dedupEnsemble(s, d, AUTO_DEMO_OCCUPANCY)),
+    "x_decontam_semantic" -> ((s: SparkSession, d: String) =>
+      decontamSemantic(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_dedup_semantic_2level" -> (dedupSemantic2Level _),
     "x_knn_label_vote" -> (knnLabelVote _),
     "x_knn_vote_ivf" -> (knnLabelVoteIvf _),
@@ -1539,6 +1575,24 @@ object Similarity {
        |SELECT vec_a, vec_b, CAST(cluster AS INTEGER) AS cluster FROM m""".stripMargin
   }
 
+  /** The semantic-decontam oracle: same assignment chain, asymmetric
+    * eval-vs-corpus threshold join inside the shared cluster. */
+  private def decontamSemanticOracleSql(occupancy: Long): String = {
+    val kk =
+      s"""kk AS (SELECT greatest($IVF_K,
+         |  CAST((count(*) + ${occupancy - 1}) // $occupancy AS INT)) AS k FROM n),
+         |""".stripMargin
+    s"""WITH ${ivfAssignCtes("(SELECT k FROM kk)", kk)},
+       |m AS (
+       |  SELECT a.vec_id AS vec_id, b.vec_id AS eval_vec
+       |  FROM af a JOIN af b ON b.cl = a.cl
+       |    AND a.vec_id >= $SEM_EVAL_MAX AND b.vec_id < $SEM_EVAL_MAX
+       |  WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= $SEM_TAU)
+       |SELECT vec_id, CAST(count(*) AS BIGINT) AS n_eval_hits,
+       |       min(eval_vec) AS eval_id
+       |FROM m GROUP BY vec_id""".stripMargin
+  }
+
   /** The ensemble oracle: the minhash candidate chain and the semantic
     * assignment chain spliced into ONE WITH clause (disjoint CTE name
     * spaces by construction), FULL JOINed on the canonical pair key. */
@@ -1694,6 +1748,7 @@ object Similarity {
       ("x_stream_semantic_incremental" ->
         semanticStreamOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_dedup_ensemble" -> ensembleOracleSql(AUTO_DEMO_OCCUPANCY)) +
+      ("x_decontam_semantic" -> decontamSemanticOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_dedup_semantic_2level" -> semantic2LevelOracleSql(L2_OCCUPANCY))
 
   private val staticOracleSql: Map[String, String] = Map(
