@@ -178,4 +178,31 @@ class ExamplesSpec extends AnyFunSuite {
     val imgs = batches.agg(sum(col("n_images"))).head().getLong(0)
     assert(imgs < docs, "the gate and dedup must drop something")
   }
+
+  test("example 10: day-2 operations — incremental probes, index artifacts, ensembles") {
+    val dir = "/root/testdata/sf0.001"
+
+    // batch delta-vs-index semantic probe: every reported match is a
+    // delta (odd) vector matched to a canonical index (even) vector
+    val dups = graft.ops.Similarity.dedupSemanticIncremental(spark, dir)
+    assert(dups.count() > 0)
+    dups.collect().foreach { r =>
+      assert(r.getLong(0) % 2 == 1 && r.getLong(2) % 2 == 0)
+    }
+
+    // persisted index artifacts: probe-from-parquet equals build-in-job
+    val fresh = graft.ops.Similarity.annIvfPq(spark, dir).collect()
+    val loaded = graft.ops.Similarity.annIvfPqPersisted(spark, dir).collect()
+    assert(loaded.map(_.toString).sorted.toSeq == fresh.map(_.toString).sorted.toSeq)
+
+    // ensemble drop list: flags partition the union into the detector sets
+    val ens = graft.ops.Similarity.dedupEnsemble(spark, dir)
+    assert(ens.count() > 0)
+    assert(ens.filter(col("via_lexical") === 0 && col("via_semantic") === 0).count() == 0)
+
+    // paraphrase decontam: flagged vectors are corpus-side only
+    val leaks = graft.ops.Similarity.decontamSemantic(spark, dir)
+    assert(leaks.count() > 0)
+    assert(leaks.filter(col("vec_id") < 50).count() == 0)
+  }
 }
