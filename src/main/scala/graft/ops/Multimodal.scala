@@ -172,7 +172,7 @@ object Multimodal {
     * frames — the three frame types web images actually use. */
   def jpegDims(bin: Column): Column = {
     val dead = struct(lit(-1).as("off"), lit(-1).as("w"), lit(-1).as("h"))
-    val folded = aggregate(
+    aggregate(
       sequence(lit(1), lit(JPEG_MAX_SEGS)),
       struct(lit(3).as("off"), lit(-1).as("w"), lit(-1).as("h")),
       (st, _) => {
@@ -190,16 +190,25 @@ object Multimodal {
               dynU16(bin, off + 7).as("w"), dynU16(bin, off + 5).as("h")))
           .otherwise(
             struct((off + segLen + 2).as("off"), lit(-1).as("w"), lit(-1).as("h")))))
+      },
+      // All-or-nothing emission, INSIDE the fold's finish lambda: a stream
+      // truncated BETWEEN the height and width fields yields one good read
+      // and one -1 — reporting the surviving dimension would half-size a
+      // rejected frame, so both reads must succeed or neither is reported.
+      // Finish matters for COST, not just style: `aggregate` is a lambda
+      // HOF, so it is interpreted and excluded from codegen subexpression
+      // elimination — every reference to the fold in an OUTER expression
+      // re-runs the whole marker walk. Here `st` is a bound lambda
+      // variable, so the walk runs exactly once however many times the
+      // emission reads its fields (the outer-reference form measured 3×
+      // the walk cost per extracted field).
+      st => {
+        val fw = st.getField("w")
+        val fh = st.getField("h")
+        val ok = fw >= 0 && fh >= 0
+        struct(when(ok, fw).otherwise(lit(-1)).as("w"),
+          when(ok, fh).otherwise(lit(-1)).as("h"))
       })
-    // All-or-nothing emission: a stream truncated BETWEEN the height and
-    // width fields yields one good read and one -1 — reporting the
-    // surviving dimension would half-size a rejected frame, so both reads
-    // must succeed or neither is reported.
-    val fw = folded.getField("w")
-    val fh = folded.getField("h")
-    val ok = fw >= 0 && fh >= 0
-    struct(when(ok, fw).otherwise(lit(-1)).as("w"),
-      when(ok, fh).otherwise(lit(-1)).as("h"))
   }
 
   def jpegWidth(bin: Column): Column = {
@@ -238,12 +247,19 @@ object Multimodal {
 
   def multimodalJpeg(s: SparkSession, d: String): DataFrame = {
     val payload = jpegFixturePayload
+    // Two-stage projection so the marker walk runs ONCE per row: the dims
+    // struct materializes in its own Project, and CollapseProject leaves
+    // it there because the fold is not a cheap expression to duplicate
+    // (inlining it would re-run the walk per extracted field — see the
+    // finish-lambda note on jpegDims).
     documents(s, d)
       .filter(col("doc_id") < 300)
       .select(col("doc_id"),
         isJpeg(payload).as("is_jpeg"),
-        jpegWidth(payload).as("width"),
-        jpegHeight(payload).as("height"))
+        jpegDims(payload).as("_dims"))
+      .select(col("doc_id"), col("is_jpeg"),
+        when(col("is_jpeg") && col("_dims.w") >= 0, col("_dims.w")).as("width"),
+        when(col("is_jpeg") && col("_dims.h") >= 0, col("_dims.h")).as("height"))
   }
 
   /** The multimodal corpus-assembly composition (catalog
@@ -276,9 +292,13 @@ object Multimodal {
     * The chain is linear — no stage consumed twice. */
   def pipelineMultimodal(s: SparkSession, d: String): DataFrame = {
     val payload = jpegFixturePayload
+    // Same two-stage projection as multimodalJpeg: one marker walk per row.
     val parsed = documents(s, d)
       .select(col("doc_id"), col("text"),
-        jpegWidth(payload).as("w"), jpegHeight(payload).as("h"))
+        isJpeg(payload).as("_isj"), jpegDims(payload).as("_dims"))
+      .select(col("doc_id"), col("text"),
+        when(col("_isj") && col("_dims.w") >= 0, col("_dims.w")).as("w"),
+        when(col("_isj") && col("_dims.h") >= 0, col("_dims.h")).as("h"))
       .filter(col("w").isNotNull && col("h").isNotNull)
     val sigs = parsed.select(col("doc_id"), dhashCol(gridCol(col("text"))).as("w0"))
     val dropped = Dedup.simhashBandedPairs(sigs,
