@@ -576,6 +576,38 @@ class ExtensionOpsSpec extends AnyFunSuite {
       "stream cut inside the SOF payload must reject, not half-size")
   }
 
+  test("JPEG SOF parse: EVERY truncation point is all-or-nothing") {
+    import spark.implicits._
+    // The exhaustive form of the sofCut case: cutting the canonical
+    // baseline stream at every byte offset must yield either a full
+    // (640, 480) parse or a clean double reject — one surviving dimension
+    // at ANY cut point would half-size a rejected frame. This pins the
+    // finish-lambda emission (the walk's fields are read together from one
+    // evaluated accumulator) against every truncation, not one crafted cut.
+    val full = Seq(0xFF, 0xD8,
+      0xFF, 0xE0, 0x00, 0x10, 'J'.toInt, 'F'.toInt, 'I'.toInt, 'F'.toInt,
+      0x00, 0x01, 0x02, 0x00, 0x00, 0x01, 0x00, 0x01, 0x00, 0x00,
+      0xFF, 0xFE, 0x00, 0x05, 'h'.toInt, 'i'.toInt, '!'.toInt,
+      0xFF, 0xDB, 0x00, 0x04, 0x00, 0x01,
+      0xFF, 0xC0, 0x00, 0x11, 0x08, 0x01, 0xE0, 0x02, 0x80, 0x03,
+      0x01, 0x22, 0x00, 0x02, 0x11, 0x01, 0x03, 0x11, 0x01).map(_.toByte)
+    val cuts = (0 to full.length).map(n => (n.toLong, full.take(n).toArray))
+    val got = cuts.toDF("cut", "payload")
+      .select(col("cut"), Multimodal.jpegDims(col("payload")).as("d"))
+      .select(col("cut"), col("d.w"), col("d.h"))
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    got.foreach { case (cut, (w, h)) =>
+      assert((w == -1 && h == -1) || (w == 640 && h == 480),
+        s"cut at $cut half-reported ($w, $h)")
+    }
+    assert(got(full.length.toLong) == ((640, 480)), "the full stream must parse")
+    // Some prefix long enough to contain the complete SOF dims already
+    // parses (the walk does not demand trailing segments)...
+    assert(got.exists { case (cut, wh) => cut < full.length && wh == ((640, 480)) })
+    // ...and everything cut before the height u16 completes rejects.
+    (0L to 40L).foreach(cut => assert(got(cut) == ((-1, -1))))
+  }
+
   test("image dHash: clone damage is bounded by 2 bits per perturbed pixel") {
     // Each +16 pixel bump touches at most its left and right comparisons,
     // so hamming(orig, clone) <= 2 * n_pert — the locality property that

@@ -44,6 +44,13 @@ class SemanticDecontamSpec extends AnyFunSuite {
     flagged.keySet.foreach(cv => assert(cv >= EVAL_MAX, "flagged an eval vector"))
   }
 
+  test("the probe plan broadcasts the eval side and never shuffles the corpus into the join") {
+    val plan = Similarity.decontamSemantic(spark, d, 25L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("the entry emits only integral columns") {
     val df = Similarity.queries("x_decontam_semantic")(spark, d)
     val types = df.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
