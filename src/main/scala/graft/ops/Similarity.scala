@@ -67,9 +67,18 @@ object Similarity {
     * once, not a per-query recomputation of the cast + norm pass. */
   private val vectorCache = new SessionCache[DataFrame]()
 
-  private def vectors(s: SparkSession, d: String): DataFrame =
+  private[graft] def vectors(s: SparkSession, d: String): DataFrame =
     cached(vectorCache, s, d) {
+      // Spread the persisted copy to session width: this table is
+      // compute-dense — downstream stages run O(k·dim) FLOPs per ROW
+      // (centroid argmax, banded dots), so bytes-proportional file splits
+      // under-parallelize it badly (a 26 MB sf5 file is 1-2 splits, which
+      // serialized millions of dot products on one core). One cheap
+      // hash shuffle here and every consumer inherits full width; at
+      // 100 TB the same sizing is done against the cluster's core count,
+      // not against parquet bytes.
       embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
+        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
@@ -281,7 +290,7 @@ object Similarity {
     * spec-pinned identical) pays an interpreted lambda call per CENTROID
     * per row: at the occupancy-targeted k the auto-k entry trains
     * (k=4000 at sf5) that was ~60 s of the operator's 68 s cold run. */
-  private def assignCluster(v: Column, cents: Array[Array[Double]]): Column =
+  private[graft] def assignCluster(v: Column, cents: Array[Array[Double]]): Column =
     org.apache.spark.sql.graftbridge.nearestCentroid(v, cents)
 
   /** The transform/array_position formulation [[assignCluster]] replaced —
@@ -469,7 +478,7 @@ object Similarity {
     * top of the distribution — high enough to prune the random mass,
     * low enough that the demo keeps a verifiable nonempty pair set. A
     * real near-dup deployment runs 0.9+. */
-  private val SEM_TAU = 0.4
+  private[graft] val SEM_TAU = 0.4
 
   /** Semantic near-duplicate dedup, SemDeDup shape (Abbas et al. 2023 —
     * see PAPERS.md): bucket the corpus by nearest trained k-means

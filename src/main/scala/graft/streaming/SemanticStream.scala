@@ -84,8 +84,13 @@ object SemanticStream {
       indexDir: String, matchesDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     // Assigned three times (self-join's two sides, probe, append): persist
-    // so the assignment dots run once per batch.
+    // so the assignment dots run once per batch. Repartition FIRST — a
+    // micro-batch arrives at source-file width (often one file = one
+    // split), and the assignment is the batch's FLOP-heavy step
+    // (delta·k dots); keyed by vec_id so placement is deterministic
+    // under foreachBatch replay.
     val assigned = batch
+      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
       .withColumn("cluster", clusterOf(col("v")))
       .persist()
     try {
