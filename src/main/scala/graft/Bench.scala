@@ -13,11 +13,6 @@ object Bench {
       // vs ~4.8 s after its simhash sketch class aged out). Any long-lived
       // multi-query driver wants this raised; static conf, so set here.
       .config("spark.sql.codegen.cache.maxEntries", "1000")
-      // Split medium files wider than the 128 MB default: at the bench
-      // scales a 26-500 MB table yields 1-4 splits, serializing scans and
-      // the compute-dense per-row stages on a 32-core session. On a real
-      // cluster this knob is sized to executor count × cores the same way.
-      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

@@ -13,7 +13,6 @@ object Verify {
       // 115-query session: default 100-entry generated-class cache evicts
       // mid-run (see Bench.scala); harmless for correctness, costly in time.
       .config("spark.sql.codegen.cache.maxEntries", "1000")
-      .config("spark.sql.files.maxPartitionBytes", "16m")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.ui.enabled", "false")

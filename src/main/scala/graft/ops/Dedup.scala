@@ -107,7 +107,14 @@ object Dedup {
     // interpreted projection path (measured 10.8s vs 1.8s on 5k docs).
     // array_distinct is skipped on purpose: min(hash) over a multiset equals
     // min(hash) over its set.
+    // Repartition first: shingle+minhash is O(K·len) FLOPs per ROW, so
+    // bytes-proportional splits under-parallelize it (one staged micro-batch
+    // file, or a few-MB documents table, is 1-2 splits). Keyed by doc_id so
+    // placement is deterministic under streaming replay; the shuffle ships
+    // only (id, text) once and the K-way mins still combine map-side.
+    val s = base.sparkSession
     val exploded = base
+      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(when(size(col("toks")) < 2, array().cast("array<string>"))

@@ -89,7 +89,10 @@ object DedupStream {
   def incrementalBatch(indexDir: String, matchesDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     // Signatures are used three times (self-join's bands, probe, append);
-    // persist so the shingle aggregation runs once per batch.
+    // persist so the shingle aggregation runs once per batch. The sketch
+    // builder spreads the batch to session width internally — a micro-batch
+    // arrives at source-file width (often one file = one split), far too
+    // narrow for the shingle+minhash compute.
     val sigs = graft.ops.Dedup.minhashSignaturesOf(
       batch.select(col("doc_id"), col("text"))).persist()
     try {
