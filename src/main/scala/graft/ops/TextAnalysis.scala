@@ -462,11 +462,13 @@ object TextAnalysis {
     * style integers are exact across engines while libm log() is not.
     *
     * Scale shape: the model is alphabet-squared-BOUNDED regardless of
-    * corpus size — it broadcasts forever; the corpus-side bigram stream
-    * never shuffles (broadcast hash join), and the per-document aggregate
-    * partial-aggregates so the one shuffle is corpus-row-sized, not
-    * bigram-sized. `typicality_ppm` is integral division end-to-end —
-    * no float summation order anywhere. */
+    * corpus size — it broadcasts forever. The corpus-char-sized explode
+    * runs ONCE, rolled up immediately to per-(doc, bigram) counts with a
+    * map-side partial aggregate, and that bounded rollup (cached — it
+    * feeds the model, the scoring join, and x_rrf_fusion) is the ONLY
+    * thing that ever crosses the wire; no instance-sized row reaches a
+    * shuffle or the broadcast join. `typicality_ppm` is integral division
+    * end-to-end — no float summation order anywhere. */
   private val CONTAM_GRAM = 4
 
   /** Span-level decontamination (catalog `x_decontam_scrub`): REMOVE the
@@ -512,18 +514,39 @@ object TextAnalysis {
         md5(concat_ws(" ", col("kept"))).as("kept_hash"))
   }
 
+  /** Per-(session, dir) cache of the per-(doc, bigram) count relation:
+    * it feeds both the model aggregate and the scoring join below (and
+    * x_rrf_fusion re-enters through [[lmBigramScore]]), so an uncached
+    * plan would re-run the corpus-char-sized explode for each consumer —
+    * and a per-call persist would pin fresh blocks every bench round
+    * (the [[shardPartedCache]] leak). */
+  private val bigramPerDocCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def lmBigramScore(s: SparkSession, d: String): DataFrame = {
-    val chars = documents(s, d)
-      .select(col("doc_id"), lower(col("text")).as("t"))
-      .filter(length(col("t")) >= 2)
-    val big = chars.select(col("doc_id"),
-      explode(transform(sequence(lit(1), length(col("t")) - 1),
-        i => col("t").substr(i, lit(2)))).as("bg"))
-    val model = big.groupBy(col("bg")).agg(count(lit(1)).as("cnt"))
+    // Roll bigram INSTANCES up to per-(doc, bigram) counts immediately:
+    // everything downstream — the model (sum of c), the totals, and the
+    // per-doc score (sum of c, sum of c*cnt) — is a linear functional of
+    // these counts, so the corpus-char-sized explode runs ONCE (cached)
+    // and the widest shuffle carries per-doc DISTINCT bigrams
+    // (alphabet²-bounded per doc) instead of every character position.
+    // The previous shape exploded the corpus twice (model pass + scoring
+    // pass) and shuffled and broadcast-joined instance-sized rows.
+    bigramPerDocCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val perDoc = bigramPerDocCache.computeIfAbsent((s, d), _ =>
+      documents(s, d)
+        .select(col("doc_id"), lower(col("text")).as("t"))
+        .filter(length(col("t")) >= 2)
+        .select(col("doc_id"),
+          explode(transform(sequence(lit(1), length(col("t")) - 1),
+            i => col("t").substr(i, lit(2)))).as("bg"))
+        .groupBy(col("doc_id"), col("bg")).agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    val model = perDoc.groupBy(col("bg")).agg(sum(col("c")).as("cnt"))
     val totals = model.agg(sum(col("cnt")).as("n_total"))
-    big.join(broadcast(model), "bg")
+    perDoc.join(broadcast(model), "bg")
       .groupBy(col("doc_id"))
-      .agg(count(lit(1)).as("n_bigrams"), sum(col("cnt")).as("freq_sum"))
+      .agg(sum(col("c")).as("n_bigrams"), sum(col("c") * col("cnt")).as("freq_sum"))
       .crossJoin(broadcast(totals))
       .select(col("doc_id"), col("n_bigrams"), col("freq_sum"),
         expr("freq_sum * 1000000L div (n_bigrams * n_total)").as("typicality_ppm"))

@@ -43,18 +43,28 @@ class LmBigramSpec extends AnyFunSuite {
       s"gibberish ppm ${out(9L)} must be below typical ppm ${out(1L)}")
   }
 
-  test("model joins by broadcast; no shuffle below the join") {
+  test("model joins by broadcast; only the per-doc rollup crosses the wire") {
     val nodes = PlanTest.executedNodes(
       TextAnalysis.lmBigramScore(spark, SparkTestSession.sfDir))
     val joins = nodes.collect { case j: BroadcastHashJoinExec => j }
     assert(joins.nonEmpty, "expected the broadcast model join")
-    // the corpus (streamed) side of the bigram-model join must reach the
-    // scan without an exchange — the whole point of broadcasting the model
+    // The streamed side is the per-(doc, bigram) COUNT rollup, not the
+    // instance stream: any exchange below the model join must sit above a
+    // partial hash aggregate (map-side combine), so what crosses the wire
+    // is alphabet²-bounded per document — never one row per character
+    // position.
     val bigramJoin = joins.find(_.leftKeys.exists(_.references.exists(_.name == "bg")))
       .orElse(joins.headOption).get
-    val streamedShuffles = PlanTest.subtree(bigramJoin.left)
-      .collect { case e: ShuffleExchangeExec => e }
-    assert(streamedShuffles.isEmpty,
-      s"corpus bigram stream must not shuffle below the model join:\n$bigramJoin")
+    val sub = PlanTest.subtree(bigramJoin.left)
+    val readsCachedRollup =
+      sub.exists(_.getClass.getSimpleName.contains("InMemoryTableScan"))
+    val streamedShuffles = sub.collect { case e: ShuffleExchangeExec => e }
+    assert(readsCachedRollup || streamedShuffles.nonEmpty,
+      "expected the cached rollup scan or its exchange on the streamed side")
+    streamedShuffles.foreach { e =>
+      val childStr = e.child.toString
+      assert(childStr.contains("HashAggregate") && childStr.contains("partial"),
+        s"every streamed-side exchange must carry a partial aggregate, not raw instances:\n$e")
+    }
   }
 }
