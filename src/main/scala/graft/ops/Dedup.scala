@@ -153,9 +153,22 @@ object Dedup {
     size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => (x === y).cast("int")),
       v => v === 1)).cast("double") / K
 
+  /** Full-corpus MinHash-LSH pair set cached per (session, directory) —
+    * the same one-artifact-many-audits shape as the SimHash cache below:
+    * x_dedup_minhash and the lexical arm of x_dedup_ensemble read the
+    * SAME relation. Subset (maxDocId) calls stay uncached. */
+  private val minhashPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
   def dedupMinhashLsh(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame =
-    dedupMinhashLshOver(
-      maxDocId.foldLeft(documents(s, d))((df, m) => df.filter(col("doc_id") < m)))
+    maxDocId match {
+      case Some(m) => dedupMinhashLshOver(documents(s, d).filter(col("doc_id") < m))
+      case None =>
+        minhashPairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+        minhashPairsCache.computeIfAbsent((s, d), _ =>
+          dedupMinhashLshOver(documents(s, d))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+    }
 
   /** [[dedupMinhashLsh]] over an arbitrary documents frame — lets the
     * incremental pipeline self-dedup a DELTA batch (its documented
@@ -354,7 +367,8 @@ object Dedup {
     * keep the candidate volume linear (the sizing rule lives on the
     * kernel). */
   def dedupSimhash(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame =
-    simhashPairs(s, d, maxDocId).orderBy(col("doc_a"), col("doc_b"))
+    (if (maxDocId.isEmpty) simhashPairsShared(s, d) else simhashPairs(s, d, maxDocId))
+      .orderBy(col("doc_a"), col("doc_b"))
 
   /** The unordered pair set behind [[dedupSimhash]] — also the edge source
     * for [[dedupClusters]], where a final sort would be wasted work. */
@@ -362,6 +376,37 @@ object Dedup {
     simhashBandedPairs(
       simhashSignatures(s, d, maxDocId).withColumnRenamed("simhash", "w0"),
       words = 1, bandBits = SIMHASH_BITS / SIMHASH_BANDS, maxHamming = SIMHASH_MAX_HAMMING)
+
+  /** Full-corpus [[simhashPairs]] cached per (session, directory): six
+    * catalog entries — the pair dump, CC labels, the size histogram, the
+    * cross-source matrix, soft weights, and the chunked-DML dedup — read
+    * the SAME dup-pair relation. In production that relation is
+    * materialized ONCE by the dedup pass and every downstream audit reads
+    * the artifact (the [[graft.ops.Similarity]] ivfAssigned precedent);
+    * recomputing the sketch per entry charges one corpus sketch per
+    * question. Stopped-session keys are swept on access. */
+  private val simhashPairsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def simhashPairsShared(s: SparkSession, d: String): DataFrame = {
+    simhashPairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    simhashPairsCache.computeIfAbsent((s, d), _ =>
+      simhashPairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** CC labels over [[simhashPairsShared]], cached per (session,
+    * directory): four entries run union-find over the same pair graph —
+    * the labels are the dedup pass's second persisted artifact.
+    * ([[connectedComponents]] already persists the label RDD internally;
+    * this cache keeps the four entries from re-RUNNING the loop.) */
+  private val dupLabelsCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
+
+  private def dupLabelsShared(s: SparkSession, d: String): DataFrame = {
+    dupLabelsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    dupLabelsCache.computeIfAbsent((s, d), _ =>
+      connectedComponents(simhashPairsShared(s, d).select(col("doc_a"), col("doc_b"))))
+  }
 
   /** The parameterized SimHash banding kernel over a word-column signature
     * relation `(doc_id, w0[, w1])` (each word 60 bits).
@@ -462,7 +507,7 @@ object Dedup {
     * source-agnostic and the quadratic risk lives entirely in the band
     * space (see the sizing rule on [[simhashBandedPairs]]). */
   def dedupClusters(s: SparkSession, d: String): DataFrame = {
-    val labels = connectedComponents(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+    val labels = dupLabelsShared(s, d)
     documents(s, d).select(col("doc_id"))
       .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -489,8 +534,8 @@ object Dedup {
     * (AQE still broadcasts them when they measure small) — and the
     * corpus is touched once at scan speed. */
   def dedupSoftWeights(s: SparkSession, d: String): DataFrame =
-    dedupSoftWeightsOver(
-      simhashPairs(s, d).select(col("doc_a"), col("doc_b")),
+    softWeightsFromLabels(
+      dupLabelsShared(s, d).select(col("id").as("doc_id"), col("label")),
       documents(s, d).select(col("doc_id"), col("source"),
         tokenCountCol(col("text")).cast("long").as("n_tokens")))
 
@@ -499,9 +544,11 @@ object Dedup {
     * composable form (same rationale as [[dedupCrossSourceOver]]: pairs
     * are materialized once, audits should not re-scan the corpus to
     * re-derive them). */
-  def dedupSoftWeightsOver(pairs: DataFrame, docs: DataFrame): DataFrame = {
-    val labels = connectedComponents(pairs)
-      .select(col("id").as("doc_id"), col("label"))
+  def dedupSoftWeightsOver(pairs: DataFrame, docs: DataFrame): DataFrame =
+    softWeightsFromLabels(
+      connectedComponents(pairs).select(col("id").as("doc_id"), col("label")), docs)
+
+  private def softWeightsFromLabels(labels: DataFrame, docs: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
     docs
       .join(labels.join(sizes, "label"), Seq("doc_id"), "left")
@@ -541,7 +588,7 @@ object Dedup {
     * aggregates over them, and the singleton bucket is one anti-join of
     * the corpus keys against the labeled set — scan-bounded. */
   def dupClusterSizes(s: SparkSession, d: String): DataFrame = {
-    val labels = connectedComponents(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+    val labels = dupLabelsShared(s, d)
       .select(col("id").as("doc_id"), col("label"))
     val clustered = labels.groupBy(col("label")).agg(count(lit(1)).as("csize"))
       .groupBy(col("csize")).agg(count(lit(1)).as("n_clusters"))
@@ -566,7 +613,7 @@ object Dedup {
     * the two source lookups are equi-joins on doc_id — the corpus-sized
     * side shuffles once each, the aggregate is (sources)² at most. */
   def dedupCrossSource(s: SparkSession, d: String): DataFrame =
-    dedupCrossSourceOver(simhashPairs(s, d),
+    dedupCrossSourceOver(simhashPairsShared(s, d),
       documents(s, d).select(col("doc_id"), col("source")))
 
   /** [[dedupCrossSource]] over an EXISTING pair relation `(doc_a, doc_b)`
@@ -883,7 +930,7 @@ object Dedup {
   def dmlChunkedDedup(s: SparkSession, d: String): DataFrame = {
     import graft.chunker.{ChunkedRewrite, ChunkerConfig}
     val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_dedup").toString
-    val drop = connectedComponents(simhashPairs(s, d).select(col("doc_a"), col("doc_b")))
+    val drop = dupLabelsShared(s, d)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))
       .persist()
