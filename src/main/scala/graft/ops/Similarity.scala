@@ -69,16 +69,24 @@ object Similarity {
 
   private[graft] def vectors(s: SparkSession, d: String): DataFrame =
     cached(vectorCache, s, d) {
-      // Spread the persisted copy to session width: this table is
+      // Spread the persisted copy to a COMPUTE-sized width: this table is
       // compute-dense — downstream stages run O(k·dim) FLOPs per ROW
       // (centroid argmax, banded dots), so bytes-proportional file splits
       // under-parallelize it badly (a 26 MB sf5 file is 1-2 splits, which
-      // serialized millions of dot products on one core). One cheap
-      // hash shuffle here and every consumer inherits full width; at
-      // 100 TB the same sizing is done against the cluster's core count,
-      // not against parquet bytes.
+      // serialized millions of dot products on one core). Width is sized
+      // to the data, not blindly to the session: ~1k vectors per partition
+      // (≈10⁸ FLOPs per task at demo k), capped at session parallelism —
+      // a 2k-vector gate corpus stays at 1-2 partitions (32 near-empty
+      // cached partitions taxed EVERY downstream job ~0.5 s in scheduling,
+      // measured at sf0.1), while a 100k-vector corpus fans out to full
+      // width. The count is footer-driven and runs once per (session, dir).
+      // At 100 TB the same sizing is done against the cluster's core
+      // count, not against parquet bytes.
+      val n = embeddings(s, d).count()
+      val width = math.max(1L, math.min(
+        s.sparkContext.defaultParallelism.toLong, n / 1000L)).toInt
       embeddings(s, d).select(col("vec_id"), asDouble(col("embedding")).as("v"))
-        .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+        .repartition(width, col("vec_id"))
         .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }

@@ -87,10 +87,15 @@ object SemanticStream {
     // so the assignment dots run once per batch. Repartition FIRST — a
     // micro-batch arrives at source-file width (often one file = one
     // split), and the assignment is the batch's FLOP-heavy step
-    // (delta·k dots); keyed by vec_id so placement is deterministic
-    // under foreachBatch replay.
+    // (delta·k dots). Width is sized to the delta (~1k vectors per
+    // partition, capped at session parallelism) so a toy gate batch does
+    // not pay 32-task scheduling per job; keyed by vec_id so placement is
+    // deterministic under foreachBatch replay. The count is footer-driven
+    // on the staged file.
+    val width = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong, batch.count() / 1000L)).toInt
     val assigned = batch
-      .repartition(s.sparkContext.defaultParallelism, col("vec_id"))
+      .repartition(width, col("vec_id"))
       .withColumn("cluster", clusterOf(col("v")))
       .persist()
     try {
