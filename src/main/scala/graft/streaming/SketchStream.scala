@@ -53,18 +53,29 @@ object SketchStream {
     * sketches in shuffle-fetch order, and the Misra-Gries merge TRUNCATES
     * — the candidate set (never the guarantee) depends on merge order, so
     * a replayed batch could land a different-but-equally-valid partition
-    * and break the bit-identical-replay contract. Instead each input
-    * partition reduces its own sketch (row order within a partition is
-    * deterministic for a deterministic file), the ≤P partition sketches
-    * come back as rows, and the driver folds them in ascending partition
-    * id — ONE fixed merge tree, still covered by the mergeable-summaries
-    * bound, still nothing bigger than k counters per partition anywhere. */
+    * and break the bit-identical-replay contract. Instead each partition
+    * reduces its own sketch, the ≤P partition sketches come back as rows,
+    * and the driver folds them in ascending partition id — ONE fixed merge
+    * tree, still covered by the mergeable-summaries bound, still nothing
+    * bigger than k counters per partition anywhere. The batch is first
+    * spread to a data-sized width (a staged micro-batch file is ONE split,
+    * which serialized the whole token sketch on one core at the 50x
+    * bench); determinism survives the shuffle because hash placement is a
+    * pure function of doc_id and sortWithinPartitions pins the row order
+    * that shuffle fetch would otherwise scramble — partition contents AND
+    * order stay a pure function of the data, so a replay lands the
+    * bit-identical partition. */
   def sketchBatch(k: Int, stateDir: String)(batch: DataFrame, batchId: Long): Unit = {
     val s = batch.sparkSession
     val agg = graft.functions.HeavyHittersAggregator(k)
     val hh = udaf(agg)
-    val toks = batch.select(
-      explode(graft.ops.TextAnalysis.tokensCol(lower(col("text")))).as("tok"))
+    val width = math.max(1L, math.min(
+      s.sparkContext.defaultParallelism.toLong, batch.count() / 1000L)).toInt
+    val toks = batch
+      .repartition(width, col("doc_id"))
+      .sortWithinPartitions(col("doc_id"))
+      .select(
+        explode(graft.ops.TextAnalysis.tokensCol(lower(col("text")))).as("tok"))
     val parts = toks
       .groupBy(spark_partition_id().as("pid"))
       .agg(hh(col("tok")).as("sketch"), count(lit(1)).as("n"))
