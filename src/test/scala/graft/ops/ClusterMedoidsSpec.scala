@@ -32,9 +32,12 @@ class ClusterMedoidsSpec extends AnyFunSuite {
     assert(med.exceptAll(again).count() == 0 && again.exceptAll(med).count() == 0)
   }
 
-  test("plan law: one shuffle on the cluster id, nothing cartesian") {
+  test("plan law: at most one shuffle, on the cluster id; nothing cartesian") {
     // Assignment is a per-row expression, both windows share the cluster
-    // partitioning: the whole operator is scan -> 1 exchange -> windows.
+    // partitioning: the whole operator is scan -> ≤1 exchange -> windows.
+    // ZERO exchanges is legal and better — when the (data-width-sized)
+    // cached corpus is a single partition, it already satisfies the
+    // windows' clustered distribution and Spark elides the exchange.
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.execution.joins.{BroadcastNestedLoopJoinExec, CartesianProductExec}
     // Drop the suite-level cache first: CacheManager plan-matching would
@@ -42,7 +45,7 @@ class ClusterMedoidsSpec extends AnyFunSuite {
     med.unpersist(blocking = true)
     val nodes = graft.PlanTest.executedNodes(Similarity.clusterMedoids(spark, dir))
     val shuffles = nodes.collect { case e: ShuffleExchangeExec => e }
-    assert(shuffles.size == 1, s"expected exactly 1 shuffle, got ${shuffles.size}")
+    assert(shuffles.size <= 1, s"expected at most 1 shuffle, got ${shuffles.size}")
     assert(!nodes.exists {
       case _: BroadcastNestedLoopJoinExec | _: CartesianProductExec => true
       case _ => false
