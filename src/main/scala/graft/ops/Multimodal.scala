@@ -559,8 +559,170 @@ object Multimodal {
         sum(col("is_cand") * col("is_planted")).as("n_both"))
   }
 
+  // ---- Audio: real-WAV fixture build, envelope extraction, fingerprint dedup
+
+  private val AUD_FRAMES = 61 // 60 envelope-gradient fingerprint bits
+  private val AUD_SPF = 8 // samples per frame: one md5 = 16 bytes = 8 i16le samples
+  private val AUD_RATE = 8000
+  private val AUD_DATA_BYTES = AUD_FRAMES * AUD_SPF * 2 // 976
+  private val AUD_CLONE_OFFSET = 20000000L // disjoint from doc ids AND image clones
+  private val AUD_CLONE_MOD = 7 // every 7th doc gets a planted near-dup clip
+  private val AUD_PERT_DELTA = 16 // low-byte bump on a perturbed frame's first sample
+  private val AUD_BAND_BITS = 15
+  private val AUD_MAX_HAMMING = 3 // bands-1: pigeonhole-complete
+
+  /** Canonical 44-byte PCM WAV header for the fixture clips: mono, 8 kHz,
+    * 16-bit, data chunk at the PCM-44 offset — exactly the layout
+    * [[isWav]] gates on and the `wav*` field readers parse. Built once on
+    * the driver and shipped as a binary literal. */
+  private lazy val wavHeaderBytes: Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + AUD_DATA_BYTES)
+    b.put("WAVE".getBytes("US-ASCII"))
+    b.put("fmt ".getBytes("US-ASCII")).putInt(16)
+    b.putShort(1).putShort(1).putInt(AUD_RATE).putInt(AUD_RATE * 2)
+    b.putShort(2).putShort(16)
+    b.put("data".getBytes("US-ASCII")).putInt(AUD_DATA_BYTES)
+    b.array()
+  }
+
+  /** The stub "recorded clip": frame f's 16 PCM bytes = md5(text, '#p', f)
+    * — the audio analogue of [[gridPix]]'s stub decode. Unlike the image
+    * grid, the fixture is materialized as REAL BYTES behind a REAL header:
+    * the query path must parse them back (header fields via the `wav*`
+    * readers, samples via the codegen'd [[graftbridge.PcmFrameEnergies]]),
+    * so the oracle — which recomputes the energies arithmetically from the
+    * generator formula — verifies the whole build+parse round-trip. */
+  private def frameHex(text: Column, f: Int): Column =
+    md5(concat(text, lit("#p"), lit(f.toString)))
+
+  private def frameBin(text: Column, f: Int): Column = unhex(frameHex(text, f))
+
+  /** Perturbed frame: first sample's LOW byte bumped by +16 mod 256 (no
+    * carry into the high byte, mirroring the image family's +16 grey
+    * bump). |energy delta| <= 240 (the mod-wrap worst case) of a ~131k
+    * expected frame energy, so a gradient bit flips only where adjacent
+    * frame energies nearly tie — dither-level signature damage, the
+    * perceptual-hash robustness model. */
+  private def framePerturbedBin(text: Column, f: Int): Column = {
+    val h = frameHex(text, f)
+    val b0 = conv(substring(h, 1, 2), 16, 10).cast("long")
+    unhex(concat(lpad(hex((b0 + AUD_PERT_DELTA) % 256), 2, "0"), substring(h, 3, 30)))
+  }
+
+  private def frameMaybePerturbed(text: Column, f: Int, origId: Column, asClone: Boolean): Column =
+    if (!asClone) frameBin(text, f)
+    else {
+      // origId is always a multiple of AUD_CLONE_MOD, so the double
+      // division is exact; cast back to long = the oracle's doc_id // 7.
+      val nPert = (origId / AUD_CLONE_MOD).cast("long") % 4
+      when((lit(f) * 5 + origId) % AUD_FRAMES < nPert, framePerturbedBin(text, f))
+        .otherwise(frameBin(text, f))
+    }
+
+  /** Whole fixture clip as one binary column — the COLUMN FORMULATION,
+    * header ++ 61 × `unhex(md5(...))` frames: the readable statement of
+    * the fixture contract, spec-pinned bit-equal to the native builder.
+    * Clones perturb n_pert = (doc_id/7) % 4 frames at positions (f·5 +
+    * doc_id) % 61 < n_pert (5 is coprime to 61, so exactly n_pert
+    * distinct frames).
+    *
+    * NOT the catalog path: 61 inlined md5→unhex chains inside a single
+    * concat overflow Janino's 64 KB method limit — a single expression
+    * tree can't be split, so the whole projection stage fell back to
+    * interpreted mode (`Code grows beyond 64 KB`, ~2× on the signature
+    * relation). The catalog rides [[wavClipCol]]. */
+  private[ops] def wavPayloadCol(text: Column, origId: Column, asClone: Boolean): Column =
+    concat(lit(wavHeaderBytes) +:
+      (0 until AUD_FRAMES).map(f => frameMaybePerturbed(text, f, origId, asClone)): _*)
+
+  /** The catalog path: same bytes from the codegen'd native builder. */
+  private[ops] def wavClipCol(text: Column, origId: Column, asClone: Boolean): Column =
+    org.apache.spark.sql.graftbridge.wavFixtureClip(text, origId,
+      wavHeaderBytes, AUD_FRAMES, "#p", asClone, AUD_CLONE_MOD, AUD_PERT_DELTA)
+
+  private[ops] def audioEnvCol(payload: Column): Column =
+    org.apache.spark.sql.graftbridge.pcmFrameEnergies(payload, 44, AUD_SPF)
+
+  /** 60-bit envelope fingerprint: bit f = 1 iff energy[f+1] > energy[f] —
+    * gradient direction over the envelope, the 1-D analogue of dHash
+    * (Chromaprint-style fingerprints binarize exactly this kind of
+    * frame-to-frame feature delta). */
+  private[ops] def audioSigCol(env: Column): Column =
+    (0 until AUD_FRAMES - 1).map(f =>
+      when(element_at(env, f + 2) > element_at(env, f + 1), lit(1L << f)).otherwise(0L))
+      .reduce(_ + _)
+
+  /** Signature relation (doc_id, w0) over corpus ∪ planted clone clips —
+    * the same input shape [[Dedup.simhashBandedPairs]] takes (and the
+    * image family feeds). One scan, no Union; envelope materialized in its
+    * own projection so the byte parse runs once per row. */
+  private[ops] def audioSignatures(s: SparkSession, d: String): DataFrame = {
+    val self = struct(col("doc_id").as("doc_id"),
+      wavClipCol(col("text"), col("doc_id"), asClone = false).as("p"))
+    val clone = struct((col("doc_id") + AUD_CLONE_OFFSET).as("doc_id"),
+      wavClipCol(col("text"), col("doc_id"), asClone = true).as("p"))
+    documents(s, d)
+      .select(explode(
+        when(col("doc_id") % AUD_CLONE_MOD === 0, array(self, clone))
+          .otherwise(array(self))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), audioEnvCol(col("r.p")).as("env"))
+      .select(col("doc_id"), audioSigCol(col("env")).as("w0"))
+  }
+
+  /** Audio near-dup pairs (catalog `x_dedup_audio`): banded fingerprint
+    * join at 4×15-bit bands, recall-complete for hamming <= 3 — the SHARED
+    * kernel the text SimHash and image dHash families ride, fed by a third
+    * modality. At 100 TB the same sizing rule applies (widen the envelope
+    * / narrow the bands as the clip count grows). */
+  def dedupAudio(s: SparkSession, d: String): DataFrame =
+    Dedup.simhashBandedPairs(audioSignatures(s, d),
+      words = 1, bandBits = AUD_BAND_BITS, maxHamming = AUD_MAX_HAMMING)
+      .orderBy(col("doc_a"), col("doc_b"))
+
+  /** Precision/recall audit vs the planted ground truth (catalog
+    * `x_dedup_audio_precision`) — same contract as
+    * [[dedupImagePrecision]]: perturbed clones whose bit damage exceeds
+    * hamming 3 are the honest misses. */
+  def dedupAudioPrecision(s: SparkSession, d: String): DataFrame = {
+    val cand = dedupAudio(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_cand"))
+    val planted = documents(s, d)
+      .filter(col("doc_id") % AUD_CLONE_MOD === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + AUD_CLONE_OFFSET).as("doc_b"), lit(1).as("is_planted"))
+    cand.join(planted, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(col("is_cand")).as("n_candidates"),
+        sum(col("is_planted")).as("n_planted"),
+        sum(col("is_cand") * col("is_planted")).as("n_both"))
+  }
+
+  /** Audio feature extraction (catalog `x_audio_envelope`): per-clip
+    * header metadata AND envelope statistics, every field parsed FROM THE
+    * BYTES — sample rate and duration via the `wav*` header readers,
+    * energies via the codegen'd PCM walk. The oracle states the synthesis
+    * ground truth (header constants, generator-formula energies), so any
+    * parser deviation fails the hash. All outputs integral (§8.4 rule). */
+  def audioEnvelope(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), wavClipCol(col("text"), col("doc_id"), asClone = false).as("p"))
+      .filter(isWav(col("p")))
+      .select(col("doc_id"),
+        wavSampleRate(col("p")).as("sample_rate"),
+        wavDurationMs(col("p")).as("duration_ms"),
+        audioEnvCol(col("p")).as("env"))
+      .select(col("doc_id"), col("sample_rate"), col("duration_ms"),
+        size(col("env")).as("n_frames"),
+        aggregate(col("env"), lit(0L), (a, e) => a + e).as("e_sum"),
+        array_max(col("env")).as("e_max"),
+        array_min(col("env")).as("e_min"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_multimodal_meta" -> (multimodalMeta _),
+    "x_audio_envelope" -> (audioEnvelope _),
+    "x_dedup_audio" -> (dedupAudio _),
+    "x_dedup_audio_precision" -> (dedupAudioPrecision _),
     "x_frame_sample" -> (frameSample _),
     "x_resize_plan" -> (resizePlan _),
     "x_dedup_image" -> (dedupImage _),
@@ -605,7 +767,80 @@ object Multimodal {
        |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
        |  WHERE hamming <= $IMG_MAX_HAMMING)""".stripMargin
 
+  /** Generator-formula envelope as a DuckDB expression: one md5 per frame
+    * (materialized in a struct so the inner lambda reads it), samples
+    * decoded i16le via arithmetic — `((v + 32768) % 65536) - 32768` is the
+    * branch-free sign extension the JVM's `(short)` cast performs. The
+    * clone variant applies the low-byte bump to sample 0 of the perturbed
+    * frames, mirroring [[framePerturbedBin]] byte for byte. */
+  private def audEnvSql(clone: Boolean): String = {
+    val b0 = "CAST('0x' || substring(x.h, CAST(4*j+1 AS INTEGER), 2) AS BIGINT)"
+    val b1 = "CAST('0x' || substring(x.h, CAST(4*j+3 AS INTEGER), 2) AS BIGINT)"
+    val b0c =
+      if (!clone) b0
+      else s"CASE WHEN j = 0 AND (x.f*5 + doc_id) % $AUD_FRAMES < (doc_id // $AUD_CLONE_MOD) % 4" +
+        s" THEN ($b0 + $AUD_PERT_DELTA) % 256 ELSE $b0 END"
+    s"""list_transform(
+       |    list_transform(range(0,$AUD_FRAMES), f -> {'f': f, 'h': md5(text || '#p' || f)}),
+       |    x -> list_sum(list_transform(range(0,$AUD_SPF), j ->
+       |      abs((($b0c + 256*$b1 + 32768) % 65536) - 32768))))""".stripMargin
+  }
+
+  /** The 60 envelope-gradient comparison terms, unrolled (same generation
+    * discipline as [[dhashTermsSql]]); env is the 1-based 61-frame list. */
+  private def audioTermsSql: String =
+    (0 until AUD_FRAMES - 1).map(f =>
+      s"CASE WHEN env[${f + 2}] > env[${f + 1}] THEN (1::BIGINT << $f) ELSE 0 END")
+      .mkString("\n     + ")
+
+  /** Envelope → signature → band → verified-candidate CTE chain ending at
+    * `acand(doc_a, doc_b, hamming)` — the DuckDB twin of [[dedupAudio]]'s
+    * whole pipeline including the planted clone clips. */
+  private def audioCtes: String =
+    s"""aud AS (
+       |  SELECT doc_id, ${audEnvSql(clone = false)} AS env
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $AUD_CLONE_OFFSET, ${audEnvSql(clone = true)} AS env
+       |  FROM documents WHERE doc_id % $AUD_CLONE_MOD = 0),
+       |asig AS (SELECT doc_id, CAST($audioTermsSql AS BIGINT) AS w0 FROM aud),
+       |aband AS (SELECT doc_id, w0, b.b AS band_idx,
+       |                 (w0 >> CAST(b.b*$AUD_BAND_BITS AS INTEGER)) & ${(1 << AUD_BAND_BITS) - 1} AS band_val
+       |          FROM asig, (SELECT unnest(range(0,${60 / AUD_BAND_BITS})) AS b) b),
+       |acand AS (
+       |  SELECT doc_a, doc_b, hamming FROM (
+       |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           CAST(bit_count(xor(a.w0, b.w0)) AS INTEGER) AS hamming
+       |    FROM aband a JOIN aband b
+       |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= $AUD_MAX_HAMMING)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    // Header fields are the synthesis GROUND TRUTH (every fixture clip is
+    // mono 8 kHz 16-bit, 976 data bytes = 61 ms), energies the generator
+    // formula — the Spark side must recover all of it from the bytes.
+    "x_audio_envelope" ->
+      s"""WITH aud AS (SELECT doc_id, ${audEnvSql(clone = false)} AS env FROM documents)
+         |SELECT doc_id,
+         |       CAST($AUD_RATE AS INTEGER) AS sample_rate,
+         |       CAST(${AUD_DATA_BYTES * 8000L / (AUD_RATE * 16L)} AS BIGINT) AS duration_ms,
+         |       CAST($AUD_FRAMES AS INTEGER) AS n_frames,
+         |       CAST(list_sum(env) AS BIGINT) AS e_sum,
+         |       CAST(list_max(env) AS BIGINT) AS e_max,
+         |       CAST(list_min(env) AS BIGINT) AS e_min
+         |FROM aud""".stripMargin,
+    "x_dedup_audio" ->
+      s"""WITH $audioCtes
+         |SELECT doc_a, doc_b, hamming FROM acand""".stripMargin,
+    "x_dedup_audio_precision" ->
+      s"""WITH $audioCtes,
+         |aplanted AS (SELECT doc_id AS doc_a, doc_id + $AUD_CLONE_OFFSET AS doc_b
+         |             FROM documents WHERE doc_id % $AUD_CLONE_MOD = 0)
+         |SELECT CAST(count(c.doc_a) AS BIGINT) AS n_candidates,
+         |       CAST(count(p.doc_a) AS BIGINT) AS n_planted,
+         |       CAST(SUM(CASE WHEN c.doc_a IS NOT NULL AND p.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |FROM acand c FULL OUTER JOIN aplanted p
+         |  ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b""".stripMargin,
     // Ground truth, not a mirrored parser: the synthesized stream plants
     // width/height as pure doc_id arithmetic, so the oracle states what the
     // marker walk MUST recover (and NULL for the corrupt every-10th rows).

@@ -67,6 +67,22 @@ package object graftbridge {
   def simhashWideBits(c: Column, words: Int): Column =
     ExpressionUtils.column(SimhashWide(ExpressionUtils.expression(c), words))
 
+  /** Per-frame PCM energy envelope of a binary payload — i16le samples
+    * from `dataOffset`, |sample| summed per `frameSamples`-sample frame,
+    * one codegen'd byte pass (see [[graftbridge.PcmFrameEnergies]]). */
+  def pcmFrameEnergies(c: Column, dataOffset: Int, frameSamples: Int): Column =
+    ExpressionUtils.column(
+      PcmFrameEnergies(ExpressionUtils.expression(c), dataOffset, frameSamples))
+
+  /** The audio family's fixture clip builder — header ++ `frames`
+    * md5-derived 16-byte frames, optional clone perturbation — one
+    * codegen'd pass (see [[graftbridge.WavFixtureClip]]). */
+  def wavFixtureClip(text: Column, docId: Column, header: Array[Byte], frames: Int,
+      seed: String, asClone: Boolean, cloneMod: Int, pertDelta: Int): Column =
+    ExpressionUtils.column(WavFixtureClip(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(docId),
+      header, frames, seed, asClone, cloneMod, pertDelta))
+
   /** All n-token-gram md5 hex fingerprints of a token array in one
     * codegen'd byte pass (see [[graftbridge.NgramMd5]]). */
   /** Unicode NFC normalization with an ASCII zero-allocation fast path
