@@ -429,7 +429,10 @@ object Dedup {
     *
     * Bands never straddle words (bandBits must divide 60): band b covers
     * word b / bandsPerWord, bit offset (b % bandsPerWord) * bandBits. */
-  private[ops] def simhashBandedPairs(
+  /** Band relation (doc_id, w0[, w1], band_idx, band_val) of a word-column
+    * signature relation, with the sizing-rule validation — the shared
+    * front half of the self-join and cross-join banded kernels. */
+  private def bandRelation(
       sigs: DataFrame, words: Int, bandBits: Int, maxHamming: Int): DataFrame = {
     require(SIMHASH_BITS % bandBits == 0,
       s"bandBits must divide $SIMHASH_BITS so bands never straddle words, got $bandBits")
@@ -441,18 +444,51 @@ object Dedup {
     val bandExprs = for { w <- 0 until words; b <- 0 until bandsPerWord }
       yield shiftright(col(s"w$w"), b * bandBits).bitwiseAND(mask)
     val wordCols = (0 until words).map(w => col(s"w$w"))
-    val bands = sigs.select(col("doc_id") +: wordCols :+
+    sigs.select(col("doc_id") +: wordCols :+
       posexplode(array(bandExprs: _*)).as(Seq("band_idx", "band_val")): _*)
-    val hamming = (0 until words)
+  }
+
+  private def bandedHamming(words: Int): Column =
+    (0 until words)
       .map(w => bit_count(col(s"a.w$w").bitwiseXOR(col(s"b.w$w"))))
       .reduce(_ + _)
+
+  private[ops] def simhashBandedPairs(
+      sigs: DataFrame, words: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    val bands = bandRelation(sigs, words, bandBits, maxHamming)
     bands.as("a")
       .join(bands.as("b"),
         col("a.band_idx") === col("b.band_idx") &&
           col("a.band_val") === col("b.band_val") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        hamming.as("hamming"))
+        bandedHamming(words).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Cross-join face of the banded kernel — the day-2 shape for the
+    * fingerprint modalities (SimHash text, image dHash, audio envelope):
+    * an ARRIVING delta probes the persisted signature index instead of
+    * self-joining the whole corpus. Same band relation, same pigeonhole
+    * guarantee, but the join is delta-bands × index-bands, so the cost is
+    * O(|delta| · bucket occupancy) — never a corpus self-join. Output
+    * (doc_id [delta], match_id [index], hamming), hamming <= maxHamming.
+    *
+    * The lexical twin is [[lshCrossPairs]] (minhash band space); this one
+    * takes the word-column signature relations the hamming families
+    * produce. */
+  private[ops] def simhashBandedCrossPairs(
+      delta: DataFrame, index: DataFrame,
+      words: Int, bandBits: Int, maxHamming: Int): DataFrame = {
+    val db = bandRelation(delta, words, bandBits, maxHamming)
+    val ib = bandRelation(index, words, bandBits, maxHamming)
+    db.as("a")
+      .join(ib.as("b"),
+        col("a.band_idx") === col("b.band_idx") &&
+          col("a.band_val") === col("b.band_val"))
+      .select(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"),
+        bandedHamming(words).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }

@@ -534,10 +534,13 @@ object Multimodal {
     * candidates, hamming-verified — the shared kernel at 4×15-bit bands
     * (see the sizing note above; uniform grids need the wide band space
     * the 10-bit default would quadratically flood). */
+  private def imagePairsShared(s: SparkSession, d: String): DataFrame =
+    fpShared(s, d, "imgPairs")(
+      Dedup.simhashBandedPairs(imageSignatures(s, d),
+        words = 1, bandBits = IMG_BAND_BITS, maxHamming = IMG_MAX_HAMMING))
+
   def dedupImage(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashBandedPairs(imageSignatures(s, d),
-      words = 1, bandBits = IMG_BAND_BITS, maxHamming = IMG_MAX_HAMMING)
-      .orderBy(col("doc_a"), col("doc_b"))
+    imagePairsShared(s, d).orderBy(col("doc_a"), col("doc_b"))
 
   /** Precision audit vs the planted ground truth (catalog
     * `x_dedup_image_precision`): found pairs vs the (doc, clone) pairs the
@@ -546,7 +549,7 @@ object Multimodal {
     * are the honest misses), n_both/n_candidates is precision against
     * random-grid collisions. */
   def dedupImagePrecision(s: SparkSession, d: String): DataFrame = {
-    val cand = dedupImage(s, d)
+    val cand = imagePairsShared(s, d)
       .select(col("doc_a"), col("doc_b"), lit(1).as("is_cand"))
     val planted = documents(s, d)
       .filter(col("doc_id") % IMG_CLONE_MOD === 0)
@@ -670,22 +673,61 @@ object Multimodal {
       .select(col("doc_id"), audioSigCol(col("env")).as("w0"))
   }
 
+  /** Per-(session, directory) cache for the fingerprint families' shared
+    * artifacts — in production the signature relation and the pair set
+    * are materialized ONCE by the dedup pass and every audit entry reads
+    * the artifact (the `Dedup.simhashPairsShared` discipline; stopped
+    * sessions swept on access). Keyed by a family tag so image and audio
+    * don't collide. */
+  private val fpCache =
+    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
+
+  private def fpShared(s: SparkSession, d: String, tag: String)(
+      build: => DataFrame): DataFrame = {
+    fpCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    fpCache.computeIfAbsent((s, d, tag), _ =>
+      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  private def audioSigsShared(s: SparkSession, d: String): DataFrame =
+    fpShared(s, d, "audSigs")(audioSignatures(s, d))
+
+  private def audioPairsShared(s: SparkSession, d: String): DataFrame =
+    fpShared(s, d, "audPairs")(
+      Dedup.simhashBandedPairs(audioSigsShared(s, d),
+        words = 1, bandBits = AUD_BAND_BITS, maxHamming = AUD_MAX_HAMMING))
+
   /** Audio near-dup pairs (catalog `x_dedup_audio`): banded fingerprint
     * join at 4×15-bit bands, recall-complete for hamming <= 3 — the SHARED
     * kernel the text SimHash and image dHash families ride, fed by a third
     * modality. At 100 TB the same sizing rule applies (widen the envelope
     * / narrow the bands as the clip count grows). */
   def dedupAudio(s: SparkSession, d: String): DataFrame =
-    Dedup.simhashBandedPairs(audioSignatures(s, d),
+    audioPairsShared(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Incremental probe (catalog `x_dedup_audio_incremental`) — the day-2
+    * face of the fingerprint families: today's ARRIVING clips (the fixture
+    * casts the planted clone clips as the delta — re-encoded copies of
+    * corpus audio, the realistic arrival) probe the persisted signature
+    * index of the existing corpus via [[Dedup.simhashBandedCrossPairs]].
+    * O(|delta| · bucket occupancy), never a corpus self-join — the same
+    * contract as the lexical `dedupIncremental` and the semantic
+    * `dedupSemanticIncremental`, in hamming space. */
+  def dedupAudioIncremental(s: SparkSession, d: String): DataFrame = {
+    val sigs = audioSigsShared(s, d)
+    val delta = sigs.filter(col("doc_id") >= AUD_CLONE_OFFSET)
+    val index = sigs.filter(col("doc_id") < AUD_CLONE_OFFSET)
+    Dedup.simhashBandedCrossPairs(delta, index,
       words = 1, bandBits = AUD_BAND_BITS, maxHamming = AUD_MAX_HAMMING)
-      .orderBy(col("doc_a"), col("doc_b"))
+      .orderBy(col("doc_id"), col("match_id"))
+  }
 
   /** Precision/recall audit vs the planted ground truth (catalog
     * `x_dedup_audio_precision`) — same contract as
     * [[dedupImagePrecision]]: perturbed clones whose bit damage exceeds
     * hamming 3 are the honest misses. */
   def dedupAudioPrecision(s: SparkSession, d: String): DataFrame = {
-    val cand = dedupAudio(s, d)
+    val cand = audioPairsShared(s, d)
       .select(col("doc_a"), col("doc_b"), lit(1).as("is_cand"))
     val planted = documents(s, d)
       .filter(col("doc_id") % AUD_CLONE_MOD === 0)
@@ -723,6 +765,7 @@ object Multimodal {
     "x_audio_envelope" -> (audioEnvelope _),
     "x_dedup_audio" -> (dedupAudio _),
     "x_dedup_audio_precision" -> (dedupAudioPrecision _),
+    "x_dedup_audio_incremental" -> (dedupAudioIncremental _),
     "x_frame_sample" -> (frameSample _),
     "x_resize_plan" -> (resizePlan _),
     "x_dedup_image" -> (dedupImage _),
@@ -832,6 +875,18 @@ object Multimodal {
     "x_dedup_audio" ->
       s"""WITH $audioCtes
          |SELECT doc_a, doc_b, hamming FROM acand""".stripMargin,
+    "x_dedup_audio_incremental" ->
+      s"""WITH $audioCtes,
+         |adelta AS (SELECT doc_id, w0, band_idx, band_val FROM aband
+         |           WHERE doc_id >= $AUD_CLONE_OFFSET),
+         |aindex AS (SELECT doc_id, w0, band_idx, band_val FROM aband
+         |           WHERE doc_id < $AUD_CLONE_OFFSET)
+         |SELECT doc_id, match_id, hamming FROM (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_id,
+         |         CAST(bit_count(xor(a.w0, b.w0)) AS INTEGER) AS hamming
+         |  FROM adelta a JOIN aindex b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val)
+         |WHERE hamming <= $AUD_MAX_HAMMING""".stripMargin,
     "x_dedup_audio_precision" ->
       s"""WITH $audioCtes,
          |aplanted AS (SELECT doc_id AS doc_a, doc_id + $AUD_CLONE_OFFSET AS doc_b

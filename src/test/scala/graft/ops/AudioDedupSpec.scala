@@ -121,6 +121,18 @@ class AudioDedupSpec extends AnyFunSuite {
     assert(cand >= planted)
   }
 
+  test("incremental probe agrees with the self-join restricted to delta-vs-index pairs") {
+    // The cross-pairs kernel must find exactly the delta(clone)-vs-index
+    // pairs the one-shot self-join finds — same bands, same pigeonhole
+    // guarantee — and nothing delta-internal or index-internal.
+    val self = Multimodal.dedupAudio(spark, sfDir)
+      .filter(col("doc_b") >= 20000000L && col("doc_a") < 20000000L)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("match_id"), col("hamming"))
+    val inc = Multimodal.dedupAudioIncremental(spark, sfDir)
+    assert(inc.filter(col("doc_id") < 20000000L || col("match_id") >= 20000000L).count() == 0)
+    assert(inc.exceptAll(self).count() == 0 && self.exceptAll(inc).count() == 0)
+  }
+
   test("byte round-trip: parsed envelope equals the generator formula (oracle mirror)") {
     // The oracle recomputes energies arithmetically from the md5 generator;
     // this pins the same identity in-suite: build bytes -> parse bytes ==
