@@ -766,6 +766,8 @@ object Multimodal {
     "x_dedup_audio" -> (dedupAudio _),
     "x_dedup_audio_precision" -> (dedupAudioPrecision _),
     "x_dedup_audio_incremental" -> (dedupAudioIncremental _),
+    "x_dedup_video" -> (dedupVideo _),
+    "x_dedup_video_precision" -> (dedupVideoPrecision _),
     "x_frame_sample" -> (frameSample _),
     "x_resize_plan" -> (resizePlan _),
     "x_dedup_image" -> (dedupImage _),
@@ -809,6 +811,127 @@ object Multimodal {
        |    FROM iband a JOIN iband b
        |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
        |  WHERE hamming <= $IMG_MAX_HAMMING)""".stripMargin
+
+  // ---- Video: frame-hash sequences, temporal shingles, trim-robust near-dup
+
+  private val VID_FRAMES = 32
+  private val VID_CLONE_OFFSET = 30000000L // disjoint from doc ids, image AND audio clones
+  private val VID_CLONE_MOD = 6 // every 6th doc gets a planted edited copy
+  private val VID_TAU_PPM = 700000L // Jaccard gate, integral ppm
+
+  /** Stub per-frame perceptual hash: frame f of a video = the low 60 bits
+    * of md5(text, '#v', f) — standing in for a dHash/pHash of the decoded
+    * frame (the image family's real machinery; swap it in per frame and
+    * everything downstream is unchanged). */
+  private def vidFrameHashes(text: Column): Column = {
+    // one NATIVE digest pass over the 32 seed strings (NgramMd5 at n=1 is
+    // per-element md5) — 32 separate md5 expressions inside a transform
+    // lambda are evaluated interpreted and dominated the sf5 build
+    val seeds = transform(sequence(lit(0), lit(VID_FRAMES - 1)), f =>
+      concat(text, lit("#v"), f.cast("string")))
+    transform(org.apache.spark.sql.graftbridge.ngramMd5(seeds, 1), h =>
+      conv(substring(h, 1, 15), 16, 10).cast("long"))
+  }
+
+  /** Planted edited copy: drop the first k = (doc_id/6) % 4 frames (a
+    * TRIM — intro cut / re-sync, the edit spatial banding cannot see) and
+    * replace one surviving frame at offset r = (doc_id/6) % (32-k) with
+    * fresh content (an AD/LOGO insertion — its hash comes from the '#r'
+    * seed). Worst case: 28 surviving shingles, 2 broken by the replaced
+    * frame → Jaccard 26/33 ≈ 0.788, above the 0.70 gate — planted recall
+    * is EXACT, not probabilistic (no banding budget to exceed). */
+  private def vidCloneHashes(text: Column, origId: Column): Column = {
+    val k = (origId / VID_CLONE_MOD).cast("long") % 4
+    val r = (origId / VID_CLONE_MOD).cast("long") % (lit(VID_FRAMES) - k)
+    transform(
+      slice(vidFrameHashes(text), (k + 1).cast("int"), (lit(VID_FRAMES) - k).cast("int")),
+      (x, i) => when(i.cast("long") === r,
+        conv(substring(md5(concat(text, lit("#r"), (k + i).cast("string"))), 1, 15), 16, 10)
+          .cast("long"))
+        .otherwise(x))
+  }
+
+  /** Temporal 2-gram shingles of a frame-hash sequence, re-hashed to a
+    * 60-bit key (narrow shuffle key, the mhBands contract): shingle i =
+    * md5(fh[i] || ',' || fh[i+1]). Consecutive-frame pairs survive a trim
+    * wholesale, so near-dup becomes set containment — the temporal
+    * analogue of the text family's shingling, over fingerprints instead
+    * of tokens. */
+  private def vidShingles(fh: Column): Column = {
+    // NgramMd5 at n=2 digests each consecutive pair's space-joined decimal
+    // rendering in one native pass (the shingle i = md5(fh[i] ' ' fh[i+1])
+    // contract the oracle mirrors)
+    val strs = transform(fh, x => x.cast("string"))
+    transform(org.apache.spark.sql.graftbridge.ngramMd5(strs, 2), g =>
+      conv(substring(g, 1, 15), 16, 10).cast("long"))
+  }
+
+  /** Shingle relation (doc_id, n_sh, sh) over corpus ∪ planted edited
+    * copies. The set size rides ON the shingle rows: the pair join needs
+    * |A| and |B| for the union, and carrying them here costs one long per
+    * row while a separate sizes relation would cost a SECOND full
+    * evaluation of the frame-hash build plus two extra joins (measured:
+    * the three-scan shape re-ran the digest passes per consumer). */
+  private[ops] def videoShingleRel(s: SparkSession, d: String): DataFrame = {
+    val self = struct(col("doc_id").as("doc_id"), vidFrameHashes(col("text")).as("fh"))
+    val clone = struct((col("doc_id") + VID_CLONE_OFFSET).as("doc_id"),
+      vidCloneHashes(col("text"), col("doc_id")).as("fh"))
+    documents(s, d)
+      .select(explode(
+        when(col("doc_id") % VID_CLONE_MOD === 0, array(self, clone))
+          .otherwise(array(self))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), vidShingles(col("r.fh")).as("sha"))
+      .select(col("doc_id"), size(col("sha")).as("n_sh"), explode(col("sha")).as("sh"))
+  }
+
+  private def videoPairsShared(s: SparkSession, d: String): DataFrame =
+    fpShared(s, d, "vidPairs") {
+      // Candidates from the inverted shingle index: every shared shingle is
+      // a candidate vote, counted per pair. Frame-hash shingles are
+      // HIGH-ENTROPY 60-bit keys (unlike text n-grams), so bucket skew is
+      // structural, not linguistic: buckets ≈ true clone groups, candidate
+      // volume ≈ the true pair set — the regime where an exact inverted
+      // index beats probabilistic banding (which exists to SURVIVE
+      // low-entropy buckets). Jaccard is then EXACT from the shared count
+      // and the two set sizes — integral ppm, no estimation step.
+      val sh = videoShingleRel(s, d)
+      sh.as("a")
+        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+        .agg(count(lit(1)).as("n_shared"),
+          max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
+        .select(col("doc_a"), col("doc_b"), col("n_shared"),
+          (col("n_a") + col("n_b") - col("n_shared")).as("n_union"))
+        // integer `div`, not floor-of-double-division: the ppm must be
+        // bit-stable cross-engine (§8.4 rule; DuckDB twin uses `//`)
+        .withColumn("jaccard_ppm", expr("n_shared * 1000000 div n_union"))
+        .filter(col("jaccard_ppm") >= VID_TAU_PPM)
+    }
+
+  /** Video near-dup pairs (catalog `x_dedup_video`): exact Jaccard over
+    * temporal frame-hash shingles — robust to trims and single-frame
+    * edits, the temporal face the image family's spatial banding can't
+    * express. All outputs integral (counts + ppm). */
+  def dedupVideo(s: SparkSession, d: String): DataFrame =
+    videoPairsShared(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Precision/recall audit vs the planted edited copies (catalog
+    * `x_dedup_video_precision`) — recall here is exact by construction
+    * (worst-case planted Jaccard 0.788 > 0.70 gate), so n_both <
+    * n_planted is a DEFECT, not a budget miss. */
+  def dedupVideoPrecision(s: SparkSession, d: String): DataFrame = {
+    val cand = videoPairsShared(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_cand"))
+    val planted = documents(s, d)
+      .filter(col("doc_id") % VID_CLONE_MOD === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + VID_CLONE_OFFSET).as("doc_b"), lit(1).as("is_planted"))
+    cand.join(planted, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(col("is_cand")).as("n_candidates"),
+        sum(col("is_planted")).as("n_planted"),
+        sum(col("is_cand") * col("is_planted")).as("n_both"))
+  }
 
   /** Generator-formula envelope as a DuckDB expression: one md5 per frame
     * (materialized in a struct so the inner lambda reads it), samples
@@ -858,7 +981,59 @@ object Multimodal {
        |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
        |  WHERE hamming <= $AUD_MAX_HAMMING)""".stripMargin
 
+  /** Frame-hash → shingle → inverted-index-candidate CTE chain ending at
+    * `vcand(doc_a, doc_b, n_shared, n_union, jaccard_ppm)` — the DuckDB
+    * twin of [[dedupVideo]]'s whole pipeline including the planted edited
+    * copies (trim + one replaced frame). */
+  private def videoCtes: String = {
+    val fhSelf =
+      s"""list_transform(range(0,$VID_FRAMES),
+         |      f -> CAST('0x' || substring(md5(text || '#v' || f),1,15) AS BIGINT))""".stripMargin
+    s"""vfh AS (
+       |  SELECT doc_id, $fhSelf AS fh FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $VID_CLONE_OFFSET,
+       |         list_transform(range(k, $VID_FRAMES),
+       |           f -> CASE WHEN f - k = r
+       |                THEN CAST('0x' || substring(md5(text || '#r' || f),1,15) AS BIGINT)
+       |                ELSE CAST('0x' || substring(md5(text || '#v' || f),1,15) AS BIGINT) END) AS fh
+       |  FROM (SELECT doc_id, text,
+       |          (doc_id // $VID_CLONE_MOD) % 4 AS k,
+       |          (doc_id // $VID_CLONE_MOD) % ($VID_FRAMES - (doc_id // $VID_CLONE_MOD) % 4) AS r
+       |        FROM documents WHERE doc_id % $VID_CLONE_MOD = 0)),
+       |vsh AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(fh)),
+       |           i -> CAST('0x' || substring(md5(CAST(fh[i] AS VARCHAR) || ' ' || CAST(fh[i+1] AS VARCHAR)),1,15) AS BIGINT))) AS sh
+       |  FROM vfh),
+       |vsz AS (SELECT doc_id, count(*) AS n_sh FROM vsh GROUP BY doc_id),
+       |vcand AS (
+       |  SELECT doc_a, doc_b, n_shared, n_union,
+       |         (n_shared * 1000000) // n_union AS jaccard_ppm
+       |  FROM (
+       |    SELECT s.doc_a, s.doc_b, s.n_shared,
+       |           za.n_sh + zb.n_sh - s.n_shared AS n_union
+       |    FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |          FROM vsh a JOIN vsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2) s
+       |    JOIN vsz za ON za.doc_id = s.doc_a
+       |    JOIN vsz zb ON zb.doc_id = s.doc_b)
+       |  WHERE (n_shared * 1000000) // n_union >= $VID_TAU_PPM)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "x_dedup_video" ->
+      s"""WITH $videoCtes
+         |SELECT doc_a, doc_b, n_shared, n_union, jaccard_ppm FROM vcand""".stripMargin,
+    "x_dedup_video_precision" ->
+      s"""WITH $videoCtes,
+         |vplanted AS (SELECT doc_id AS doc_a, doc_id + $VID_CLONE_OFFSET AS doc_b
+         |             FROM documents WHERE doc_id % $VID_CLONE_MOD = 0)
+         |SELECT CAST(count(c.doc_a) AS BIGINT) AS n_candidates,
+         |       CAST(count(p.doc_a) AS BIGINT) AS n_planted,
+         |       CAST(SUM(CASE WHEN c.doc_a IS NOT NULL AND p.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |FROM vcand c FULL OUTER JOIN vplanted p
+         |  ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b""".stripMargin,
     // Header fields are the synthesis GROUND TRUTH (every fixture clip is
     // mono 8 kHz 16-bit, 976 data bytes = 61 ms), energies the generator
     // formula — the Spark side must recover all of it from the bytes.

@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.scalatest.funsuite.AnyFunSuite
+import org.apache.spark.sql.functions._
+import graft.SparkTestSession
+
+/** The video near-dup family: temporal frame-hash shingles, exact Jaccard,
+  * trim/replacement robustness — the closed-form overlap laws the DuckDB
+  * oracle states but doesn't derive.
+  */
+class VideoDedupSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = SparkTestSession.sfDir
+
+  test("containment law: planted-pair overlap matches the closed form exactly") {
+    // Clone = orig trimmed by k frames with ONE frame (index f = k + r)
+    // replaced. Surviving shingles: (31 - k) minus those touching the
+    // replaced frame — shingle (f-1, f) exists in the clone iff r >= 1,
+    // shingle (f, f+1) iff f < 31. Set algebra gives intersection and
+    // union EXACTLY; any deviation means shingling or hashing drifted.
+    val pairs = Multimodal.dedupVideo(spark, sfDir)
+      .filter(col("doc_b") >= 30000000L && col("doc_a") === col("doc_b") - 30000000L)
+      .select(col("doc_a"), col("n_shared"), col("n_union"), col("jaccard_ppm"))
+      .collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { row =>
+      val id = row.getLong(0)
+      val k = (id / 6) % 4
+      val r = (id / 6) % (32 - k)
+      val f = k + r
+      val broken = (if (r >= 1) 1 else 0) + (if (f < 31) 1 else 0)
+      val inter = (31 - k) - broken
+      val union = 31 + (31 - k) - inter
+      assert(row.getLong(1) == inter && row.getLong(2) == union,
+        s"doc $id: got (${row.getLong(1)}, ${row.getLong(2)}), want ($inter, $union)")
+      assert(row.getLong(3) == inter * 1000000L / union)
+    }
+  }
+
+  test("every planted edited copy is recovered — recall is exact, not probabilistic") {
+    // Worst planted Jaccard is 26/33 ~ 0.788 > the 0.70 gate, and the
+    // candidate step is an exact inverted index (no banding budget), so a
+    // missed clone is a defect.
+    val r = Multimodal.dedupVideoPrecision(spark, sfDir).head()
+    val (cand, planted, both) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(planted > 0 && both == planted,
+      s"planted $planted, found $both")
+    // extra candidates can only come from exact-duplicate texts (identical
+    // frame-hash sequences), never from unrelated docs (60-bit shingles)
+    assert(cand >= planted)
+  }
+
+  test("a pure trim is containment: clone shingle set is a subset of the original's") {
+    import spark.implicits._
+    // hand-built: doc 6 (k=1, r=(1 % 31)=1 -> f=2 replaced). Drop the
+    // replacement by comparing against doc 12's pure-trim variant... easier:
+    // derive both shingle sets from the relation and check subset modulo
+    // the <= 2 shingles the replaced frame breaks.
+    val rel = Multimodal.videoShingleRel(spark, sfDir)
+    val origSh = rel.filter(col("doc_id") === 6L).select("sh").as[Long].collect().toSet
+    val cloneSh = rel.filter(col("doc_id") === 30000006L).select("sh").as[Long].collect().toSet
+    val foreign = cloneSh -- origSh
+    assert(foreign.size <= 2, s"replaced frame should break <= 2 shingles, got ${foreign.size}")
+    assert((cloneSh -- foreign).subsetOf(origSh))
+  }
+}
