@@ -204,5 +204,34 @@ class ExamplesSpec extends AnyFunSuite {
     val leaks = graft.ops.Similarity.decontamSemantic(spark, dir)
     assert(leaks.count() > 0)
     assert(leaks.filter(col("vec_id") < 50).count() == 0)
+
+    // fingerprint modalities, same day-2 shape: arriving clips probe the
+    // persisted envelope-fingerprint index — every match is delta-vs-index
+    val clips = graft.ops.Multimodal.dedupAudioIncremental(spark, dir)
+    assert(clips.count() > 0)
+    assert(clips.filter(col("doc_id") < 20000000L || col("match_id") >= 20000000L)
+      .count() == 0)
+  }
+
+  test("example 9b: audio and video ride the multimodal near-dup kernels") {
+    val dir = "/root/testdata/sf0.001"
+
+    // audio: every field parsed FROM THE BYTES (header readers + the
+    // codegen'd PCM energy walk) — the pre-codec filter/bucket pass
+    val clips = graft.ops.Multimodal.audioEnvelope(spark, dir)
+    assert(clips.count() == graft.ops.Tables.documents(spark, dir).count(),
+      "every fixture clip passes the canonical PCM-44 gate")
+    assert(clips.filter(col("sample_rate") =!= 8000 || col("duration_ms") =!= 61L)
+      .count() == 0)
+
+    // audio near-dup: the SAME banded join text SimHash and image dHash use
+    val audioPairs = graft.ops.Multimodal.dedupAudio(spark, dir)
+    assert(audioPairs.count() > 0)
+
+    // video near-dup: temporal shingles + exact Jaccard — trims and
+    // single-frame edits survive, and the ppm gate holds by construction
+    val editedCopies = graft.ops.Multimodal.dedupVideo(spark, dir)
+    assert(editedCopies.count() > 0)
+    assert(editedCopies.filter(col("jaccard_ppm") < 700000L).count() == 0)
   }
 }
