@@ -292,7 +292,7 @@ object CoreQueries {
     // a bounded number of jobs at any keyspace size (fixed 64k chunks cost
     // 115 sequential jobs at the 50x bench).
     val bc = new BatchChunker(orders(s, d), "o_orderkey",
-      ChunkerConfig(chunkSize = BigInt(65536), targetTime = 1.5, sleep = 0,
+      ChunkerConfig(chunkSize = BigInt(65536), targetTime = 5, sleep = 0,
         minChunkPercent = 0, log = quiet),
       enableCountProbe = false)
     bc.calculateRanges()
@@ -339,7 +339,7 @@ object CoreQueries {
     val o = orders(s, d)
     val bldg = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
-    val cfg = ChunkerConfig(chunkSize = BigInt(131072), targetTime = 1.5, sleep = 0,
+    val cfg = ChunkerConfig(chunkSize = BigInt(131072), targetTime = 5, sleep = 0,
       minChunkPercent = 0, retryAttempts = 3, log = quiet)
     graft.chunker.ChunkedRewrite.rewrite(o, "o_orderkey", cfg, outDir, countProbe = false) { chunk =>
       chunk.join(broadcast(bldg), chunk("o_custkey") === bldg("c_custkey"), "left")
@@ -364,7 +364,7 @@ object CoreQueries {
   def dmlChunkedDelete(s: SparkSession, d: String): DataFrame = {
     val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_delete").toString
     val li = lineitem(s, d)
-    val cfg = ChunkerConfig(chunkSize = BigInt(131072), targetTime = 1.5, sleep = 0,
+    val cfg = ChunkerConfig(chunkSize = BigInt(131072), targetTime = 5, sleep = 0,
       minChunkPercent = 0, retryAttempts = 3, log = quiet)
     graft.chunker.ChunkedRewrite.rewrite(li, "l_orderkey", cfg, outDir, countProbe = false) { chunk =>
       chunk.filter(!(col("l_shipdate") < lit("1994-06-01").cast(TimestampType)))
@@ -396,7 +396,7 @@ object CoreQueries {
       .select(col("o_orderkey").as("u_key"), (col("o_totalprice") * 1.1).as("u_price"))
     val inserts = o.filter(col("o_orderkey") % 1000 === 7)
       .withColumn("o_orderkey", col("o_orderkey") + lit(insertBase.toLong))
-    val cfg = ChunkerConfig(chunkSize = BigInt(131072), targetTime = 1.5, sleep = 0,
+    val cfg = ChunkerConfig(chunkSize = BigInt(131072), targetTime = 5, sleep = 0,
       minChunkPercent = 0, retryAttempts = 3, log = quiet)
     graft.chunker.ChunkedRewrite.rewriteWithRange(o, "o_orderkey", cfg, outDir,
       countProbe = false,

@@ -971,12 +971,13 @@ object Dedup {
       .select(col("id").as("doc_id"))
       .persist()
     drop.count() // materialize ONCE before the loop: each chunk broadcasts a slice
-    // Base chunk 16k keys: the runtime-targeting law (targetTime = 1.5 s)
+    // Base chunk 16k keys: the runtime-targeting law (targetTime = 5 s,
+    // the reference's own demo setting, examples/basic.pl:23)
     // owns the real sizing — the base only has to be large enough that the
     // 50x corpus doesn't start from ~60 fixed-overhead slices (measured
     // 28 s at sf5 with a 1k base; the law converges in a few chunks from
     // 16k).
-    val cfg = ChunkerConfig(chunkSize = BigInt(16384), targetTime = 1.5, sleep = 0,
+    val cfg = ChunkerConfig(chunkSize = BigInt(16384), targetTime = 5, sleep = 0,
       minChunkPercent = 0, retryAttempts = 3, log = _ => ())
     ChunkedRewrite.rewriteWithRange(documents(s, d), "doc_id", cfg, outDir,
       countProbe = false)(dedupChunkTransform(drop))
