@@ -677,25 +677,59 @@ object Multimodal {
     * artifacts — in production the signature relation and the pair set
     * are materialized ONCE by the dedup pass and every audit entry reads
     * the artifact (the `Dedup.simhashPairsShared` discipline; stopped
-    * sessions swept on access). Keyed by a family tag so image and audio
-    * don't collide. */
+    * sessions swept on access, their persisted relations released). Keyed
+    * by a family tag so image and audio don't collide.
+    *
+    * Build lambdas must NOT call back into [[fpShared]]: ConcurrentHashMap
+    * forbids updating other mappings from inside `computeIfAbsent`'s
+    * mapping function (JDK 9+ throws "Recursive update" when the two keys
+    * land in the same bin) — evaluate any cached dependency BEFORE
+    * entering the cache (see [[audioPairsShared]]). */
   private val fpCache =
     new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
 
   private def fpShared(s: SparkSession, d: String, tag: String)(
       build: => DataFrame): DataFrame = {
-    fpCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
+    val it = fpCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1.sparkContext.isStopped) it.remove()
+      else if (e.getKey._1 == s && e.getKey._2 != d) {
+        // Same live session moved to a different scale dir: the old dir's
+        // relations are dead weight in the block store — release them.
+        e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
     fpCache.computeIfAbsent((s, d, tag), _ =>
       build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+  }
+
+  /** Drop and unpersist every cached fingerprint artifact for a session —
+    * the explicit lifecycle hook for long-lived sessions (tests and batch
+    * drivers that outlive one dedup pass). */
+  def clearFingerprintCache(s: SparkSession): Unit = {
+    val it = fpCache.entrySet().iterator()
+    while (it.hasNext) {
+      val e = it.next()
+      if (e.getKey._1 == s) {
+        if (!s.sparkContext.isStopped) e.getValue.unpersist(blocking = false)
+        it.remove()
+      }
+    }
   }
 
   private def audioSigsShared(s: SparkSession, d: String): DataFrame =
     fpShared(s, d, "audSigs")(audioSignatures(s, d))
 
-  private def audioPairsShared(s: SparkSession, d: String): DataFrame =
+  private def audioPairsShared(s: SparkSession, d: String): DataFrame = {
+    // Resolve the signature dependency OUTSIDE the cache lambda — a nested
+    // fpShared call inside computeIfAbsent is a recursive same-map update.
+    val sigs = audioSigsShared(s, d)
     fpShared(s, d, "audPairs")(
-      Dedup.simhashBandedPairs(audioSigsShared(s, d),
+      Dedup.simhashBandedPairs(sigs,
         words = 1, bandBits = AUD_BAND_BITS, maxHamming = AUD_MAX_HAMMING))
+  }
 
   /** Audio near-dup pairs (catalog `x_dedup_audio`): banded fingerprint
     * join at 4×15-bit bands, recall-complete for hamming <= 3 — the SHARED

@@ -23,17 +23,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * frames at positions (f·5 + doc_id) % frames < n_pert by bumping the
   * frame's first byte +`pertDelta` mod 256 — byte-for-byte the column
   * formulation's `(b0 + delta) % 256` low-byte bump.
+  *
+  * The header rides as an immutable `Seq[Byte]` so case-class equality
+  * (and with it Catalyst canonicalization / subexpression elimination) is
+  * STRUCTURAL — an `Array[Byte]` param compares by reference, so two
+  * semantically identical clip expressions built from distinct arrays
+  * would never dedup. The seed reaches generated Java via
+  * `addReferenceObj`, never spliced into source (a seed containing `"` or
+  * `\` must not break — or worse, rewrite — the generated code).
   */
 case class WavFixtureClip(
     text: Expression,
     docId: Expression,
-    header: Array[Byte],
+    header: Seq[Byte],
     frames: Int,
     seed: String,
     asClone: Boolean,
     cloneMod: Int,
     pertDelta: Int)
   extends BinaryExpression with ExpectsInputTypes {
+
+  @transient private lazy val headerArr: Array[Byte] = header.toArray
 
   override def left: Expression = text
   override def right: Expression = docId
@@ -43,13 +53,14 @@ case class WavFixtureClip(
 
   override protected def nullSafeEval(t: Any, id: Any): Any =
     WavFixtureClip.clip(t.asInstanceOf[UTF8String], id.asInstanceOf[Long],
-      header, frames, seed, asClone, cloneMod, pertDelta)
+      headerArr, frames, seed, asClone, cloneMod, pertDelta)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val headerRef = ctx.addReferenceObj("wavHeader", header, "byte[]")
+    val headerRef = ctx.addReferenceObj("wavHeader", headerArr, "byte[]")
+    val seedRef = ctx.addReferenceObj("wavSeed", seed, "java.lang.String")
     defineCodeGen(ctx, ev, (t, id) =>
       s"org.apache.spark.sql.graftbridge.WavFixtureClip.clip($t, $id, $headerRef, " +
-        s"$frames, ${'"' + seed + '"'}, $asClone, $cloneMod, $pertDelta)")
+        s"$frames, $seedRef, $asClone, $cloneMod, $pertDelta)")
   }
 
   override protected def withNewChildrenInternal(

@@ -81,7 +81,8 @@ package object graftbridge {
       seed: String, asClone: Boolean, cloneMod: Int, pertDelta: Int): Column =
     ExpressionUtils.column(WavFixtureClip(
       ExpressionUtils.expression(text), ExpressionUtils.expression(docId),
-      header, frames, seed, asClone, cloneMod, pertDelta))
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(header.clone()),
+      frames, seed, asClone, cloneMod, pertDelta))
 
   /** All n-token-gram md5 hex fingerprints of a token array in one
     * codegen'd byte pass (see [[graftbridge.NgramMd5]]). */
