@@ -801,6 +801,7 @@ object Multimodal {
     "x_dedup_audio_precision" -> (dedupAudioPrecision _),
     "x_dedup_audio_incremental" -> (dedupAudioIncremental _),
     "x_dedup_video" -> (dedupVideo _),
+    "x_dedup_video_incremental" -> (dedupVideoIncremental _),
     "x_dedup_video_precision" -> (dedupVideoPrecision _),
     "x_frame_sample" -> (frameSample _),
     "x_resize_plan" -> (resizePlan _),
@@ -918,7 +919,16 @@ object Multimodal {
       .select(col("doc_id"), size(col("sha")).as("n_sh"), explode(col("sha")).as("sh"))
   }
 
-  private def videoPairsShared(s: SparkSession, d: String): DataFrame =
+  /** The shingle relation is the video family's first persisted artifact
+    * (the pair set is the second): the one-shot pair build AND the
+    * incremental probe read the same rows, and the frame-hash digest
+    * passes are the expensive part of both. */
+  private def videoShinglesShared(s: SparkSession, d: String): DataFrame =
+    fpShared(s, d, "vidShingles")(videoShingleRel(s, d))
+
+  private def videoPairsShared(s: SparkSession, d: String): DataFrame = {
+    // Resolved OUTSIDE the cache lambda (same-map recursive update rule).
+    val sh = videoShinglesShared(s, d)
     fpShared(s, d, "vidPairs") {
       // Candidates from the inverted shingle index: every shared shingle is
       // a candidate vote, counted per pair. Frame-hash shingles are
@@ -928,7 +938,6 @@ object Multimodal {
       // index beats probabilistic banding (which exists to SURVIVE
       // low-entropy buckets). Jaccard is then EXACT from the shared count
       // and the two set sizes — integral ppm, no estimation step.
-      val sh = videoShingleRel(s, d)
       sh.as("a")
         .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
         .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
@@ -941,6 +950,7 @@ object Multimodal {
         .withColumn("jaccard_ppm", expr("n_shared * 1000000 div n_union"))
         .filter(col("jaccard_ppm") >= VID_TAU_PPM)
     }
+  }
 
   /** Video near-dup pairs (catalog `x_dedup_video`): exact Jaccard over
     * temporal frame-hash shingles — robust to trims and single-frame
@@ -948,6 +958,32 @@ object Multimodal {
     * express. All outputs integral (counts + ppm). */
   def dedupVideo(s: SparkSession, d: String): DataFrame =
     videoPairsShared(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Incremental probe (catalog `x_dedup_video_incremental`) — the day-2
+    * face of the video family, completing the contract every other dedup
+    * family already has (lexical [[Dedup.dedupIncremental]], semantic,
+    * audio): today's ARRIVING clips (the fixture casts the planted edited
+    * copies as the delta — trimmed/re-cut uploads of existing videos, the
+    * realistic arrival) probe the persisted shingle index of the existing
+    * corpus. The probe is one join against the inverted index —
+    * O(|delta shingles| · bucket occupancy) — never a corpus self-join,
+    * and exact Jaccard needs no second pass because set sizes ride on the
+    * shingle rows. Same gate, same integral ppm as the one-shot pass. */
+  def dedupVideoIncremental(s: SparkSession, d: String): DataFrame = {
+    val sh = videoShinglesShared(s, d)
+    val delta = sh.filter(col("doc_id") >= VID_CLONE_OFFSET)
+    val index = sh.filter(col("doc_id") < VID_CLONE_OFFSET)
+    delta.as("a")
+      .join(index.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
+      .select(col("doc_id"), col("match_id"), col("n_shared"),
+        (col("n_a") + col("n_b") - col("n_shared")).as("n_union"))
+      .withColumn("jaccard_ppm", expr("n_shared * 1000000 div n_union"))
+      .filter(col("jaccard_ppm") >= VID_TAU_PPM)
+      .orderBy(col("doc_id"), col("match_id"))
+  }
 
   /** Precision/recall audit vs the planted edited copies (catalog
     * `x_dedup_video_precision`) — recall here is exact by construction
@@ -1059,6 +1095,21 @@ object Multimodal {
     "x_dedup_video" ->
       s"""WITH $videoCtes
          |SELECT doc_a, doc_b, n_shared, n_union, jaccard_ppm FROM vcand""".stripMargin,
+    "x_dedup_video_incremental" ->
+      s"""WITH $videoCtes,
+         |vinc AS (
+         |  SELECT s.doc_id, s.match_id, s.n_shared,
+         |         za.n_sh + zb.n_sh - s.n_shared AS n_union
+         |  FROM (SELECT a.doc_id AS doc_id, b.doc_id AS match_id, count(*) AS n_shared
+         |        FROM vsh a JOIN vsh b ON a.sh = b.sh
+         |        WHERE a.doc_id >= $VID_CLONE_OFFSET AND b.doc_id < $VID_CLONE_OFFSET
+         |        GROUP BY 1, 2) s
+         |  JOIN vsz za ON za.doc_id = s.doc_id
+         |  JOIN vsz zb ON zb.doc_id = s.match_id)
+         |SELECT doc_id, match_id, n_shared, n_union,
+         |       (n_shared * 1000000) // n_union AS jaccard_ppm
+         |FROM vinc
+         |WHERE (n_shared * 1000000) // n_union >= $VID_TAU_PPM""".stripMargin,
     "x_dedup_video_precision" ->
       s"""WITH $videoCtes,
          |vplanted AS (SELECT doc_id AS doc_a, doc_id + $VID_CLONE_OFFSET AS doc_b

@@ -50,6 +50,19 @@ class VideoDedupSpec extends AnyFunSuite {
     assert(cand >= planted)
   }
 
+  test("incremental probe equals the self-join restricted to delta-vs-index pairs") {
+    // The probe must find exactly the clone-vs-corpus pairs the one-shot
+    // pass finds — same shingle index, same exact-Jaccard gate — and
+    // nothing delta-internal or index-internal.
+    val self = Multimodal.dedupVideo(spark, sfDir)
+      .filter(col("doc_b") >= 30000000L && col("doc_a") < 30000000L)
+      .select(col("doc_b").as("doc_id"), col("doc_a").as("match_id"),
+        col("n_shared"), col("n_union"), col("jaccard_ppm"))
+    val inc = Multimodal.dedupVideoIncremental(spark, sfDir)
+    assert(inc.filter(col("doc_id") < 30000000L || col("match_id") >= 30000000L).count() == 0)
+    assert(inc.exceptAll(self).count() == 0 && self.exceptAll(inc).count() == 0)
+  }
+
   test("a pure trim is containment: clone shingle set is a subset of the original's") {
     import spark.implicits._
     // hand-built: doc 6 (k=1, r=(1 % 31)=1 -> f=2 replaced). Drop the
