@@ -955,6 +955,65 @@ object Dedup {
         sum(col("is_cand") * col("is_exact")).as("n_both"))
   }
 
+  // ---- Containment: the asymmetric near-dup measure Jaccard misses
+
+  private val CONT_WRAP_OFFSET = 50000000L // disjoint from doc ids and every clone family
+  private val CONT_WRAP_MOD = 9
+  private val CONT_PAD_WORDS = 80
+  private val CONT_TAU_PPM = 800000L
+
+  /** Planted wrapper fixture: the original document followed by
+    * [[CONT_PAD_WORDS]] md5-derived pseudo-words — an aggregation page /
+    * quote-wrapper that CONTAINS the original wholesale. Every original
+    * bigram survives in the wrapper, so containment(orig in wrapper) is
+    * exactly 1.0 while Jaccard dilutes toward |A| / (|A| + pad). */
+  private def wrapperText(text: Column): Column =
+    concat(text, lit(" "), array_join(
+      transform(sequence(lit(0), lit(CONT_PAD_WORDS - 1)),
+        i => substring(md5(concat(text, lit("#w"), i.cast("string"))), 1, 6)),
+      " "))
+
+  /** Exact bigram-set CONTAINMENT over the bounded sample ∪ planted
+    * wrappers (catalog `x_containment_pairs`): containment(A,B) =
+    * |A∩B| / min(|A|,|B|) — Broder's asymmetric resemblance twin. This is
+    * the measure that catches doc-in-doc duplication (aggregators, quote
+    * wrappers, boilerplate-framed reposts) which symmetric Jaccard MISSES:
+    * a short doc fully embedded in a 2× wrapper has containment 1.0 but
+    * Jaccard < 0.5, under every gate in the lexical family. Emits both
+    * ppm scores so the divergence is visible per pair; integral outputs
+    * only (§8.4 rule). O(sample²) like [[jaccardPairs]] — at scale this
+    * runs as the per-candidate verifier AFTER banding, same seam. */
+  def containmentPairs(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).filter(col("doc_id") < 300)
+    val self = struct(col("doc_id").as("doc_id"), col("text").as("text"))
+    val wrap = struct((col("doc_id") + CONT_WRAP_OFFSET).as("doc_id"),
+      wrapperText(col("text")).as("text"))
+    val docs = base
+      .select(explode(
+        when(col("doc_id") % CONT_WRAP_MOD === 4, array(self, wrap))
+          .otherwise(array(self))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), tokensCol(col("r.text")).as("toks"))
+      .select(col("doc_id"), bigramsFromTokens(col("toks")).as("bg0"))
+      .filter(size(col("bg0")) > 0)
+      .select(col("doc_id"), sort_array(col("bg0")).as("bg"))
+    val inter = org.apache.spark.sql.graftbridge.sortedIntersectCount(col("a.bg"), col("b.bg"))
+    // Same aggregate shield + stream-side spread as [[jaccardPairs]]: the
+    // ppm gate must not push into the nested-loop join condition (the
+    // merge would run twice per pair), and the one-split sample must not
+    // serialize every pair-merge onto a single core.
+    docs.repartition(col("doc_id")).as("a")
+      .join(docs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        inter.as("i0"), size(col("a.bg")).as("na0"), size(col("b.bg")).as("nb0"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(max(col("i0")).cast("long").as("n_shared"),
+        max(col("na0")).cast("long").as("n_a"),
+        max(col("nb0")).cast("long").as("n_b"))
+      .withColumn("containment_ppm", expr("n_shared * 1000000 div least(n_a, n_b)"))
+      .withColumn("jaccard_ppm", expr("n_shared * 1000000 div (n_a + n_b - n_shared)"))
+      .filter(col("containment_ppm") >= CONT_TAU_PPM)
+  }
+
   /** The per-chunk drop step of [[dmlChunkedDedup]]. The drop list is keyed
     * by the CHUNK key, so each chunk only needs the slice inside its own
     * BETWEEN range — at 100 TB the full list is billions of rows
@@ -1179,6 +1238,7 @@ object Dedup {
     "x_dup_cluster_sizes" -> (dupClusterSizes _),
     "x_split_leakage_safe" -> (leakageSafeSplit _),
     "x_jaccard_pairs" -> (jaccardPairsShared _),
+    "x_containment_pairs" -> (containmentPairs _),
     "x_dup_spans" -> (dupSpans _),
     "x_dup_span_stats" -> (dupSpanStats _),
     "x_dup_span_scrub" -> (dupSpanScrub _)
@@ -1514,6 +1574,30 @@ object Dedup {
         |       CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(list_distinct(a.bg || b.bg)) AS jaccard
         |FROM t a, t b
         |WHERE a.doc_id < b.doc_id AND len(a.bg) > 0 AND len(b.bg) > 0
-        |  AND CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(list_distinct(a.bg || b.bg)) > 0""".stripMargin
+        |  AND CAST(len(list_intersect(a.bg, b.bg)) AS DOUBLE) / len(list_distinct(a.bg || b.bg)) > 0""".stripMargin,
+    "x_containment_pairs" ->
+      s"""WITH raw AS (
+         |  SELECT doc_id, text FROM documents WHERE doc_id < 300
+         |  UNION ALL
+         |  SELECT doc_id + $CONT_WRAP_OFFSET,
+         |         text || ' ' || array_to_string(list_transform(range(0, $CONT_PAD_WORDS),
+         |           i -> substring(md5(text || '#w' || i), 1, 6)), ' ')
+         |  FROM documents WHERE doc_id < 300 AND doc_id % $CONT_WRAP_MOD = 4),
+         |t AS (
+         |  SELECT doc_id,
+         |         list_distinct(list_transform(range(1, len(regexp_extract_all(text,'\\S+'))),
+         |           i -> regexp_extract_all(text,'\\S+')[i] || ' ' || regexp_extract_all(text,'\\S+')[i+1])) AS bg
+         |  FROM raw),
+         |p AS (
+         |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         |         CAST(len(list_intersect(a.bg, b.bg)) AS BIGINT) AS n_shared,
+         |         CAST(len(a.bg) AS BIGINT) AS n_a, CAST(len(b.bg) AS BIGINT) AS n_b
+         |  FROM t a, t b
+         |  WHERE a.doc_id < b.doc_id AND len(a.bg) > 0 AND len(b.bg) > 0)
+         |SELECT doc_a, doc_b, n_shared, n_a, n_b,
+         |       (n_shared * 1000000) // least(n_a, n_b) AS containment_ppm,
+         |       (n_shared * 1000000) // (n_a + n_b - n_shared) AS jaccard_ppm
+         |FROM p
+         |WHERE (n_shared * 1000000) // least(n_a, n_b) >= $CONT_TAU_PPM""".stripMargin
   )
 }
