@@ -1281,7 +1281,77 @@ object TextAnalysis {
     hhExactVerify(s, d, sketch.keys.toSeq.sorted, nTotal)
   }
 
+  // ---- Dataset diff: snapshot-to-snapshot corpus lifecycle accounting
+
+  private val DIFF_NEW_OFFSET = 40000000L // disjoint from doc ids and every clone family
+
+  /** Deterministic "next snapshot" fixture derived from the corpus: every
+    * doc_id % 10 == 7 is deleted, every % 10 == 3 gets a revision appended
+    * (content change, same id), and every % 10 == 1 spawns a brand-new doc
+    * at id + offset — the three mutations a recurring crawl/ingest
+    * produces between training-set versions. */
+  private[ops] def documentsV2(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d)
+    val kept = base.filter(col("doc_id") % 10 =!= 7)
+      .select(col("doc_id"),
+        when(col("doc_id") % 10 === 3,
+          concat(col("text"), lit(" rev2 "), md5(col("text"))))
+          .otherwise(col("text")).as("text"))
+    val added = base.filter(col("doc_id") % 10 === 1)
+      .select((col("doc_id") + DIFF_NEW_OFFSET).as("doc_id"),
+        concat(lit("fresh "), md5(concat(col("text"), lit("#new")))).as("text"))
+    kept.unionByName(added)
+  }
+
+  /** The diff join both entries read: FULL OUTER on the primary key,
+    * content compared by hash — at 100 TB this is ONE co-partitioned
+    * shuffle on doc_id (both sides hash-partition the same way; no
+    * broadcast, no skew — ids are unique) and the output is delta-sized.
+    * Comparing md5 instead of the text keeps the shuffle rows narrow; the
+    * false-equal probability is the hash collision rate, the industry
+    * contract for snapshot diffing. */
+  private def diffJoined(s: SparkSession, d: String): DataFrame = {
+    val v1 = documents(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h1"),
+        length(col("text")).cast("long").as("c1"))
+    val v2 = documentsV2(s, d)
+      .select(col("doc_id"), md5(col("text")).as("h2"),
+        length(col("text")).cast("long").as("c2"))
+    v1.join(v2, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        when(col("h1").isNull, lit("added"))
+          .when(col("h2").isNull, lit("removed"))
+          .when(col("h1") =!= col("h2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"),
+        coalesce(col("c1"), lit(0L)).as("chars_v1"),
+        coalesce(col("c2"), lit(0L)).as("chars_v2"))
+  }
+
+  /** Per-doc snapshot delta (catalog `x_dataset_diff`): the rows an
+    * incremental pipeline acts on — added docs to process, removed docs to
+    * retire, changed docs to re-embed/re-dedup. Output is DELTA-sized
+    * (unchanged rows never leave the join), which is what makes the shape
+    * viable at 100 TB where the snapshot itself is not materializable as
+    * a query result. */
+  def datasetDiff(s: SparkSession, d: String): DataFrame =
+    diffJoined(s, d)
+      .filter(col("status") =!= "unchanged")
+      .orderBy(col("doc_id"))
+
+  /** Snapshot accounting (catalog `x_dataset_diff_stats`): docs and char
+    * mass per status including `unchanged` — the version-to-version
+    * report a dataset owner signs off on before a retrain. */
+  def datasetDiffStats(s: SparkSession, d: String): DataFrame =
+    diffJoined(s, d)
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("chars_v1")).as("chars_v1"),
+        sum(col("chars_v2")).as("chars_v2"))
+      .orderBy(col("status"))
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_dataset_diff" -> (datasetDiff _),
+    "x_dataset_diff_stats" -> (datasetDiffStats _),
     "x_heavy_hitters" -> (heavyHitters _),
     "x_stream_heavy_hitters" -> (heavyHittersStream _),
     "x_pii_scrub" -> (piiScrub _),
@@ -1442,7 +1512,41 @@ object TextAnalysis {
       |FROM corpus JOIN bench USING (g)
       |GROUP BY doc_id""".stripMargin
 
+  /** Snapshot-v2 + diff CTE chain ending in `diff(doc_id, status,
+    * chars_v1, chars_v2)` — shared by both dataset-diff oracles. */
+  private def diffCtes: String =
+    s"""v1 AS (SELECT doc_id, md5(text) AS h, CAST(length(text) AS BIGINT) AS c
+       |       FROM documents),
+       |v2src AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 10 = 3 THEN text || ' rev2 ' || md5(text)
+       |              ELSE text END AS text
+       |  FROM documents WHERE doc_id % 10 <> 7
+       |  UNION ALL
+       |  SELECT doc_id + $DIFF_NEW_OFFSET, 'fresh ' || md5(text || '#new')
+       |  FROM documents WHERE doc_id % 10 = 1),
+       |v2 AS (SELECT doc_id, md5(text) AS h, CAST(length(text) AS BIGINT) AS c
+       |       FROM v2src),
+       |diff AS (
+       |  SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+       |         CASE WHEN v1.h IS NULL THEN 'added'
+       |              WHEN v2.h IS NULL THEN 'removed'
+       |              WHEN v1.h <> v2.h THEN 'changed'
+       |              ELSE 'unchanged' END AS status,
+       |         COALESCE(v1.c, 0) AS chars_v1, COALESCE(v2.c, 0) AS chars_v2
+       |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "x_dataset_diff" ->
+      s"""WITH $diffCtes
+         |SELECT doc_id, status, chars_v1, chars_v2 FROM diff
+         |WHERE status <> 'unchanged'""".stripMargin,
+    "x_dataset_diff_stats" ->
+      s"""WITH $diffCtes
+         |SELECT status, count(*) AS n_docs,
+         |       CAST(SUM(chars_v1) AS BIGINT) AS chars_v1,
+         |       CAST(SUM(chars_v2) AS BIGINT) AS chars_v2
+         |FROM diff GROUP BY status""".stripMargin,
     "x_heavy_hitters" -> heavyHittersOracleSql,
     // Parity theorem: the streamed fold of per-batch sketches carries the
     // same completeness guarantee, so the prune+verify output is identical
