@@ -1278,10 +1278,13 @@ object Dedup {
   /** DuckDB twin of the full MinHash pipeline (shared CTE pile for the
     * sketch query and the precision audit). The (a, b) constants are the
     * SAME Scala values as [[minhashParams]], inlined as a VALUES list. */
-  private[ops] def minhashCtes(docFilter: String = ""): String = {
+  /** `source` lets a composing oracle feed the chain from its own CTE
+    * (e.g. the snapshot-probe oracle's v1 ∪ shifted-delta union) instead
+    * of the raw documents table. */
+  private[ops] def minhashCtes(docFilter: String = "", source: String = "documents"): String = {
     val perm = minhashParams.zipWithIndex
       .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
-    s"""w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM documents$docFilter),
+    s"""w AS (SELECT doc_id, regexp_extract_all(text, '\\S+') AS w FROM $source$docFilter),
        |sh AS (SELECT doc_id, unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS sh
        |       FROM w WHERE len(w) >= 2),
        |h AS (SELECT doc_id, CAST('0x' || substring(md5(sh), 1, 7) AS BIGINT) AS h FROM sh),
@@ -1416,6 +1419,39 @@ object Dedup {
          |SELECT doc_a, doc_b, hamming FROM wcand""".stripMargin,
     // Incremental: incoming (odd doc_id) bands probe existing (even) bands;
     // same signature/band CTEs, asymmetric join instead of the self-join.
+    // Oracle for TextAnalysis.diffDedupProbe — lives here because the
+    // minhash CTE chain and its K constant are this object's internals.
+    // The delta rides the chain at doc_id + 1e8 so one `src` union feeds
+    // both sides; the probe join splits on the shift and the output
+    // un-shifts.
+    "x_diff_dedup_probe" ->
+      s"""WITH v2src AS (
+         |  SELECT doc_id,
+         |         CASE WHEN doc_id % 10 = 3 THEN text || ' rev2 ' || md5(text)
+         |              ELSE text END AS text
+         |  FROM documents WHERE doc_id % 10 <> 7
+         |  UNION ALL
+         |  SELECT doc_id + ${TextAnalysis.DIFF_NEW_OFFSET}, 'fresh ' || md5(text || '#new')
+         |  FROM documents WHERE doc_id % 10 = 1),
+         |v1h AS (SELECT doc_id, md5(text) AS h FROM documents),
+         |delta AS (
+         |  SELECT v2src.doc_id, v2src.text
+         |  FROM v2src LEFT JOIN v1h ON v2src.doc_id = v1h.doc_id
+         |  WHERE v1h.h IS NULL OR md5(v2src.text) <> v1h.h),
+         |src AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 100000000, text FROM delta),
+         |${minhashCtes(source = "src")},
+         |ppair AS (
+         |  SELECT doc_id - 100000000 AS doc_id, match_doc FROM (
+         |    SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_doc, a.mh AS mh_a, b.mh AS mh_b
+         |    FROM band a JOIN band b
+         |      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+         |    WHERE a.doc_id >= 100000000 AND b.doc_id < 100000000)
+         |  WHERE CAST(list_sum(list_transform(range(1,${K + 1}), j -> CASE WHEN mh_a[j] = mh_b[j] THEN 1 ELSE 0 END)) AS DOUBLE)/$K >= 0.5)
+         |SELECT doc_id, min(match_doc) AS match_id, count(*) AS n_matches
+         |FROM ppair GROUP BY doc_id""".stripMargin,
     "x_dedup_incremental" ->
       s"""WITH ${minhashCtes()},
          |ipair AS (

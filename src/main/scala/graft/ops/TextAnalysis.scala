@@ -1283,7 +1283,7 @@ object TextAnalysis {
 
   // ---- Dataset diff: snapshot-to-snapshot corpus lifecycle accounting
 
-  private val DIFF_NEW_OFFSET = 40000000L // disjoint from doc ids and every clone family
+  private[ops] val DIFF_NEW_OFFSET = 40000000L // disjoint from doc ids and every clone family
 
   /** Deterministic "next snapshot" fixture derived from the corpus: every
     * doc_id % 10 == 7 is deleted, every % 10 == 3 gets a revision appended
@@ -1349,9 +1349,34 @@ object TextAnalysis {
         sum(col("chars_v2")).as("chars_v2"))
       .orderBy(col("status"))
 
+  /** Composed lifecycle pipeline (catalog `x_diff_dedup_probe`): snapshot
+    * diff → near-dup probe of ONLY the delta against the previous
+    * snapshot's signature index. This is the day-2 flow the diff exists
+    * FOR — a new crawl lands, and the added/changed documents (never the
+    * unchanged mass) get near-dup-checked against the corpus before
+    * admission. The delta side here is the diff's left side computed
+    * inline (added = no v1 row, changed = hash differs); the index side
+    * is the v1 corpus's banded minhash signatures — in production a
+    * persisted table, exactly [[Dedup.dedupIncremental]]'s contract. A
+    * changed doc matching its own id says "minor revision, near-dups its
+    * previous version" — the re-embed/re-dedup decision signal. Probe
+    * cost is O(delta · bucket occupancy); the index is scanned once and
+    * never shuffled. */
+  def diffDedupProbe(s: SparkSession, d: String): DataFrame = {
+    val v1h = documents(s, d).select(col("doc_id"), md5(col("text")).as("h1"))
+    val delta = documentsV2(s, d).join(v1h, Seq("doc_id"), "left_outer")
+      .filter(col("h1").isNull || md5(col("text")) =!= col("h1"))
+      .select(col("doc_id"), col("text"))
+    val index = documents(s, d).select(col("doc_id"), col("text"))
+    Dedup.incrementalMatches(
+      Dedup.mhBands(Dedup.minhashSignaturesOf(delta)),
+      Dedup.mhBands(Dedup.minhashSignaturesOf(index)))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_dataset_diff" -> (datasetDiff _),
     "x_dataset_diff_stats" -> (datasetDiffStats _),
+    "x_diff_dedup_probe" -> (diffDedupProbe _),
     "x_heavy_hitters" -> (heavyHitters _),
     "x_stream_heavy_hitters" -> (heavyHittersStream _),
     "x_pii_scrub" -> (piiScrub _),
