@@ -987,6 +987,43 @@ object Similarity {
       .agg(count(lit(1)).as("n"))
   }
 
+  private val ANN_FILTER_LABEL = 1
+
+  /** Filtered vector search (catalog `x_ann_ivf_filtered`): top-3 cosine
+    * among corpus vectors satisfying a metadata predicate (here label =
+    * [[ANN_FILTER_LABEL]]), candidates from the probed IVF cells with the
+    * predicate applied to the POSTING side before the rerank — the
+    * pre-filter strategy. This is the production face of vector search
+    * ("neighbors, but only docs in my tenant / language / license
+    * bucket"): post-filtering a fixed-k result list starves queries whose
+    * neighbors are mostly filtered out, while pre-filtering keeps the
+    * top-k drawn entirely from eligible vectors at the price of scanning
+    * the probed cells' ineligible rows once (a predicate on a scanned
+    * column — free at Parquet speed; at 100 TB the label rides the
+    * posting lists as metadata exactly like FAISS's IDSelector). Same
+    * probe plan as [[annIvf]]; only the posting side is filtered. */
+  def annIvfFiltered(s: SparkSession, d: String): DataFrame = {
+    val cents = trainIvfCentroids(s, d)
+    val all = ivfAssigned(s, d)
+    val filteredIndex = all
+      .join(embeddings(s, d).select(col("vec_id"), col("label")), "vec_id")
+      .filter(col("label") === ANN_FILTER_LABEL)
+    val simStructs = transform(centroidSims(col("qv"), cents),
+      (sim, i) => struct(sim.as("sim"), i.as("cl")))
+    val q = all.filter(col("vec_id") < 200)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+      .withColumn("probes", slice(reverse(array_sort(simStructs)), 1, IVF_NPROBE))
+      .select(col("q_id"), col("qv"), col("qn"), explode(col("probes.cl")).as("cluster"))
+    val pairs = q.join(filteredIndex, Seq("cluster"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("nn_id"), col("rnk"), col("sim"))
+  }
+
   def annLshRecall(s: SparkSession, d: String): DataFrame =
     recallAgainstExact(annLsh(s, d), exactTop3(s, d, 200))
 
@@ -1369,6 +1406,7 @@ object Similarity {
     "x_embed_outliers" -> (embedOutliers _),
     "x_ann_lsh" -> (annLsh _),
     "x_ann_ivf" -> (annIvf _),
+    "x_ann_ivf_filtered" -> (annIvfFiltered _),
     "x_ann_lsh_recall" -> (annLshRecall _),
     "x_ann_ivf_recall" -> (annIvfRecall _),
     "x_ann_pq" -> (annPq _),
@@ -1837,6 +1875,26 @@ object Similarity {
     "x_ann_ivf" ->
       s"""WITH $ivfCtes
          |SELECT q_id, nn_id, sim FROM ivf""".stripMargin,
+    // Same trained assignment + probe CTEs as the IVF oracle; only the
+    // posting side carries the metadata predicate (pre-filter strategy).
+    "x_ann_ivf_filtered" ->
+      s"""WITH ${ivfAssignCtes(IVF_K)},
+         |pr AS (SELECT q_id, cl AS cluster FROM (
+         |    SELECT n.vec_id AS q_id, c.cl,
+         |           row_number() OVER (PARTITION BY n.vec_id
+         |             ORDER BY list_dot_product(n.v, c.cent) DESC, c.cl DESC) AS rn
+         |    FROM n, c$IVF_ITERS c WHERE n.vec_id < 200) WHERE rn <= $IVF_NPROBE),
+         |flab AS (SELECT af.vec_id, af.v, af.nrm, af.cl
+         |         FROM af JOIN embeddings e ON e.vec_id = af.vec_id
+         |         WHERE e.label = $ANN_FILTER_LABEL),
+         |fcand AS (SELECT p.q_id, b.vec_id AS nn_id,
+         |                 list_dot_product(q.v, b.v) / (q.nrm * b.nrm) AS sim
+         |          FROM pr p JOIN n q ON q.vec_id = p.q_id
+         |                    JOIN flab b ON b.cl = p.cluster AND b.vec_id <> p.q_id),
+         |fr AS (SELECT q_id, nn_id, sim,
+         |              CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rnk
+         |       FROM fcand)
+         |SELECT q_id, nn_id, rnk, sim FROM fr WHERE rnk <= 3""".stripMargin,
     "x_dedup_embedding" ->
       s"""WITH $baseCtes,
          |dbk AS (
