@@ -153,21 +153,17 @@ object Dedup {
     size(filter(zip_with(col("mh_a"), col("mh_b"), (x, y) => (x === y).cast("int")),
       v => v === 1)).cast("double") / K
 
-  /** Full-corpus MinHash-LSH pair set cached per (session, directory) —
-    * the same one-artifact-many-audits shape as the SimHash cache below:
+  /** Full-corpus MinHash-LSH pair set cached per (session, directory) via
+    * the shared [[RelCache]] (stopped sessions swept, live sessions
+    * bounded to two scale dirs LRU, `clearDedupCaches` hook) — the same
+    * one-artifact-many-audits shape as the SimHash cache below:
     * x_dedup_minhash and the lexical arm of x_dedup_ensemble read the
     * SAME relation. Subset (maxDocId) calls stay uncached. */
-  private val minhashPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   def dedupMinhashLsh(s: SparkSession, d: String, maxDocId: Option[Int] = None): DataFrame =
     maxDocId match {
       case Some(m) => dedupMinhashLshOver(documents(s, d).filter(col("doc_id") < m))
       case None =>
-        minhashPairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-        minhashPairsCache.computeIfAbsent((s, d), _ =>
-          dedupMinhashLshOver(documents(s, d))
-            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+        RelCache.shared(s, d, "dedup/minhashPairs")(dedupMinhashLshOver(documents(s, d)))
     }
 
   /** [[dedupMinhashLsh]] over an arbitrary documents frame — lets the
@@ -384,29 +380,30 @@ object Dedup {
     * materialized ONCE by the dedup pass and every downstream audit reads
     * the artifact (the [[graft.ops.Similarity]] ivfAssigned precedent);
     * recomputing the sketch per entry charges one corpus sketch per
-    * question. Stopped-session keys are swept on access. */
-  private val simhashPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private def simhashPairsShared(s: SparkSession, d: String): DataFrame = {
-    simhashPairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    simhashPairsCache.computeIfAbsent((s, d), _ =>
-      simhashPairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+    * question. Lifecycle via the shared [[RelCache]]. */
+  private def simhashPairsShared(s: SparkSession, d: String): DataFrame =
+    RelCache.shared(s, d, "dedup/simhashPairs")(simhashPairs(s, d))
 
   /** CC labels over [[simhashPairsShared]], cached per (session,
     * directory): four entries run union-find over the same pair graph —
     * the labels are the dedup pass's second persisted artifact.
     * ([[connectedComponents]] already persists the label RDD internally;
     * this cache keeps the four entries from re-RUNNING the loop.) */
-  private val dupLabelsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
   private def dupLabelsShared(s: SparkSession, d: String): DataFrame = {
-    dupLabelsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    dupLabelsCache.computeIfAbsent((s, d), _ =>
-      connectedComponents(simhashPairsShared(s, d).select(col("doc_a"), col("doc_b"))))
+    // Resolve the pair-cache dependency BEFORE entering the cache — a
+    // nested RelCache.shared call inside computeIfAbsent is a recursive
+    // same-map update (see the RelCache scaladoc).
+    val pairs = simhashPairsShared(s, d)
+    RelCache.shared(s, d, "dedup/dupLabels")(
+      connectedComponents(pairs.select(col("doc_a"), col("doc_b"))))
   }
+
+  /** Unpersist and forget the text-dedup family's cached relations for a
+    * session — the explicit lifecycle hook, mirroring
+    * [[Multimodal.clearFingerprintCache]]. Entries rebuild transparently
+    * on next access. */
+  def clearDedupCaches(s: SparkSession): Unit =
+    RelCache.clear(s, "dedup/")
 
   /** The parameterized SimHash banding kernel over a word-column signature
     * relation `(doc_id, w0[, w1])` (each word 60 bits).
@@ -890,15 +887,10 @@ object Dedup {
     * production the ground-truth table is computed once per sketch-tuning
     * pass and every audit reads the artifact (the [[simhashPairsShared]]
     * discipline); recomputing the O(sample²) merge per question charges
-    * three nested-loop passes for one answer. */
-  private val jaccardPairsCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String), DataFrame]()
-
-  private def jaccardPairsShared(s: SparkSession, d: String): DataFrame = {
-    jaccardPairsCache.keySet.removeIf(k => k._1.sparkContext.isStopped)
-    jaccardPairsCache.computeIfAbsent((s, d), _ =>
-      jaccardPairs(s, d).persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+    * three nested-loop passes for one answer. Lifecycle via the shared
+    * [[RelCache]]. */
+  private def jaccardPairsShared(s: SparkSession, d: String): DataFrame =
+    RelCache.shared(s, d, "dedup/jaccardPairs")(jaccardPairs(s, d))
 
   /** Exact word-bigram Jaccard over all pairs of a bounded subset — the
     * ground-truth near-dup measure the sketches approximate. O(n^2): only
@@ -1363,6 +1355,19 @@ object Dedup {
       |  FROM jt a, jt b
       |  WHERE a.doc_id < b.doc_id AND len(a.bg) > 0 AND len(b.bg) > 0)""".stripMargin
 
+  /** Id shift that carries the diff DELTA through the one-`src` minhash
+    * CTE chain of the `x_diff_dedup_probe` oracle (the probe join splits
+    * on it, the output un-shifts). It must stay strictly above every id
+    * either side can hold: raw doc ids are < [[TextAnalysis.DIFF_NEW_OFFSET]]
+    * by fixture contract ("disjoint from doc ids"), and the v2 "added"
+    * ids are doc_id + DIFF_NEW_OFFSET < 2·DIFF_NEW_OFFSET — so the
+    * require below pins the headroom and a future offset bump can't
+    * silently alias delta ids into the index range. */
+  private val DIFF_PROBE_SHIFT = 100000000L
+  require(DIFF_PROBE_SHIFT >= 2 * TextAnalysis.DIFF_NEW_OFFSET,
+    s"DIFF_PROBE_SHIFT ($DIFF_PROBE_SHIFT) must exceed every possible v2 doc id " +
+      s"(< 2 * DIFF_NEW_OFFSET = ${2 * TextAnalysis.DIFF_NEW_OFFSET})")
+
   /** Every sketch here is now exactly replicable in DuckDB (md5-derived
     * hashes + integer permutation family) — full hash-level oracles, no
     * rows-only checks left in this module. */
@@ -1421,9 +1426,9 @@ object Dedup {
     // same signature/band CTEs, asymmetric join instead of the self-join.
     // Oracle for TextAnalysis.diffDedupProbe — lives here because the
     // minhash CTE chain and its K constant are this object's internals.
-    // The delta rides the chain at doc_id + 1e8 so one `src` union feeds
-    // both sides; the probe join splits on the shift and the output
-    // un-shifts.
+    // The delta rides the chain at doc_id + DIFF_PROBE_SHIFT so one `src`
+    // union feeds both sides; the probe join splits on the shift and the
+    // output un-shifts.
     "x_diff_dedup_probe" ->
       s"""WITH v2src AS (
          |  SELECT doc_id,
@@ -1441,14 +1446,14 @@ object Dedup {
          |src AS (
          |  SELECT doc_id, text FROM documents
          |  UNION ALL
-         |  SELECT doc_id + 100000000, text FROM delta),
+         |  SELECT doc_id + $DIFF_PROBE_SHIFT, text FROM delta),
          |${minhashCtes(source = "src")},
          |ppair AS (
-         |  SELECT doc_id - 100000000 AS doc_id, match_doc FROM (
+         |  SELECT doc_id - $DIFF_PROBE_SHIFT AS doc_id, match_doc FROM (
          |    SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_doc, a.mh AS mh_a, b.mh AS mh_b
          |    FROM band a JOIN band b
          |      ON a.band_idx = b.band_idx AND a.band_key = b.band_key
-         |    WHERE a.doc_id >= 100000000 AND b.doc_id < 100000000)
+         |    WHERE a.doc_id >= $DIFF_PROBE_SHIFT AND b.doc_id < $DIFF_PROBE_SHIFT)
          |  WHERE CAST(list_sum(list_transform(range(1,${K + 1}), j -> CASE WHEN mh_a[j] = mh_b[j] THEN 1 ELSE 0 END)) AS DOUBLE)/$K >= 0.5)
          |SELECT doc_id, min(match_doc) AS match_id, count(*) AS n_matches
          |FROM ppair GROUP BY doc_id""".stripMargin,

@@ -673,51 +673,25 @@ object Multimodal {
       .select(col("doc_id"), audioSigCol(col("env")).as("w0"))
   }
 
-  /** Per-(session, directory) cache for the fingerprint families' shared
-    * artifacts — in production the signature relation and the pair set
-    * are materialized ONCE by the dedup pass and every audit entry reads
-    * the artifact (the `Dedup.simhashPairsShared` discipline; stopped
-    * sessions swept on access, their persisted relations released). Keyed
-    * by a family tag so image and audio don't collide.
+  /** Cache for the fingerprint families' shared artifacts — the shared
+    * [[RelCache]] discipline (stopped sessions swept, live sessions
+    * bounded to [[RelCache.MaxDirsPerSession]] scale dirs LRU, so a
+    * two-scale verify pass interleaving dirs no longer thrashes). Tags
+    * live under the `mm/` namespace so [[clearFingerprintCache]] stays
+    * family-scoped.
     *
-    * Build lambdas must NOT call back into [[fpShared]]: ConcurrentHashMap
-    * forbids updating other mappings from inside `computeIfAbsent`'s
-    * mapping function (JDK 9+ throws "Recursive update" when the two keys
-    * land in the same bin) — evaluate any cached dependency BEFORE
+    * Build lambdas must NOT call back into [[fpShared]] (ConcurrentHashMap
+    * recursive-update hazard) — evaluate any cached dependency BEFORE
     * entering the cache (see [[audioPairsShared]]). */
-  private val fpCache =
-    new java.util.concurrent.ConcurrentHashMap[(SparkSession, String, String), DataFrame]()
-
   private def fpShared(s: SparkSession, d: String, tag: String)(
-      build: => DataFrame): DataFrame = {
-    val it = fpCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1.sparkContext.isStopped) it.remove()
-      else if (e.getKey._1 == s && e.getKey._2 != d) {
-        // Same live session moved to a different scale dir: the old dir's
-        // relations are dead weight in the block store — release them.
-        e.getValue.unpersist(blocking = false)
-        it.remove()
-      }
-    }
-    fpCache.computeIfAbsent((s, d, tag), _ =>
-      build.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
-  }
+      build: => DataFrame): DataFrame =
+    RelCache.shared(s, d, "mm/" + tag)(build)
 
   /** Drop and unpersist every cached fingerprint artifact for a session —
     * the explicit lifecycle hook for long-lived sessions (tests and batch
     * drivers that outlive one dedup pass). */
-  def clearFingerprintCache(s: SparkSession): Unit = {
-    val it = fpCache.entrySet().iterator()
-    while (it.hasNext) {
-      val e = it.next()
-      if (e.getKey._1 == s) {
-        if (!s.sparkContext.isStopped) e.getValue.unpersist(blocking = false)
-        it.remove()
-      }
-    }
-  }
+  def clearFingerprintCache(s: SparkSession): Unit =
+    RelCache.clear(s, "mm/")
 
   private def audioSigsShared(s: SparkSession, d: String): DataFrame =
     fpShared(s, d, "audSigs")(audioSignatures(s, d))

@@ -65,7 +65,6 @@ object TextAnalysis {
     * char split, and the split before the pair transform (the HOF
     * inlining trap on [[Dedup.bigramsFromTokens]]). */
   def bpePairStats(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ch = documents(s, d)
       .select(explode(bpeTokensCol(col("text"))).as("t"))
       .select(split(col("t"), "").as("c"))
@@ -73,11 +72,18 @@ object TextAnalysis {
     val pairs = ch.select(explode(transform(sequence(lit(0), size(col("c")) - 2),
       i => concat(element_at(col("c"), i + 1), element_at(col("c"), i + 2)))).as("pair"))
     // top-10 via orderBy+limit → TakeOrderedAndProject (per-partition
-    // heaps + driver merge); the rank window then runs over 10 rows.
+    // heaps + driver merge). The rank is assigned on the DRIVER over the
+    // collected top-10 (control-plane sized by construction) instead of a
+    // partitionless rank window — a global Window.orderBy plans an
+    // Exchange SinglePartition + sort even over 10 rows, and its "No
+    // Partition Defined for Window" warning polluted every Verify log.
     val top = pairs.groupBy(col("pair")).agg(count(lit(1)).as("n_occurrences"))
       .orderBy(col("n_occurrences").desc, col("pair")).limit(10)
-    top.withColumn("rnk",
-      row_number().over(Window.orderBy(col("n_occurrences").desc, col("pair"))))
+      .collect()
+    import s.implicits._
+    top.sortBy(r => (-r.getLong(1), r.getString(0))).zipWithIndex
+      .map { case (r, i) => (r.getString(0), r.getLong(1), i + 1) }
+      .toSeq.toDF("pair", "n_occurrences", "rnk")
   }
 
   /** BPE TRAINING, the map-reduce formulation: `nMerges` rounds of

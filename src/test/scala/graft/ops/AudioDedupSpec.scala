@@ -200,11 +200,21 @@ class AudioDedupSpec extends AnyFunSuite {
     // fpShared persists one relation per (dir, tag) for the session's
     // lifetime; the explicit hook must unpersist AND forget them (a
     // long-lived session otherwise accumulates dead cached relations).
+    // Assert on the cache's OWN entries, not the global persistent-RDD
+    // count — concurrently running suites persist/unpersist relations on
+    // the shared session and would make a global-count comparison flaky.
     Multimodal.dedupAudio(spark, sfDir).head() // populate sigs + pairs
-    val before = spark.sparkContext.getPersistentRDDs.size
-    assert(before > 0)
+    val held = RelCache.entries(spark, "mm/")
+    assert(held.nonEmpty)
+    assert(held.forall(_._3.storageLevel.useMemory),
+      "cached fingerprint relations must be persisted while held")
     Multimodal.clearFingerprintCache(spark)
-    assert(spark.sparkContext.getPersistentRDDs.size < before,
+    // a concurrent suite may repopulate with NEW relations after the
+    // clear; the contract is that the relations held BEFORE are gone
+    val after = RelCache.entries(spark, "mm/").map(_._3)
+    assert(held.forall(h => !after.exists(_ eq h._3)),
+      "clear hook must forget the cached fingerprint relations")
+    assert(held.forall(_._3.storageLevel == org.apache.spark.storage.StorageLevel.NONE),
       "clear hook must unpersist the cached fingerprint relations")
     // and the cache rebuilds transparently on next access
     assert(Multimodal.dedupAudio(spark, sfDir).count() > 0)

@@ -25,12 +25,21 @@ class DiffDedupProbeSpec extends AnyFunSuite {
 
   test("every minor revision near-dups its own previous version") {
     // the re-embed/re-dedup decision signal: a changed doc's probe match
-    // set contains its own id, and the canonical match is <= itself
-    val changed = Tables.documents(spark, sfDir)
+    // set contains its own id, and the canonical match is <= itself.
+    // The ' rev2 <md5>' suffix adds exactly 2 word bigrams, so a changed
+    // doc's true Jaccard vs its v1 self is n/(n+2) for n original
+    // bigrams — the 0.5 est-Jaccard gate is only GUARANTEED (with margin
+    // for the minhash estimate) above a few bigrams. Assert the
+    // self-match law for docs with >= 4 tokens (n >= 3, true J >= 0.6)
+    // so a future fixture with very short docs can't silently break the
+    // contract; shorter changed docs may or may not clear the gate.
+    val longEnough = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 10 === 3)
+      .filter(size(split(trim(col("text")), "\\s+")) >= 4)
       .select(col("doc_id")).collect().map(_.getLong(0)).toSet
-    assert(rows.map(_._1).toSet == changed,
-      "every changed doc must self-match on the fixture (minor revision)")
+    assert(longEnough.nonEmpty, "fixture must contain non-trivial changed docs")
+    assert(longEnough.subsetOf(rows.map(_._1).toSet),
+      "every changed doc above the bigram threshold must self-match (minor revision)")
     rows.foreach { case (id, matchId, n) =>
       assert(matchId <= id && n >= 1L)
     }

@@ -94,4 +94,14 @@ class TextPipelineSpec extends AnyFunSuite {
     // deterministic rank: count desc, then pair asc
     assert(got.sortBy(_._3).map(_._1) == List("ab", "ba", " a", " c", "ca"))
   }
+
+  test("bpePairStats plans no global window (no single-partition sort)") {
+    // The rank over the top-10 is assigned driver-side; a partitionless
+    // Window.orderBy would plan Exchange SinglePartition + Window and log
+    // the "No Partition Defined for Window" warning in every Verify run.
+    val d = docsDir(Seq((1L, "en", "aba aba cab")))
+    val plan = TextAnalysis.bpePairStats(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected window in plan:\n$plan")
+    assert(!plan.contains("SinglePartition"), s"unexpected single-partition exchange:\n$plan")
+  }
 }
