@@ -534,13 +534,38 @@ object Multimodal {
     * candidates, hamming-verified — the shared kernel at 4×15-bit bands
     * (see the sizing note above; uniform grids need the wide band space
     * the 10-bit default would quadratically flood). */
-  private def imagePairsShared(s: SparkSession, d: String): DataFrame =
+  private def imageSigsShared(s: SparkSession, d: String): DataFrame =
+    fpShared(s, d, "imgSigs")(imageSignatures(s, d))
+
+  private def imagePairsShared(s: SparkSession, d: String): DataFrame = {
+    // Resolve the signature dependency OUTSIDE the cache lambda (the
+    // RelCache recursive-update rule, same as [[audioPairsShared]]).
+    val sigs = imageSigsShared(s, d)
     fpShared(s, d, "imgPairs")(
-      Dedup.simhashBandedPairs(imageSignatures(s, d),
+      Dedup.simhashBandedPairs(sigs,
         words = 1, bandBits = IMG_BAND_BITS, maxHamming = IMG_MAX_HAMMING))
+  }
 
   def dedupImage(s: SparkSession, d: String): DataFrame =
     imagePairsShared(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Incremental probe (catalog `x_dedup_image_incremental`) — completes
+    * the per-family incremental contract: every dedup family (lexical,
+    * semantic, audio, video, and now image) has a delta-vs-index entry.
+    * Today's ARRIVING images (the fixture casts the planted clones as the
+    * delta — re-encoded copies of corpus images, the realistic arrival)
+    * probe the persisted dHash signature index of the existing corpus via
+    * [[Dedup.simhashBandedCrossPairs]]. O(|delta| · bucket occupancy),
+    * never a corpus self-join; the index side is scanned once and never
+    * shuffled against itself. */
+  def dedupImageIncremental(s: SparkSession, d: String): DataFrame = {
+    val sigs = imageSigsShared(s, d)
+    val delta = sigs.filter(col("doc_id") >= IMG_CLONE_OFFSET)
+    val index = sigs.filter(col("doc_id") < IMG_CLONE_OFFSET)
+    Dedup.simhashBandedCrossPairs(delta, index,
+      words = 1, bandBits = IMG_BAND_BITS, maxHamming = IMG_MAX_HAMMING)
+      .orderBy(col("doc_id"), col("match_id"))
+  }
 
   /** Precision audit vs the planted ground truth (catalog
     * `x_dedup_image_precision`): found pairs vs the (doc, clone) pairs the
@@ -780,6 +805,7 @@ object Multimodal {
     "x_frame_sample" -> (frameSample _),
     "x_resize_plan" -> (resizePlan _),
     "x_dedup_image" -> (dedupImage _),
+    "x_dedup_image_incremental" -> (dedupImageIncremental _),
     "x_dedup_image_precision" -> (dedupImagePrecision _),
     "x_multimodal_jpeg" -> (multimodalJpeg _),
     "x_pipeline_multimodal" -> (pipelineMultimodal _)
@@ -1142,6 +1168,18 @@ object Multimodal {
     "x_dedup_image" ->
       s"""WITH $imageCtes
          |SELECT doc_a, doc_b, hamming FROM icand""".stripMargin,
+    "x_dedup_image_incremental" ->
+      s"""WITH $imageCtes,
+         |idelta AS (SELECT doc_id, w0, band_idx, band_val FROM iband
+         |           WHERE doc_id >= $IMG_CLONE_OFFSET),
+         |iindex AS (SELECT doc_id, w0, band_idx, band_val FROM iband
+         |           WHERE doc_id < $IMG_CLONE_OFFSET)
+         |SELECT doc_id, match_id, hamming FROM (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_id,
+         |         CAST(bit_count(xor(a.w0, b.w0)) AS INTEGER) AS hamming
+         |  FROM idelta a JOIN iindex b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val)
+         |WHERE hamming <= $IMG_MAX_HAMMING""".stripMargin,
     // The composed image pipeline: the gate and dims come from the
     // synthesis GROUND TRUTH (doc_id arithmetic) — a parser deviation
     // inside the Spark chain changes fit/shard numbers and fails the hash.
