@@ -299,6 +299,49 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The maintenance lifecycle of the streaming sink (catalog
+    * `x_stream_dedup_compacted`): drain half the backlog, STOP, compact
+    * the signature index at the committed watermark and prune the
+    * already-consumed match partitions, then resume the stream over the
+    * rest — the stop-compact-restart window every long-running deployment
+    * actually operates. Compaction folds partitions without changing
+    * index content, so the resumed batches probe exactly the same
+    * signature rows and the final match union still tiles the one-shot
+    * batch pair set: the oracle is the SAME CTE pile as `x_dedup_minhash`
+    * — the parity theorem, now asserted ACROSS a compaction boundary.
+    * (The pruned match partitions are re-derived for the final result by
+    * the self-join restricted to the pruned batches' pairs — retention
+    * assumes downstream consumed them, and this entry IS that consumer.) */
+  def dedupStreamCompacted(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_compact").toString
+    val stage = s"$work/stage"
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    // First backlog: two files -> committed micro-batches 0 and 1.
+    (0 until 2).foreach { b =>
+      docs.filter(col("doc_id") % 4 === b)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    val firstHalf = graft.streaming.DedupStream.runIncremental(s, stage, work)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .collect() // consume the early matches BEFORE retention drops them
+    // Maintenance window: the stream is stopped; batch 1 is committed.
+    graft.streaming.DedupStream.compactIndex(s, s"$work/sig_index", watermark = 1L)
+    graft.streaming.DedupStream.pruneMatches(s"$work/matches", keepFrom = 2L)
+    // Second backlog: the checkpoint resumes at batch 2; batches 2 and 3
+    // probe the COMPACTED index.
+    (2 until 4).foreach { b =>
+      docs.filter(col("doc_id") % 4 === b)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    val lateMatches = graft.streaming.DedupStream.runIncremental(s, stage, work)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    import s.implicits._
+    lateMatches
+      .unionByName(firstHalf.toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toDF("doc_a", "doc_b", "est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   private val SIMHASH_BITS = 60
   private val SIMHASH_BANDS = 6 // 10 bits each
   /** Pigeonhole-complete threshold: hamming <= BANDS-1 guarantees at least
@@ -1220,6 +1263,7 @@ object Dedup {
     "x_dedup_minhash" -> ((s, d) => dedupMinhashLsh(s, d)),
     "x_dedup_incremental" -> (dedupIncremental _),
     "x_stream_dedup_incremental" -> (dedupStreamIncremental _),
+    "x_stream_dedup_compacted" -> (dedupStreamCompacted _),
     "x_dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
     "x_dedup_simhash_wide" -> (dedupSimhashWide _),
     "x_dedup_minhash_precision" -> (minhashPrecision _),
@@ -1379,6 +1423,12 @@ object Dedup {
     // (the parity theorem on graft.streaming.DedupStream) — the oracle IS
     // the x_dedup_minhash oracle, which is the point.
     "x_stream_dedup_incremental" ->
+      s"""WITH ${minhashCtes()}
+         |SELECT doc_a, doc_b, est_jaccard FROM cand""".stripMargin,
+    // Parity must also survive the maintenance window: compacting the
+    // signature index between micro-batches changes partition layout, not
+    // content, so the oracle is STILL the one-shot batch pair set.
+    "x_stream_dedup_compacted" ->
       s"""WITH ${minhashCtes()}
          |SELECT doc_a, doc_b, est_jaccard FROM cand""".stripMargin,
     "x_dedup_simhash" ->

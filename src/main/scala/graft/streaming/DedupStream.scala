@@ -117,6 +117,103 @@ object DedupStream {
     } finally sigs.unpersist()
   }
 
+  /** Maintenance op: compact the batch_id-partitioned signature index —
+    * the day-2 face of the exactly-once sink contract. The streaming sink
+    * accumulates one partition per micro-batch forever; a real deployment
+    * periodically folds the cold partitions into one.
+    *
+    * Folds every partition with `batch_id <= watermark` into THE single
+    * partition `batch_id = watermark`. Content is unchanged — only the
+    * partition layout moves — so the probe predicate `batch_id < b` of
+    * any future batch `b > watermark` sees exactly the same signature
+    * rows and THE PARITY THEOREM IS PRESERVED across compaction
+    * (spec-proven in DedupStreamSpec, DuckDB-oracled as catalog entry
+    * `x_stream_dedup_compacted`). Fewer partitions = fewer files and one
+    * coarse partition-pruning branch instead of hundreds.
+    *
+    * MUST run in a maintenance window (stream stopped) with
+    * `watermark <= ` the last COMMITTED batch id: Structured Streaming
+    * only ever replays the in-flight batch, whose id is strictly greater
+    * than every committed one, so a replay never overwrites or re-probes
+    * a compacted partition.
+    *
+    * Crash safety, stage-then-swap: (1) the fold is staged next to the
+    * index with a `_SUCCESS` marker — a crash mid-stage leaves the live
+    * index untouched and the next run rebuilds the stage; (2) only after
+    * the marker exists are the folded partitions dropped and the staged
+    * files published as the watermark partition — a crash mid-swap is
+    * recovered by RE-RUNNING compactIndex with the same watermark (the
+    * completed stage is detected and the swap resumes; the index is not
+    * readable mid-swap, which is what the maintenance window is for). A
+    * deployment on a transactional table format gets the swap atomically
+    * instead; this is the plain-parquet contract.
+    *
+    * The same op applies verbatim to the other batch_id-partitioned
+    * streaming sinks (SemanticStream's assignment sink, SketchStream's
+    * state sink): fold partitions below a committed watermark, preserve
+    * content, keep the strictly-earlier read predicate valid. */
+  def compactIndex(s: SparkSession, indexDir: String, watermark: Long): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val stage = Paths.get(s"${indexDir}_compact_stage")
+    val marker = stage.resolve("_SUCCESS")
+
+    if (!Files.exists(marker)) {
+      deleteTree(stage) // partial stage from a crashed run: rebuild
+      s.read.schema(sigSchema).parquet(indexDir)
+        .filter(col("batch_id") <= watermark)
+        .select(col("doc_id"), col("mh"))
+        .write.mode("overwrite").parquet(stage.toString)
+      require(Files.exists(marker), s"staged compaction missing _SUCCESS under $stage")
+    }
+    // Swap: drop every folded partition, publish the stage as the
+    // watermark partition. Recovery of a crash here = re-run (stage kept).
+    listDir(Paths.get(indexDir)).foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("batch_id=") && n.drop("batch_id=".length).toLong <= watermark)
+        deleteTree(p)
+    }
+    val target = Paths.get(indexDir, s"batch_id=$watermark")
+    Files.createDirectories(target)
+    listDir(stage).foreach { f =>
+      val n = f.getFileName.toString
+      if (n.startsWith("part-"))
+        Files.move(f, target.resolve(n), StandardCopyOption.REPLACE_EXISTING)
+    }
+    deleteTree(stage)
+  }
+
+  /** Retention for the match sink: drop every match partition with
+    * `batch_id < keepFrom`. Matches are RESULTS — consumed downstream as
+    * each batch lands — so retention is a plain partition drop, not a
+    * fold; nothing later reads them back (the probe reads the signature
+    * index, never the match sink). */
+  def pruneMatches(matchesDir: String, keepFrom: Long): Unit = {
+    import java.nio.file.Paths
+    listDir(Paths.get(matchesDir)).foreach { p =>
+      val n = p.getFileName.toString
+      if (n.startsWith("batch_id=") && n.drop("batch_id=".length).toLong < keepFrom)
+        deleteTree(p)
+    }
+  }
+
+  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
+    val st = java.nio.file.Files.list(p)
+    try {
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.toVector
+    } finally st.close()
+  }
+
+  private def deleteTree(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      val st = java.nio.file.Files.walk(p)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.toVector.sortBy(_.toString).reverse
+          .foreach(java.nio.file.Files.delete)
+      } finally st.close()
+    }
+
   /** Run the incremental pipeline over a directory of staged document
     * parquet files as a real Structured Streaming query (file source,
     * `maxFilesPerTrigger=1` so each staged file is its own micro-batch,

@@ -109,4 +109,51 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(plan.contains("BroadcastHashJoin"), plan.take(2000))
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
+
+  test("index compaction folds partitions, preserves content, and parity survives the window") {
+    val work = java.nio.file.Files.createTempDirectory("dedup_stream_compact_spec").toString
+    val docs = graft.ops.Tables.documents(spark, d).select(col("doc_id"), col("text"))
+    (0 until 2).foreach { b =>
+      docs.filter(col("doc_id") % 4 === b).coalesce(1).write.mode("append").parquet(s"$work/stage")
+    }
+    DedupStream.runIncremental(spark, s"$work/stage", work)
+    val idx = s"$work/sig_index"
+    def partitions = new java.io.File(idx).list().filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(partitions == Seq("batch_id=0", "batch_id=1"))
+    // pin the PRE-compaction content on the driver — a lazy DataFrame over
+    // the index dir would re-list files after the fold and compare
+    // post-with-post
+    val preRead = spark.read.parquet(idx).select(col("doc_id"), col("mh"))
+    val beforeRows = preRead.collect().toSeq
+    val before = spark.createDataFrame(
+      new java.util.ArrayList(java.util.Arrays.asList(beforeRows: _*)), preRead.schema)
+
+    DedupStream.compactIndex(spark, idx, watermark = 1L)
+    // layout folded to the single watermark partition...
+    assert(partitions == Seq("batch_id=1"), s"got $partitions")
+    val after = spark.read.parquet(idx).select(col("doc_id"), col("mh"))
+    // ...but content identical (the parity theorem's precondition)
+    assert(after.count() == beforeRows.size)
+    assert(after.exceptAll(before).count() == 0 && before.exceptAll(after).count() == 0)
+    // re-running with the same watermark is a no-op fold (crash-recovery
+    // entry point): same single partition, same content
+    DedupStream.compactIndex(spark, idx, watermark = 1L)
+    assert(partitions == Seq("batch_id=1"))
+    assert(spark.read.parquet(idx).count() == beforeRows.size)
+
+    // retention: early match partitions drop, later ones stay readable
+    DedupStream.pruneMatches(s"$work/matches", keepFrom = 2L)
+    // resume the stream over the rest of the corpus: batches 2/3 probe the
+    // COMPACTED index and the full union still tiles the one-shot pair set
+    (2 until 4).foreach { b =>
+      docs.filter(col("doc_id") % 4 === b).coalesce(1).write.mode("append").parquet(s"$work/stage")
+    }
+    val late = DedupStream.runIncremental(spark, s"$work/stage", work).collect()
+    assert(late.map(_.getLong(4)).forall(_ >= 2L), "pruned partitions must stay gone")
+    val all = late.map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val early = batchPairs.filter { case (a, b2, _) => a % 4 < 2 && b2 % 4 < 2 }
+    assert(all.intersect(early).isEmpty, "late batches must not re-find consumed pairs")
+    assert((all ++ early) == batchPairs,
+      "resumed batches over the compacted index must complete the one-shot pair set")
+  }
 }
