@@ -213,6 +213,58 @@ class ExamplesSpec extends AnyFunSuite {
       .count() == 0)
   }
 
+  test("example 11: dataset versions — snapshot diff, delta probe, filtered search, sink maintenance") {
+    val dir = "/root/testdata/sf0.001"
+
+    // per-doc delta: only the three mutation classes leave the diff join,
+    // each carrying the fixture's id law (added at +4e7, removed %10==7,
+    // changed %10==3)
+    val delta = graft.ops.TextAnalysis.datasetDiff(spark, dir)
+    assert(delta.count() > 0)
+    assert(delta.filter(col("status") === "unchanged").count() == 0,
+      "diff output is delta-sized: unchanged rows never leave the join")
+    delta.collect().foreach { r =>
+      (r.getString(1), r.getLong(0)) match {
+        case ("added", id)   => assert(id >= 40000000L)
+        case ("removed", id) => assert(id % 10 == 7)
+        case ("changed", id) => assert(id % 10 == 3)
+        case (s, id)         => fail(s"unexpected status $s for $id")
+      }
+    }
+
+    // the sign-off report accounts for the whole v1 corpus
+    val report = graft.ops.TextAnalysis.datasetDiffStats(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val v1Count = graft.ops.Tables.documents(spark, dir).count()
+    assert(report("unchanged") + report("removed") + report("changed") == v1Count)
+
+    // admission probe: only changed docs (minor revisions) hit the v1
+    // index; md5-fresh additions never do
+    val admissions = graft.ops.TextAnalysis.diffDedupProbe(spark, dir)
+    assert(admissions.count() > 0)
+    admissions.collect().foreach { r =>
+      assert(r.getLong(0) % 10 == 3 && r.getLong(0) < 40000000L)
+    }
+
+    // filtered vector search: every hit carries the predicate label —
+    // the posting side was filtered BEFORE rerank, not top-k-starved
+    val hits = graft.ops.Similarity.annIvfFiltered(spark, dir)
+    val labels = graft.ops.Tables.embeddings(spark, dir)
+      .select(col("vec_id"), col("label"))
+    assert(hits.count() > 0)
+    assert(hits.join(labels, hits("nn_id") === labels("vec_id"))
+      .filter(col("label") =!= 1).count() == 0)
+    assert(hits.filter(col("rnk") > 3).count() == 0)
+
+    // sink maintenance: the stop-compact-resume lifecycle still tiles the
+    // one-shot batch pair set (parity across the fold)
+    val compacted = graft.ops.Dedup.dedupStreamCompacted(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val oneShot = graft.ops.Dedup.dedupMinhashLsh(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(compacted == oneShot)
+  }
+
   test("example 9b: audio and video ride the multimodal near-dup kernels") {
     val dir = "/root/testdata/sf0.001"
 
