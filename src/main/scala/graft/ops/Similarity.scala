@@ -684,6 +684,60 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The maintenance lifecycle of the SEMANTIC streaming sink (catalog
+    * `x_stream_semantic_compacted`) — the embedding-space twin of
+    * [[graft.ops.Dedup.dedupStreamCompacted]], proving SinkRetention's
+    * "applies verbatim to the other sinks" claim on a sink whose payload is
+    * vectors + a pinned cluster assignment instead of minhash arrays: drain
+    * half the backlog, STOP, compact the vector index at the committed
+    * watermark and prune the consumed match partitions, then resume from
+    * the checkpoint over the rest. Compaction folds partitions without
+    * changing index content, so the resumed batches' cluster-keyed probes
+    * see exactly the same assigned vectors and the final match union still
+    * tiles the one-shot same-cluster τ-pair set — the oracle is the SAME
+    * replayed-Lloyd CTE pile as `x_stream_semantic_incremental`: the parity
+    * theorem asserted ACROSS a compaction boundary. (The pruned match
+    * partitions are re-derived for the final result from the collected
+    * early matches — retention assumes downstream consumed them, and this
+    * entry IS that consumer.) */
+  def dedupSemanticStreamCompacted(s: SparkSession, d: String,
+      targetOccupancy: Long = 512L): DataFrame = {
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    val n = vectors(s, d).count()
+    val k = math.max(IVF_K,
+      math.toIntExact((n + targetOccupancy - 1) / targetOccupancy))
+    val cents = trainIvfCentroids(s, d, k)
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_sem_c").toString
+    val stage = s"$work/stage"
+    val vecs = vectors(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    // First backlog: two files -> committed micro-batches 0 and 1.
+    (0 until 2).foreach { b =>
+      vecs.filter(col("vec_id") % 4 === b)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    val firstHalf = graft.streaming.SemanticStream.runIncremental(s, stage, work,
+        v => assignCluster(v, cents), SEM_TAU)
+      .select(col("vec_a"), col("vec_b"), col("cluster"))
+      .collect() // consume the early matches BEFORE retention drops them
+    // Maintenance window: the stream is stopped; batch 1 is committed.
+    graft.streaming.SemanticStream.compactIndex(s, s"$work/vec_index", watermark = 1L)
+    graft.streaming.SemanticStream.pruneMatches(s"$work/matches", keepFrom = 2L)
+    // Second backlog: the checkpoint resumes at batch 2; batches 2 and 3
+    // probe the COMPACTED index.
+    (2 until 4).foreach { b =>
+      vecs.filter(col("vec_id") % 4 === b)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    val lateMatches = graft.streaming.SemanticStream.runIncremental(s, stage, work,
+        v => assignCluster(v, cents), SEM_TAU)
+      .select(col("vec_a"), col("vec_b"), col("cluster"))
+    import s.implicits._
+    lateMatches
+      .unionByName(firstHalf.toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toDF("vec_a", "vec_b", "cluster"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** The eval-set stand-in for semantic decontamination — same convention
     * as the lexical decontam family's benchmark split (sized at 50 so the
     * fixture exercises multi-hit aggregation at every gate scale). */
@@ -1422,6 +1476,8 @@ object Similarity {
       dedupSemanticIncremental(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_stream_semantic_incremental" -> ((s: SparkSession, d: String) =>
       dedupSemanticStreamIncremental(s, d, AUTO_DEMO_OCCUPANCY)),
+    "x_stream_semantic_compacted" -> ((s: SparkSession, d: String) =>
+      dedupSemanticStreamCompacted(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_dedup_ensemble" -> ((s: SparkSession, d: String) =>
       dedupEnsemble(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_decontam_semantic" -> ((s: SparkSession, d: String) =>
@@ -1801,6 +1857,12 @@ object Similarity {
       ("x_dedup_semantic_incremental" ->
         semanticIncrementalOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_stream_semantic_incremental" ->
+        semanticStreamOracleSql(AUTO_DEMO_OCCUPANCY)) +
+      // The parity theorem across the compaction boundary: any slicing of
+      // the corpus (including a stop-compact-resume window in the middle)
+      // accumulates exactly the one-shot same-cluster τ-pair set, so the
+      // compacted entry's oracle IS the incremental entry's oracle.
+      ("x_stream_semantic_compacted" ->
         semanticStreamOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_dedup_ensemble" -> ensembleOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_decontam_semantic" -> decontamSemanticOracleSql(AUTO_DEMO_OCCUPANCY)) +

@@ -149,70 +149,20 @@ object DedupStream {
     * instead; this is the plain-parquet contract.
     *
     * The same op applies verbatim to the other batch_id-partitioned
-    * streaming sinks (SemanticStream's assignment sink, SketchStream's
-    * state sink): fold partitions below a committed watermark, preserve
-    * content, keep the strictly-earlier read predicate valid. */
-  def compactIndex(s: SparkSession, indexDir: String, watermark: Long): Unit = {
-    import java.nio.file.{Files, Paths, StandardCopyOption}
-    val stage = Paths.get(s"${indexDir}_compact_stage")
-    val marker = stage.resolve("_SUCCESS")
-
-    if (!Files.exists(marker)) {
-      deleteTree(stage) // partial stage from a crashed run: rebuild
-      s.read.schema(sigSchema).parquet(indexDir)
-        .filter(col("batch_id") <= watermark)
-        .select(col("doc_id"), col("mh"))
-        .write.mode("overwrite").parquet(stage.toString)
-      require(Files.exists(marker), s"staged compaction missing _SUCCESS under $stage")
-    }
-    // Swap: drop every folded partition, publish the stage as the
-    // watermark partition. Recovery of a crash here = re-run (stage kept).
-    listDir(Paths.get(indexDir)).foreach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("batch_id=") && n.drop("batch_id=".length).toLong <= watermark)
-        deleteTree(p)
-    }
-    val target = Paths.get(indexDir, s"batch_id=$watermark")
-    Files.createDirectories(target)
-    listDir(stage).foreach { f =>
-      val n = f.getFileName.toString
-      if (n.startsWith("part-"))
-        Files.move(f, target.resolve(n), StandardCopyOption.REPLACE_EXISTING)
-    }
-    deleteTree(stage)
-  }
+    * streaming sinks — the fold itself lives in [[SinkRetention]] (shared
+    * with [[SemanticStream.compactIndex]], proven there too): fold
+    * partitions below a committed watermark, preserve content, keep the
+    * strictly-earlier read predicate valid. */
+  def compactIndex(s: SparkSession, indexDir: String, watermark: Long): Unit =
+    SinkRetention.compactIndex(s, indexDir, watermark, sigSchema, Seq("doc_id", "mh"))
 
   /** Retention for the match sink: drop every match partition with
     * `batch_id < keepFrom`. Matches are RESULTS — consumed downstream as
     * each batch lands — so retention is a plain partition drop, not a
     * fold; nothing later reads them back (the probe reads the signature
     * index, never the match sink). */
-  def pruneMatches(matchesDir: String, keepFrom: Long): Unit = {
-    import java.nio.file.Paths
-    listDir(Paths.get(matchesDir)).foreach { p =>
-      val n = p.getFileName.toString
-      if (n.startsWith("batch_id=") && n.drop("batch_id=".length).toLong < keepFrom)
-        deleteTree(p)
-    }
-  }
-
-  private def listDir(p: java.nio.file.Path): Seq[java.nio.file.Path] = {
-    val st = java.nio.file.Files.list(p)
-    try {
-      import scala.jdk.CollectionConverters._
-      st.iterator().asScala.toVector
-    } finally st.close()
-  }
-
-  private def deleteTree(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      val st = java.nio.file.Files.walk(p)
-      try {
-        import scala.jdk.CollectionConverters._
-        st.iterator().asScala.toVector.sortBy(_.toString).reverse
-          .foreach(java.nio.file.Files.delete)
-      } finally st.close()
-    }
+  def pruneMatches(matchesDir: String, keepFrom: Long): Unit =
+    SinkRetention.prunePartitions(matchesDir, keepFrom)
 
   /** Run the incremental pipeline over a directory of staged document
     * parquet files as a real Structured Streaming query (file source,

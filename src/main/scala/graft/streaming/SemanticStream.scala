@@ -128,6 +128,22 @@ object SemanticStream {
     } finally assigned.unpersist()
   }
 
+  /** Compact the semantic vector index — [[SinkRetention.compactIndex]]
+    * over this sink's schema: fold every `batch_id <= watermark` partition
+    * into the watermark partition, content unchanged, so resumed batches'
+    * strictly-earlier probes see the same assigned vectors and the parity
+    * theorem holds across the fold (spec SemanticStreamSpec, catalog
+    * `x_stream_semantic_compacted`). Stream must be stopped and the
+    * watermark committed — the contract is in SinkRetention's scaladoc. */
+  def compactIndex(s: SparkSession, indexDir: String, watermark: Long): Unit =
+    SinkRetention.compactIndex(s, indexDir, watermark, indexSchema,
+      Seq("vec_id", "v", "nrm", "cluster"))
+
+  /** Retention for the semantic match sink: plain partition drop of
+    * consumed results (see [[SinkRetention.prunePartitions]]). */
+  def pruneMatches(matchesDir: String, keepFrom: Long): Unit =
+    SinkRetention.prunePartitions(matchesDir, keepFrom)
+
   /** Run the incremental semantic pipeline over a directory of staged
     * vector parquet files as a real Structured Streaming query (file
     * source, one staged file per micro-batch, `Trigger.AvailableNow` to

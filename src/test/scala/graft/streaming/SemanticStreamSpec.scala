@@ -105,6 +105,59 @@ class SemanticStreamSpec extends AnyFunSuite {
     assert(i1.length == vecs.count())
   }
 
+  test("vector-index compaction folds partitions, preserves content, and parity survives the window") {
+    val work = java.nio.file.Files.createTempDirectory("sem_stream_compact_spec").toString
+    val vecs = graft.ops.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val cents = Similarity.trainIvfCentroids(spark, d, k)
+    (0 until 2).foreach { b =>
+      vecs.filter(col("vec_id") % 4 === b).coalesce(1).write.mode("append").parquet(s"$work/stage")
+    }
+    val early = SemanticStream.runIncremental(spark, s"$work/stage", work,
+        v => Similarity.assignClusterViaHof(v, cents), TAU)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val idx = s"$work/vec_index"
+    def partitions = new java.io.File(idx).list().filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(partitions == Seq("batch_id=0", "batch_id=1"))
+    // pin the PRE-compaction content on the driver — a lazy DataFrame over
+    // the index dir would re-list files after the fold
+    val beforeRows = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+
+    SemanticStream.compactIndex(spark, idx, watermark = 1L)
+    // layout folded to the single watermark partition...
+    assert(partitions == Seq("batch_id=1"), s"got $partitions")
+    // ...but content identical (the parity theorem's precondition)
+    val afterRows = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(afterRows == beforeRows)
+    // re-running with the same watermark is a no-op fold (crash-recovery
+    // entry point)
+    SemanticStream.compactIndex(spark, idx, watermark = 1L)
+    assert(partitions == Seq("batch_id=1"))
+    assert(spark.read.parquet(idx).count() == beforeRows.size)
+
+    // retention: early match partitions drop; resume over the rest —
+    // batches 2/3 probe the COMPACTED index and the union tiles the
+    // one-shot pair set
+    SemanticStream.pruneMatches(s"$work/matches", keepFrom = 2L)
+    (2 until 4).foreach { b =>
+      vecs.filter(col("vec_id") % 4 === b).coalesce(1).write.mode("append").parquet(s"$work/stage")
+    }
+    val lateRows = SemanticStream.runIncremental(spark, s"$work/stage", work,
+        v => Similarity.assignClusterViaHof(v, cents), TAU).collect()
+    assert(lateRows.map(_.getAs[Number]("batch_id").longValue()).forall(_ >= 2L),
+      "pruned partitions must stay gone")
+    val late = lateRows.map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(late.intersect(early).isEmpty, "late batches must not re-find consumed pairs")
+    assert((late ++ early) == oneShot,
+      "resumed batches over the compacted index must complete the one-shot pair set")
+  }
+
   test("oracle derives k in-SQL and the entry emits only integral columns") {
     val sql = Similarity.oracleSql("x_stream_semantic_incremental")
     assert(sql.contains("kk AS (SELECT greatest(16,") &&
