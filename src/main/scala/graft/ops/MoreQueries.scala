@@ -367,7 +367,23 @@ object MoreQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** The stream-stream interval join run as a REAL file-stream query —
+    * the last streaming-surface shape that had only a MemoryStream spec,
+    * now through the driver's hash gate: both sides of
+    * [[graft.streaming.EventStream.purchaseClickJoinStream]] read the
+    * staged event-time slices, so click/purchase pairs genuinely cross
+    * micro-batch boundaries through the symmetric join state. Inner-join
+    * emission is watermark-independent and eviction can never outrun the
+    * interval bound (argument in the runner's scaladoc), so the result
+    * equals [[qIntervalJoin]]'s batch body exactly and the DuckDB oracle
+    * is the SAME SQL — the oracle checks stream/batch parity. */
+  def qStreamJoinParity(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    graft.streaming.EventStream.runJoinFileStream(s, events(s, d), work)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_join_parity" -> (qStreamJoinParity _),
     "q_stream_transitions_parity" -> (qStreamTransitionsParity _),
     "q_stream_transitions_ttl" -> (qStreamTransitionsTtl _),
     "q_stream_funnel_parity" -> (qStreamFunnelParity _),
@@ -440,6 +456,17 @@ object MoreQueries {
       |GROUP BY event_type, next_type""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // The stream-stream join's oracle is the batch interval join's SQL
+    // verbatim (ExtraQueries.q_interval_join) — stream/batch parity is
+    // what the gate checks.
+    "q_stream_join_parity" ->
+      """SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+        |       epoch_ms(p.ts) - epoch_ms(c.ts) AS gap_ms
+        |FROM events p JOIN events c
+        |  ON p.event_type = 'purchase' AND c.event_type = 'click'
+        | AND p.user_id = c.user_id
+        | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
+        | AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 600000""".stripMargin,
     "q_attribution_last_touch" ->
       """WITH o AS (
         |  SELECT event_type,

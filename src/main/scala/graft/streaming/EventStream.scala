@@ -232,6 +232,66 @@ object EventStream {
     Some((minMs, maxMs))
   }
 
+  /** Run [[purchaseClickJoinStream]] — the stream-stream interval join —
+    * as a REAL file-stream query over the given events relation and return
+    * the accumulated pair sink. Staging is [[stageEventTimeSlices]]: the
+    * events are cut into contiguous event-time slices, one micro-batch
+    * each, so a click and its purchase can land in DIFFERENT micro-batches
+    * and the join's symmetric state buffering is genuinely exercised (a
+    * click buffers in the state store until its purchase's batch arrives).
+    *
+    * Why the result is complete for ANY slice count: an INNER stream-stream
+    * join emits a pair in the micro-batch where its second side arrives —
+    * emission never waits on the watermark (the watermark only bounds state
+    * EVICTION). The interval condition requires `c_ts <= p_ts`, and slices
+    * are contiguous in event time, so a pair's click always arrives in an
+    * earlier-or-equal batch than its purchase and is still buffered when
+    * the purchase lands: eviction drops a click only once the watermark
+    * passes `c_ts + 10 min`, and the watermark trails the maximum seen
+    * event time by a full hour, by which point every purchase that could
+    * pair with it (`p_ts <= c_ts + 10 min < watermark`) has already been
+    * processed. The sentinel slices ride along but carry null event_ids and
+    * non-purchase/click event types, so they join nothing.
+    *
+    * Hence stream output == the batch twin ([[purchaseClickJoinBatch]],
+    * catalog `q_interval_join`) EXACTLY, and the catalog entry
+    * `q_stream_join_parity`'s DuckDB oracle is the SAME SQL — the oracle
+    * checks stream/batch parity, not just the rows. */
+  def runJoinFileStream(s: SparkSession, eventsDf: DataFrame, workDir: String,
+      slices: Int = 3): DataFrame = {
+    import s.implicits._
+    val stage = s"$workDir/stage"
+    val outDir = s"$workDir/pairs"
+    val ev = eventsDf.select(col("user_id"), col("ts"), col("event_type"), col("event_id"))
+    if (stageEventTimeSlices(s, ev, workDir, slices).isEmpty) {
+      return Seq.empty[(Long, Long, Long)].toDF("purchase_id", "click_id", "gap_ms")
+    }
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("event_id", LongType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+    // Join state is partitioned by the shuffle-partition count locked into
+    // the checkpoint at first run — same demo-sized pin as the sessionize
+    // runner (per-batch state-store commit cost is per partition).
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = purchaseClickJoinStream(src).writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.read.parquet(outDir)
+  }
+
   def runSessionizeFileStream(s: SparkSession, eventsDf: DataFrame, workDir: String,
       slices: Int = 3): DataFrame = {
     import s.implicits._

@@ -194,6 +194,41 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == batch, s"stream/batch divergence: $streamed vs $batch")
   }
 
+  test("the file-stream join runner equals the batch twin on the real events table") {
+    val d = "/root/testdata/sf0.001"
+    val events = graft.ops.Tables.events(spark, d)
+    val work = java.nio.file.Files.createTempDirectory("join_stream_spec").toString
+    val streamed = EventStream.runJoinFileStream(spark, events, work, slices = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(streamed.length == streamed.toSet.size, "a pair surfaced twice")
+    val batch = EventStream.purchaseClickJoinBatch(events)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(batch.nonEmpty, "test premise: the fixture joins at least one pair")
+    assert(streamed.toSet == batch, "stream/batch divergence on the real table")
+  }
+
+  test("the file-stream join runner buffers a click across a micro-batch boundary to meet its purchase") {
+    import spark.implicits._
+    // The event-time span is [minute 0, minute 25], so the 2-slice split
+    // cuts at minute 12.5: user 1's click (minute 10, slice 0) and its
+    // purchase (minute 14, slice 1) land in DIFFERENT micro-batches — the
+    // pair can only surface through the symmetric join's state store. User
+    // 2's pair sits inside slice 1 (same-batch matching), and user 3's
+    // unmatched click proves non-pairs stay out.
+    val rows = Seq(
+      (1L, ts(0), 1L, "view", 0.0),       // span anchor, joins nothing
+      (2L, ts(10), 1L, "click", 0.0),     // slice 0
+      (3L, ts(14), 1L, "purchase", 1.0),  // slice 1 — cross-batch pair
+      (4L, ts(16), 2L, "click", 0.0),     // slice 1
+      (5L, ts(18), 2L, "purchase", 1.0),  // slice 1 — same-batch pair
+      (6L, ts(25), 3L, "click", 0.0))     // unmatched
+    val ev = rows.toDF("event_id", "ts", "user_id", "event_type", "value")
+    val work = java.nio.file.Files.createTempDirectory("join_stream_cross_spec").toString
+    val streamed = EventStream.runJoinFileStream(spark, ev, work, slices = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == Set((3L, 2L, 240000L), (5L, 4L, 120000L)))
+  }
+
   test("stream-static dimension enrichment equals its batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
