@@ -1235,6 +1235,93 @@ object Dedup {
         md5(concat_ws(" ", col("kept"))).as("kept_hash"))
   }
 
+  // ---------------------------------------------------------------------
+  // BOILERPLATE detection: the frequency-thresholded, source-scoped
+  // sibling of the duplicate-span family (CCNet / RefinedWeb shape —
+  // Wenzek et al. 2019 dedupe repeated paragraphs per snapshot; Penedo et
+  // al. 2023 strip lines recurring across a domain's pages). Dup-spans
+  // asks "does this passage occur in ANY other document?" and keeps the
+  // first holder; boilerplate asks "does this short gram recur across ≥K
+  // documents OF THE SAME SOURCE?" and removes EVERY occurrence — nav
+  // text, headers, license stubs are per-site noise with no canonical
+  // copy worth keeping. Short grams (3 tokens) + a frequency floor is
+  // what separates template noise from legitimately quoted content.
+  //
+  // Scale shape: gram table is token-count-sized; the distinct
+  // (source, g, doc_id) triple dedup is the one linear shuffle (done
+  // BEFORE counting so the count itself is a plain map-side-combinable
+  // agg, never countDistinct over the biggest relation); the boilerplate
+  // gram set is frequency-floored — domain-template-bounded, tiny
+  // relative to the corpus — and joins back to positions on the gram
+  // hash. Island merge and scan-speed rewrite are the dup-span kernels
+  // reused verbatim.
+  // ---------------------------------------------------------------------
+  private[ops] val BOILER_GRAM = 3
+  private[ops] val BOILER_MIN_DOCS = 3L
+
+  /** (doc_id, source, pos, g): BOILER_GRAM-token gram hashes per position —
+    * [[gramPositions]]'s algebra at boilerplate length with the source
+    * riding along for the per-source scoping. */
+  private def boilerGramPositions(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), col("source"),
+        tokensCol(lower(col("text"))).as("toks"))
+      .select(col("doc_id"), col("source"),
+        posexplode(org.apache.spark.sql.graftbridge.ngramMd5(col("toks"), BOILER_GRAM))
+          .as(Seq("pos", "g")))
+
+  /** Grams recurring in ≥ BOILER_MIN_DOCS distinct docs of one source. */
+  private def boilerGrams(pos: DataFrame): DataFrame =
+    pos.select(col("source"), col("g"), col("doc_id")).distinct()
+      .groupBy(col("source"), col("g"))
+      .agg(count(lit(1)).as("n_docs_with"))
+      .filter(col("n_docs_with") >= BOILER_MIN_DOCS)
+
+  /** Per-source boilerplate report (catalog `x_boilerplate_grams`): how
+    * many grams clear the frequency floor, how many documents carry one,
+    * and the total token positions they cover — the numbers a pipeline
+    * owner reads to decide whether a source needs template stripping.
+    * All integral. */
+  def boilerplateGrams(s: SparkSession, d: String): DataFrame = {
+    val pos = boilerGramPositions(s, d)
+    pos.join(boilerGrams(pos), Seq("source", "g"))
+      .groupBy(col("source"))
+      .agg(
+        countDistinct(col("g")).as("n_boiler_grams"),
+        countDistinct(col("doc_id")).as("n_docs_hit"),
+        count(lit(1)).as("n_positions"))
+  }
+
+  /** The consuming transformation (catalog `x_boilerplate_scrub`):
+    * rewrite each affected document with every boilerplate-covered token
+    * position REMOVED — all occurrences, no canonical keeper (contrast
+    * [[dupSpanScrub]]'s keep-first rule: boilerplate has no copy worth
+    * keeping). Coverage merges through the shared [[islandSpans]] kernel
+    * at boilerplate gram length; emits exact before/after counts plus the
+    * md5 of the surviving token stream so the oracle verifies the
+    * REWRITE. Only affected docs surface — at scale the output is
+    * template-hit-bounded, not corpus-sized. */
+  def boilerplateScrub(s: SparkSession, d: String): DataFrame = {
+    val pos = boilerGramPositions(s, d)
+    val covered = pos.join(boilerGrams(pos), Seq("source", "g"))
+      .select(col("doc_id"), col("pos"))
+    val spanArr = islandSpans(covered, gram = BOILER_GRAM)
+      .groupBy(col("doc_id"))
+      .agg(collect_list(struct(col("span_start"), col("span_end"))).as("sp"))
+    documents(s, d)
+      .select(col("doc_id"), tokensCol(lower(col("text"))).as("toks"))
+      .join(spanArr, Seq("doc_id")) // inner: only affected docs rewrite
+      .select(col("doc_id"),
+        size(col("toks")).as("n_tokens_before"),
+        filter(col("toks"), (_, i) =>
+          !exists(col("sp"),
+            sp => i >= sp("span_start") && i <= sp("span_end"))).as("kept"))
+      .select(col("doc_id"),
+        col("n_tokens_before"),
+        size(col("kept")).as("n_tokens_after"),
+        md5(concat_ws(" ", col("kept"))).as("kept_hash"))
+  }
+
   /** Corpus-health rollup of [[dupSpans]] (catalog `x_dup_span_stats`):
     * per source, how much of the token mass sits inside cross-document
     * duplicated spans — the number a pipeline owner reads to decide
@@ -1277,7 +1364,9 @@ object Dedup {
     "x_containment_pairs" -> (containmentPairs _),
     "x_dup_spans" -> (dupSpans _),
     "x_dup_span_stats" -> (dupSpanStats _),
-    "x_dup_span_scrub" -> (dupSpanScrub _)
+    "x_dup_span_scrub" -> (dupSpanScrub _),
+    "x_boilerplate_grams" -> (boilerplateGrams _),
+    "x_boilerplate_scrub" -> (boilerplateScrub _)
   )
 
   /** Shared CTE chain for the duplicate-span oracles: gram positions →
@@ -1689,6 +1778,61 @@ object Dedup {
          |       (n_shared * 1000000) // least(n_a, n_b) AS containment_ppm,
          |       (n_shared * 1000000) // (n_a + n_b - n_shared) AS jaccard_ppm
          |FROM p
-         |WHERE (n_shared * 1000000) // least(n_a, n_b) >= $CONT_TAU_PPM""".stripMargin
+         |WHERE (n_shared * 1000000) // least(n_a, n_b) >= $CONT_TAU_PPM""".stripMargin,
+    "x_boilerplate_grams" ->
+      s"""WITH ${boilerCtes()}
+         |SELECT source,
+         |       count(DISTINCT g) AS n_boiler_grams,
+         |       count(DISTINCT doc_id) AS n_docs_hit,
+         |       count(*) AS n_positions
+         |FROM hit GROUP BY source""".stripMargin,
+    "x_boilerplate_scrub" ->
+      s"""WITH ${boilerCtes()},
+         |brk AS (
+         |  SELECT doc_id, pos,
+         |         CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id ORDER BY pos) > $BOILER_GRAM
+         |              THEN 1 ELSE 0 END AS brk
+         |  FROM (SELECT DISTINCT doc_id, pos FROM hit)),
+         |isl AS (
+         |  SELECT doc_id, pos,
+         |         SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos) AS island
+         |  FROM brk),
+         |spans AS (
+         |  SELECT doc_id, min(pos) AS s0, max(pos) + ${BOILER_GRAM - 1} AS s1
+         |  FROM isl GROUP BY doc_id, island),
+         |cover AS (SELECT doc_id, unnest(range(s0, s1 + 1)) AS pos FROM spans),
+         |affected AS (SELECT DISTINCT doc_id FROM hit),
+         |allpos AS (SELECT t.doc_id, unnest(range(0, len(t.w))) AS pos
+         |           FROM tok t JOIN affected USING (doc_id)),
+         |keptpos AS (SELECT a.doc_id, a.pos FROM allpos a
+         |            ANTI JOIN cover c ON a.doc_id = c.doc_id AND a.pos = c.pos),
+         |kept AS (SELECT k.doc_id, array_agg(t.w[k.pos + 1] ORDER BY k.pos) AS kw
+         |         FROM keptpos k JOIN tok t USING (doc_id) GROUP BY k.doc_id)
+         |SELECT t.doc_id,
+         |       CAST(len(t.w) AS INTEGER) AS n_tokens_before,
+         |       CAST(COALESCE(len(k.kw), 0) AS INTEGER) AS n_tokens_after,
+         |       md5(COALESCE(array_to_string(k.kw, ' '), '')) AS kept_hash
+         |FROM tok t JOIN affected USING (doc_id) LEFT JOIN kept k USING (doc_id)""".stripMargin
   )
+
+  /** Shared CTE chain for the boilerplate oracles: per-source gram
+    * positions → frequency-floored boilerplate grams → covered positions
+    * (`hit`). Mirrors [[boilerGramPositions]]/[[boilerGrams]] token for
+    * token. */
+  private def boilerCtes(): String =
+    s"""tok AS (
+       |  SELECT doc_id, source, regexp_extract_all(lower(text), '\\S+') AS w FROM documents),
+       |gp AS (
+       |  SELECT doc_id, source,
+       |         unnest(range(0, greatest(len(w) - ${BOILER_GRAM - 1}, 0))) AS pos,
+       |         unnest(list_transform(range(0, greatest(len(w) - ${BOILER_GRAM - 1}, 0)),
+       |           i -> md5(array_to_string(w[i+1 : i+$BOILER_GRAM], ' ')))) AS g
+       |  FROM tok),
+       |bg AS (
+       |  SELECT source, g FROM (
+       |    SELECT source, g, count(*) AS n_docs_with
+       |    FROM (SELECT DISTINCT source, g, doc_id FROM gp)
+       |    GROUP BY source, g)
+       |  WHERE n_docs_with >= $BOILER_MIN_DOCS),
+       |hit AS (SELECT gp.doc_id, gp.source, gp.pos, gp.g FROM gp JOIN bg USING (source, g))""".stripMargin
 }
