@@ -382,7 +382,28 @@ object MoreQueries {
     graft.streaming.EventStream.runJoinFileStream(s, events(s, d), work)
   }
 
+  /** Stream-STATIC broadcast enrichment run as a REAL file-stream catalog
+    * entry — the zero-state streaming shape (the static side is re-planned
+    * and broadcast inside every micro-batch; no watermark, no state store).
+    * The dimension is derived deterministically from the event-type
+    * domain (weight = length/10), so the DuckDB oracle replays it inline.
+    * Enrichment is a per-row map ⟹ stream rows == batch rows for any
+    * slicing; both roll up to per-type aggregates with the §8.4 class-A
+    * discipline (per-row double quantized to DECIMAL before the exact
+    * sum, ONE terminal cast). */
+  def qStreamEnrichParity(s: SparkSession, d: String): DataFrame = {
+    val dim = events(s, d).select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")).cast(DoubleType) / lit(10.0))
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_enrich").toString
+    graft.streaming.EventStream.runEnrichFileStream(s, events(s, d), dim, work)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("weighted_value").cast(DecimalType(28, 12)))
+          .cast(DoubleType).as("total_weighted"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_stream_enrich_parity" -> (qStreamEnrichParity _),
     "q_stream_join_parity" -> (qStreamJoinParity _),
     "q_stream_transitions_parity" -> (qStreamTransitionsParity _),
     "q_stream_transitions_ttl" -> (qStreamTransitionsTtl _),
@@ -467,6 +488,14 @@ object MoreQueries {
         | AND p.user_id = c.user_id
         | AND epoch_ms(c.ts) <= epoch_ms(p.ts)
         | AND epoch_ms(c.ts) >= epoch_ms(p.ts) - 600000""".stripMargin,
+    // Stream-static enrichment parity: the dimension (weight =
+    // length(event_type)/10) is replayed inline; per-row double product
+    // quantized to DECIMAL before the exact sum, one terminal cast.
+    "q_stream_enrich_parity" ->
+      """SELECT event_type, count(*) AS n,
+        |       CAST(SUM(CAST(value * (CAST(length(event_type) AS DOUBLE) / 10.0)
+        |                     AS DECIMAL(28,12))) AS DOUBLE) AS total_weighted
+        |FROM events GROUP BY event_type""".stripMargin,
     "q_attribution_last_touch" ->
       """WITH o AS (
         |  SELECT event_type,

@@ -232,6 +232,48 @@ object EventStream {
     Some((minMs, maxMs))
   }
 
+  /** Run [[enrichWithDim]] — stream-static dimension enrichment — as a
+    * REAL file-stream query over the given events relation and return the
+    * accumulated enriched sink. The streaming shape under test is the
+    * stream-STATIC join: Spark re-plans the static side inside every
+    * micro-batch, so a broadcast hash join runs per batch with ZERO
+    * streaming state — no watermark, no state store, nothing to evict.
+    * Enrichment is a per-row map, so stream output equals the batch body
+    * on the same rows for any slicing (the catalog entry
+    * `q_stream_enrich_parity` rolls both up to the same per-type
+    * aggregates and shares one DuckDB oracle). The staging sentinels carry
+    * null event_ids and are filtered on readback. */
+  def runEnrichFileStream(s: SparkSession, eventsDf: DataFrame, dim: DataFrame,
+      workDir: String, slices: Int = 3): DataFrame = {
+    import s.implicits._
+    val stage = s"$workDir/stage"
+    val outDir = s"$workDir/enriched"
+    val ev = eventsDf.select(col("user_id"), col("ts"), col("event_type"),
+      col("event_id"), col("value"))
+    if (stageEventTimeSlices(s, ev, workDir, slices).isEmpty) {
+      return Seq.empty[(Long, String, Double)]
+        .toDF("event_id", "event_type", "weighted_value")
+    }
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("event_id", LongType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+    val q = enrichWithDim(src, dim).writeStream
+      .format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .outputMode(OutputMode.Append())
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    s.read.parquet(outDir).filter(col("event_id").isNotNull)
+  }
+
   /** Run [[purchaseClickJoinStream]] — the stream-stream interval join —
     * as a REAL file-stream query over the given events relation and return
     * the accumulated pair sink. Staging is [[stageEventTimeSlices]]: the

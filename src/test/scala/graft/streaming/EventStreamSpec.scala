@@ -229,6 +229,20 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed == Set((3L, 2L, 240000L), (5L, 4L, 120000L)))
   }
 
+  test("the file-stream enrich runner equals the batch body row-for-row on the real events table") {
+    val d = "/root/testdata/sf0.001"
+    val events = graft.ops.Tables.events(spark, d)
+    val dim = events.select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")).cast("double") / lit(10.0))
+    val work = java.nio.file.Files.createTempDirectory("enrich_stream_spec").toString
+    val streamed = EventStream.runEnrichFileStream(spark, events, dim, work, slices = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    assert(streamed.length == events.count(), "every event enriches exactly once")
+    val batch = EventStream.enrichWithDim(events, dim)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSet
+    assert(streamed.toSet == batch, "stream/batch divergence on the real table")
+  }
+
   test("stream-static dimension enrichment equals its batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
