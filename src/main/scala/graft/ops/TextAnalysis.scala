@@ -1287,6 +1287,39 @@ object TextAnalysis {
     hhExactVerify(s, d, sketch.keys.toSeq.sorted, nTotal)
   }
 
+  /** The maintenance lifecycle of the sketch state sink (catalog
+    * `x_stream_hh_pruned`) — the state-CHAIN counterpart of the two index
+    * compaction entries, proving the OTHER day-2 op: drain half the
+    * backlog, STOP, prune the audit-trail partitions below the committed
+    * watermark ([[graft.streaming.SketchStream.pruneState]] — prune, not
+    * fold: batch b reads only the LATEST prior link, so the latest
+    * partition carries the whole running sketch and earlier links are
+    * droppable audit trail), then resume from the checkpoint over the
+    * rest. The resumed fold reads the kept watermark link, so the final
+    * sketch — and therefore the prune + exact-verify output — is
+    * identical to the unpruned stream's and to the one-shot batch entry's:
+    * the oracle is the SAME SQL as `x_heavy_hitters`. */
+  def heavyHittersStreamPruned(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_hh_p").toString
+    val stage = s"$work/stage"
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    // First backlog: two files -> committed micro-batches 0 and 1.
+    (0 until 2).foreach { b =>
+      docs.filter(col("doc_id") % 4 === b).coalesce(1).write.mode("append").parquet(stage)
+    }
+    graft.streaming.SketchStream.runHeavyHitters(s, stage, work, HH_K)
+    // Maintenance window: stream stopped, batch 1 committed — drop the
+    // audit trail strictly below it (partition 0); partition 1 IS the
+    // running state the resumed batch 2 reads.
+    graft.streaming.SketchStream.pruneState(s"$work/hh_state", keepFrom = 1L)
+    // Second backlog: the checkpoint resumes at batch 2.
+    (2 until 4).foreach { b =>
+      docs.filter(col("doc_id") % 4 === b).coalesce(1).write.mode("append").parquet(stage)
+    }
+    val (sketch, nTotal) = graft.streaming.SketchStream.runHeavyHitters(s, stage, work, HH_K)
+    hhExactVerify(s, d, sketch.keys.toSeq.sorted, nTotal)
+  }
+
   // ---- Dataset diff: snapshot-to-snapshot corpus lifecycle accounting
 
   private[ops] val DIFF_NEW_OFFSET = 40000000L // disjoint from doc ids and every clone family
@@ -1385,6 +1418,7 @@ object TextAnalysis {
     "x_diff_dedup_probe" -> (diffDedupProbe _),
     "x_heavy_hitters" -> (heavyHitters _),
     "x_stream_heavy_hitters" -> (heavyHittersStream _),
+    "x_stream_hh_pruned" -> (heavyHittersStreamPruned _),
     "x_pii_scrub" -> (piiScrub _),
     "x_html_strip" -> (htmlStrip _),
     "x_mix_temperature" -> (mixTemperature _),
@@ -1583,6 +1617,9 @@ object TextAnalysis {
     // same completeness guarantee, so the prune+verify output is identical
     // to the batch entry's — SAME oracle.
     "x_stream_heavy_hitters" -> heavyHittersOracleSql,
+    // The prune preserves the running sketch (latest link carries it all),
+    // so the pruned lifecycle's oracle is the one-shot batch SQL verbatim.
+    "x_stream_hh_pruned" -> heavyHittersOracleSql,
     // Same planted PII, same regexes (the [0-9]/explicit-class subset both
     // engines implement identically), same scrub order.
     "x_pii_scrub" ->

@@ -109,6 +109,23 @@ object SketchStream {
       .partitionBy("batch_id").parquet(stateDir)
   }
 
+  /** Retention for the state-CHAIN sink — prune, NOT fold. The two sink
+    * families have different day-2 ops and conflating them corrupts state:
+    * an INDEX sink (DedupStream signatures, SemanticStream vectors) is
+    * read by scanning ALL strictly-earlier partitions, so its maintenance
+    * is [[SinkRetention.compactIndex]]'s content-preserving fold; this
+    * sink is a CHAIN — batch b reads only the LATEST prior partition (the
+    * fold state), every earlier partition is its audit trail — so folding
+    * multiple batches' rows into one partition would jumble distinct fold
+    * states into a single unreadable link. Maintenance here is
+    * [[SinkRetention.prunePartitions]]: drop audit-trail links strictly
+    * below the last committed batch; the latest link carries the entire
+    * running sketch, so the resumed fold — and the Agarwal et al. merge
+    * guarantee — is unchanged (spec-proven; catalog
+    * `x_stream_hh_pruned` shares the `x_heavy_hitters` oracle). */
+  def pruneState(stateDir: String, keepFrom: Long): Unit =
+    SinkRetention.prunePartitions(stateDir, keepFrom)
+
   /** Drain a staged document directory as a real file-source stream and
     * return (final candidate sketch, exact stream length). */
   def runHeavyHitters(s: SparkSession, stageDir: String, workDir: String,

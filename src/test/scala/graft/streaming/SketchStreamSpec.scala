@@ -40,6 +40,44 @@ class SketchStreamSpec extends AnyFunSuite {
     assert(batch.nonEmpty, "fixture must actually contain heavy hitters")
   }
 
+  test("pruning the audit trail mid-stream leaves the resumed fold and final output unchanged") {
+    val out = graft.ops.TextAnalysis.heavyHittersStreamPruned(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val batch = graft.ops.TextAnalysis.heavyHitters(spark, dir)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(out == batch,
+      "state-chain prune must not change the running sketch the resumed batches fold from")
+  }
+
+  test("pruneState drops links strictly below keepFrom and keeps the fold state readable") {
+    val work = java.nio.file.Files.createTempDirectory("graft_hh_prune").toString
+    val stateDir = s"$work/hh_state"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    (0 until 3).foreach { i =>
+      SketchStream.sketchBatch(K, stateDir)(docs.filter(col("doc_id") % 3 === i), i.toLong)
+    }
+    def partitions = new java.io.File(stateDir).list().filter(_.startsWith("batch_id=")).sorted.toSeq
+    assert(partitions == Seq("batch_id=0", "batch_id=1", "batch_id=2"))
+    val lastBefore = spark.read.parquet(stateDir)
+      .filter(col("batch_id") === 2).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).sortBy(_.toString).toSeq
+    SketchStream.pruneState(stateDir, keepFrom = 2L)
+    assert(partitions == Seq("batch_id=2"), s"got $partitions")
+    val lastAfter = spark.read.parquet(stateDir)
+      .filter(col("batch_id") === 2).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1))).sortBy(_.toString).toSeq
+    assert(lastAfter == lastBefore, "the kept link must be byte-identical fold state")
+    // a batch resumed after the prune folds from the kept link exactly as
+    // it would have before: run batch 3 and check it reads state 2
+    SketchStream.sketchBatch(K, stateDir)(docs.filter(col("doc_id") % 3 === 0), 3L)
+    val n3 = spark.read.parquet(stateDir).filter(col("batch_id") === 3)
+      .filter(col("term").isNull).head().getLong(1)
+    val n2 = lastBefore.collectFirst { case (None, n) => n }.get
+    val b3 = docs.filter(col("doc_id") % 3 === 0)
+      .select(explode(graft.ops.TextAnalysis.tokensCol(lower(col("text"))))).count()
+    assert(n3 == n2 + b3, "resumed stream length must extend the kept link's count")
+  }
+
   test("candidate completeness holds under an uneven slicing (direct fold)") {
     val work = java.nio.file.Files.createTempDirectory("graft_hh_uneven").toString
     val slices = Seq(
