@@ -592,6 +592,33 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Keep-BEST canonical selection (catalog `x_dedup_keep_best`) — the
+    * quality-aware alternative to [[dedupKeepList]]/[[dedupClusters]]'s
+    * keep-first-id rule: production pipelines keep each near-dup
+    * cluster's best member (RefinedWeb keeps the longest/highest-quality
+    * page of a template family), not its lowest id. "Best" here is the
+    * integral token count with min-doc_id tie-break (integral so the
+    * argmax is float-order-free), computed as ONE max-struct aggregate
+    * over the shared CC labels — no per-cluster window, no sort, fully
+    * map-side combinable; output is multi-doc-cluster-sized (singletons
+    * keep themselves trivially and are excluded). */
+  def dedupKeepBest(s: SparkSession, d: String): DataFrame = {
+    val labels = dupLabelsShared(s, d).select(col("id").as("doc_id"), col("label"))
+    val toks = documents(s, d)
+      .select(col("doc_id"), tokenCountCol(col("text")).cast("long").as("n_tokens"))
+    labels.join(toks, "doc_id")
+      .groupBy(col("label").as("cluster_id"))
+      .agg(
+        max(struct(col("n_tokens"), (-col("doc_id")).as("neg_id"))).as("best"),
+        count(lit(1)).as("n_members"),
+        sum(col("n_tokens")).as("total_tokens"))
+      .select(col("cluster_id"),
+        (-col("best.neg_id")).as("keep_id"),
+        col("best.n_tokens").as("kept_tokens"),
+        col("n_members"), col("total_tokens"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** SoftDeDup-style duplicate down-weighting (catalog
     * `x_dedup_soft_weights`): keep every near-duplicate and shrink its
     * training weight to 1/cluster_size instead of dropping all-but-one —
@@ -1347,6 +1374,7 @@ object Dedup {
     "dml_chunked_dedup" -> (dmlChunkedDedup _),
     "x_dedup_exact" -> (dedupExact _),
     "x_dedup_keep_list" -> (dedupKeepList _),
+    "x_dedup_keep_best" -> (dedupKeepBest _),
     "x_dedup_minhash" -> ((s, d) => dedupMinhashLsh(s, d)),
     "x_dedup_incremental" -> (dedupIncremental _),
     "x_stream_dedup_incremental" -> (dedupStreamIncremental _),
@@ -1645,6 +1673,32 @@ object Dedup {
          |       CASE WHEN d.doc_id = COALESCE(cc.cluster_id, d.doc_id)
          |            THEN 1 ELSE 0 END AS is_canonical
          |FROM documents d LEFT JOIN cc USING (doc_id)""".stripMargin,
+    // Same CC closure -> per-cluster argmax on (n_tokens, -doc_id): the
+    // keep-best rule replayed as a window (the Spark side is one
+    // max-struct aggregate; both pick max tokens, then min id).
+    "x_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${simhashCtes()},
+         |e AS (SELECT doc_a AS u, doc_b AS v FROM scand
+         |      UNION ALL SELECT doc_b, doc_a FROM scand),
+         |walk(u, v) AS (
+         |  SELECT u, v FROM e
+         |  UNION
+         |  SELECT w.u, e2.v FROM walk w JOIN e e2 ON w.v = e2.u),
+         |cc AS (SELECT u AS doc_id, least(u, min(v)) AS cluster_id
+         |       FROM walk GROUP BY u),
+         |m AS (SELECT cc.cluster_id, cc.doc_id,
+         |        CAST(len(regexp_extract_all(d.text, '\\S+')) AS BIGINT) AS n_tokens
+         |      FROM cc JOIN documents d USING (doc_id)),
+         |r AS (SELECT cluster_id, doc_id, n_tokens,
+         |        row_number() OVER (PARTITION BY cluster_id
+         |          ORDER BY n_tokens DESC, doc_id) AS rn,
+         |        count(*) OVER (PARTITION BY cluster_id) AS n_members,
+         |        SUM(n_tokens) OVER (PARTITION BY cluster_id) AS total_tokens
+         |      FROM m)
+         |SELECT cluster_id, doc_id AS keep_id, n_tokens AS kept_tokens,
+         |       CAST(n_members AS BIGINT) AS n_members,
+         |       CAST(total_tokens AS BIGINT) AS total_tokens
+         |FROM r WHERE rn = 1""".stripMargin,
     // CC transitive closure -> cluster sizes over ALL docs (singletons are
     // their own size-1 cluster) -> integral ppm weights -> per-source mass.
     "x_dedup_soft_weights" ->

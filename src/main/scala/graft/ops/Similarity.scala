@@ -1453,7 +1453,50 @@ object Similarity {
       sum(col("n2").cast(DecimalType(28, 12))).cast("double").as("sum_sq"))
   }
 
+  /** Per-dimension whitening audit (catalog `x_embed_whiten`) — the
+    * standardization pass embedding pipelines run before distance-based
+    * indexing when dimensions carry unequal scales (z-score per dim:
+    * w = (x − mean)/std). Stats come from floor-quantized INTEGER sums
+    * (ppb for x, ppt for x² — exact 64-bit arithmetic, order-free, so
+    * the oracle replays them bit-for-bit; a double→DECIMAL cast here hit
+    * engine rounding-mode knife-edges at the 12th digit, the same defect
+    * class the r11 medoid ppm fix closed), cast to double ONCE for the
+    * mean/variance; the per-element whiten is then identical IEEE
+    * arithmetic in any engine. Output per dim is ALL INTEGRAL (§8.4
+    * new-entry rule): ppb-quantized pre-stats plus floor-quantized post
+    * sums — Σ⌊w·10⁶⌋ ≈ 0 (within the ≤n floor bias) and Σ⌊w²·10⁶⌋ ≈
+    * n·10⁶, so the gate verifies the TRANSFORM, not a summary. Plan:
+    * one explode, a dims-sized stats aggregate broadcast back, one
+    * scan-speed whiten pass — the int8-audit shape. */
+  def embedWhiten(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+      .select(col("vec_id"), posexplode(asDouble(col("embedding"))).as(Seq("dim", "x")))
+    val st = e.groupBy(col("dim")).agg(
+      count(lit(1)).as("n"),
+      sum(floor(col("x") * lit(1e9)).cast("long")).as("sx9"),
+      sum(floor(col("x") * col("x") * lit(1e12)).cast("long")).as("sxx12"))
+    val mean = (col("sx9").cast("double") / lit(1e9)) / col("n")
+    val variance = (col("sxx12").cast("double") / lit(1e12)) / col("n") -
+      ((col("sx9").cast("double") / lit(1e9)) / col("n")) *
+      ((col("sx9").cast("double") / lit(1e9)) / col("n"))
+    val ms = st.select(col("dim"), col("n"),
+      mean.as("mean"), variance.as("variance"))
+    e.join(broadcast(ms), "dim")
+      .withColumn("w", when(col("variance") <= 0, lit(0.0))
+        .otherwise((col("x") - col("mean")) / sqrt(col("variance"))))
+      .groupBy(col("dim"), col("n"), col("mean"), col("variance"))
+      .agg(
+        sum(floor(col("w") * lit(1e6)).cast("long")).as("post_sum_w_ppm"),
+        sum(floor(col("w") * col("w") * lit(1e6)).cast("long")).as("post_sum_w2_ppm"))
+      .select(col("dim"), col("n"),
+        floor(col("mean") * lit(1e9)).cast("long").as("mean_ppb"),
+        floor(col("variance") * lit(1e9)).cast("long").as("var_ppb"),
+        col("post_sum_w_ppm"), col("post_sum_w2_ppm"))
+      .orderBy(col("dim"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_embed_whiten" -> (embedWhiten _),
     "x_ann_bruteforce" -> (annBruteforce _),
     "x_hard_negatives" -> (hardNegatives _),
     "x_embed_int8" -> (embedInt8Audit _),
@@ -1869,6 +1912,32 @@ object Similarity {
       ("x_dedup_semantic_2level" -> semantic2LevelOracleSql(L2_OCCUPANCY))
 
   private val staticOracleSql: Map[String, String] = Map(
+    // Whitening audit: floor-quantized integer sums (exact, order-free)
+    // -> double stats computed in the same expression order as Spark ->
+    // identical IEEE per-element whiten -> floor-quantized post sums.
+    "x_embed_whiten" ->
+      """WITH t AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings),
+        |e AS (SELECT vec_id, unnest(range(0, len(v))) AS dim, unnest(v) AS x FROM t),
+        |st AS (SELECT dim, count(*) AS n,
+        |         CAST(SUM(CAST(floor(x * 1e9) AS BIGINT)) AS BIGINT) AS sx9,
+        |         CAST(SUM(CAST(floor(x * x * 1e12) AS BIGINT)) AS BIGINT) AS sxx12
+        |       FROM e GROUP BY dim),
+        |ms AS (SELECT dim, n,
+        |         (CAST(sx9 AS DOUBLE) / 1e9) / n AS mean,
+        |         (CAST(sxx12 AS DOUBLE) / 1e12) / n -
+        |           ((CAST(sx9 AS DOUBLE) / 1e9) / n) * ((CAST(sx9 AS DOUBLE) / 1e9) / n) AS variance
+        |       FROM st),
+        |w AS (SELECT e.dim,
+        |        CASE WHEN ms.variance <= 0 THEN 0.0
+        |             ELSE (e.x - ms.mean) / sqrt(ms.variance) END AS w
+        |      FROM e JOIN ms USING (dim))
+        |SELECT ms.dim, CAST(ms.n AS BIGINT) AS n,
+        |       CAST(floor(ms.mean * 1e9) AS BIGINT) AS mean_ppb,
+        |       CAST(floor(ms.variance * 1e9) AS BIGINT) AS var_ppb,
+        |       CAST(SUM(CAST(floor(w.w * 1e6) AS BIGINT)) AS BIGINT) AS post_sum_w_ppm,
+        |       CAST(SUM(CAST(floor(w.w * w.w * 1e6) AS BIGINT)) AS BIGINT) AS post_sum_w2_ppm
+        |FROM w JOIN ms USING (dim)
+        |GROUP BY ms.dim, ms.n, ms.mean, ms.variance""".stripMargin,
     // Same trained assignment relation as the ANN/semantic oracles; the
     // medoid is row 1 of a per-cluster cosine-to-final-centroid order.
     "x_cluster_medoids" ->
