@@ -1412,7 +1412,44 @@ object TextAnalysis {
       Dedup.mhBands(Dedup.minhashSignaturesOf(index)))
   }
 
+  /** Per-source length-outlier audit (catalog `x_source_outliers`) — the
+    * RELATIVE calibration the absolute-threshold gates (`x_gopher_rules`,
+    * the CDF gate) deliberately don't do: a 40-token doc is normal for a
+    * tweet-like source and anomalous for a news source, so the z-score is
+    * computed against each doc's OWN source distribution. Token counts
+    * are integers, so the per-source sums (Σn, Σn²) are exact 64-bit —
+    * mean/std derive deterministically with no decimal or quantization
+    * machinery — and the output is all integral: per source, docs, token
+    * mass, and how many docs sit beyond 1σ/2σ of the source's own length
+    * distribution (the 2σ band is the re-crawl/review queue). Plan: one
+    * scan for the stats (sources-sized aggregate, broadcast back), one
+    * scan-speed z pass — no window, no sort. */
+  def sourceOutliers(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("source"),
+        tokenCountCol(col("text")).cast("long").as("n_tokens"))
+    val st = docs.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("n_tokens")).as("sum_tokens"),
+      sum(col("n_tokens") * col("n_tokens")).as("sum_sq"))
+    val mean = col("sum_tokens").cast("double") / col("n_docs")
+    val variance = col("sum_sq").cast("double") / col("n_docs") -
+      (col("sum_tokens").cast("double") / col("n_docs")) *
+      (col("sum_tokens").cast("double") / col("n_docs"))
+    val ms = st.select(col("source"), col("n_docs"), col("sum_tokens"),
+      mean.as("mean"), variance.as("variance"))
+    docs.join(broadcast(ms), "source")
+      .withColumn("z", when(col("variance") <= 0, lit(0.0))
+        .otherwise(abs(col("n_tokens") - col("mean")) / sqrt(col("variance"))))
+      .groupBy(col("source"), col("n_docs"), col("sum_tokens"))
+      .agg(
+        sum(when(col("z") > 1.0, 1L).otherwise(0L)).as("n_gt1s"),
+        sum(when(col("z") > 2.0, 1L).otherwise(0L)).as("n_gt2s"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "x_source_outliers" -> (sourceOutliers _),
     "x_dataset_diff" -> (datasetDiff _),
     "x_dataset_diff_stats" -> (datasetDiffStats _),
     "x_diff_dedup_probe" -> (diffDedupProbe _),
@@ -1602,6 +1639,33 @@ object TextAnalysis {
        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    // Per-source z-band counts from exact integer sums; the double
+    // mean/variance expressions mirror the Spark side token for token.
+    "x_source_outliers" ->
+      """WITH docs AS (
+        |  SELECT doc_id, source,
+        |         CAST(len(regexp_extract_all(text, '\S+')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |st AS (
+        |  SELECT source, count(*) AS n_docs,
+        |         CAST(SUM(n_tokens) AS BIGINT) AS sum_tokens,
+        |         CAST(SUM(n_tokens * n_tokens) AS BIGINT) AS sum_sq
+        |  FROM docs GROUP BY source),
+        |ms AS (
+        |  SELECT source, n_docs, sum_tokens,
+        |         CAST(sum_tokens AS DOUBLE) / n_docs AS mean,
+        |         CAST(sum_sq AS DOUBLE) / n_docs -
+        |           (CAST(sum_tokens AS DOUBLE) / n_docs) * (CAST(sum_tokens AS DOUBLE) / n_docs) AS variance
+        |  FROM st),
+        |z AS (
+        |  SELECT d.source, ms.n_docs, ms.sum_tokens,
+        |         CASE WHEN ms.variance <= 0 THEN 0.0
+        |              ELSE abs(d.n_tokens - ms.mean) / sqrt(ms.variance) END AS z
+        |  FROM docs d JOIN ms USING (source))
+        |SELECT source, CAST(n_docs AS BIGINT) AS n_docs, sum_tokens,
+        |       CAST(SUM(CASE WHEN z > 1.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt1s,
+        |       CAST(SUM(CASE WHEN z > 2.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt2s
+        |FROM z GROUP BY source, n_docs, sum_tokens""".stripMargin,
     "x_dataset_diff" ->
       s"""WITH $diffCtes
          |SELECT doc_id, status, chars_v1, chars_v2 FROM diff
