@@ -88,13 +88,18 @@ object MoreQueries {
       .groupBy(col("status_x"))
       .agg(count(lit(1)).as("n"))
 
-  /** Batch twin of the streaming hourly window aggregation — the exact same
-    * transformation body as graft.streaming.EventStream.hourlyAgg, proving
-    * the logical query is mode-agnostic. */
-  def qStreamHourlyParity(s: SparkSession, d: String): DataFrame =
-    graft.streaming.EventStream.hourlyAgg(events(s, d))
+  /** The watermarked hourly window aggregation run as a REAL file-stream
+    * query (upgraded in round 13 from the batch-body stand-in): staged
+    * event-time slices drain one micro-batch each, windows finalize in
+    * append mode as the sentinel-advanced watermark passes them, and the
+    * result equals the batch body exactly — the DuckDB oracle is
+    * unchanged, so the gate now checks REAL stream/batch parity. */
+  def qStreamHourlyParity(s: SparkSession, d: String): DataFrame = {
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_hourly").toString
+    graft.streaming.EventStream.runHourlyFileStream(s, events(s, d), work)
       .select(date_format(col("window_start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("total_value"))
+  }
 
   /** Batch twin of the streaming exact-dedup stage
     * (graft.streaming.EventStream.dedupEvents): an at-least-once delivery
@@ -109,7 +114,14 @@ object MoreQueries {
     val ev = events(s, d)
     val feed = ev.unionAll(ev.filter(col("event_id") % 97 === 0))
     val feedCounts = feed.groupBy(col("event_type")).agg(count(lit(1)).as("n_feed"))
-    val uniq = feed.dropDuplicates("event_id")
+    // The exactly-once collapse runs as a REAL file-stream query (round 13
+    // upgrade from the batch-body stand-in): the duplicated feed is staged
+    // into micro-batches and dropDuplicatesWithinWatermark survives only
+    // each event_id's first arrival — equal to the batch dropDuplicates on
+    // the same feed, so the oracle is unchanged and the gate now checks
+    // REAL stream/batch parity.
+    val work = java.nio.file.Files.createTempDirectory("graft_stream_dedup_p").toString
+    val uniq = graft.streaming.EventStream.runDedupFileStream(s, feed, work)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"),
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))

@@ -36,8 +36,14 @@ object EventStream {
     * bounded state however long the stream runs. Works identically on a
     * batch DataFrame (then the watermark is a no-op). */
   def hourlyAgg(events: DataFrame): DataFrame =
+    hourlyAggBody(events.withWatermark("ts", "2 hours"))
+
+  /** The aggregation body alone — split out so the file-stream runner can
+    * put its sentinel filter BETWEEN the watermark and the aggregation
+    * (sentinel rows must pass the watermark node to advance it, but must
+    * not form windows of their own). */
+  private def hourlyAggBody(events: DataFrame): DataFrame =
     events
-      .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 4))).cast(DoubleType).as("total_value"))
@@ -193,7 +199,7 @@ object EventStream {
     * a property of the data, not of staging-job wall-clock).
     * Returns (minMs, maxMs) of the data, or None when `ev` is empty. */
   private[streaming] def stageEventTimeSlices(s: SparkSession, ev: DataFrame, workDir: String,
-      slices: Int): Option[(Long, Long)] = {
+      slices: Int, sentinelOffsetsMin: (Int, Int) = (40, 80)): Option[(Long, Long)] = {
     import s.implicits._
     val hconf = s.sparkContext.hadoopConfiguration
     val stagePath = new org.apache.hadoop.fs.Path(s"$workDir/stage")
@@ -203,9 +209,13 @@ object EventStream {
     if (bounds.isNullAt(0)) return None
     val (minMs, maxMs) = (bounds.getLong(0), bounds.getLong(1))
     val span = maxMs - minMs + 1
+    // Sentinel offsets scale with the consumer's watermark delay: the
+    // default (+40/+80 min) suits the sessionize/funnel 30-minute horizon;
+    // the hourly runner passes offsets past its 2-hour delay + 1-hour
+    // window so the fire batch's watermark clears every data window.
     val sentinels = Seq(
-      (-1L, new java.sql.Timestamp(maxMs + 40 * 60 * 1000L), "sentinel_wm", slices),
-      (-2L, new java.sql.Timestamp(maxMs + 80 * 60 * 1000L), "sentinel_fire", slices + 1)
+      (-1L, new java.sql.Timestamp(maxMs + sentinelOffsetsMin._1 * 60 * 1000L), "sentinel_wm", slices),
+      (-2L, new java.sql.Timestamp(maxMs + sentinelOffsetsMin._2 * 60 * 1000L), "sentinel_fire", slices + 1)
     ).toDF("user_id", "ts", "event_type", "slice")
     val tmp = new org.apache.hadoop.fs.Path(s"$workDir/.stage_tmp")
     ev.withColumn("slice", ((unix_millis(col("ts")) - minMs) * slices / span).cast("int"))
@@ -230,6 +240,101 @@ object EventStream {
     }
     fs.delete(tmp, true)
     Some((minMs, maxMs))
+  }
+
+  /** Run [[hourlyAgg]] — the watermarked tumbling-window aggregation — as
+    * a REAL file-stream query over the given events relation and return
+    * the accumulated window sink. Append mode emits a window only once
+    * the watermark passes its end, so the staging sentinels matter here:
+    * they ride at +200/+260 minutes (past the 2-hour watermark delay plus
+    * the 1-hour window width) and flow through the WHOLE aggregation.
+    * Filtering them inside the stream does not work: Catalyst pushes a
+    * non-event-time predicate below the EventTimeWatermark node, so the
+    * watermark never sees them (measured — the last three data windows
+    * never closed). Instead they form their own sentinel-typed windows,
+    * which end beyond the final watermark and therefore never emit, and
+    * the sink readback filters the type as belt-and-suspenders — the
+    * fire batch finalizes every data window.
+    * Decimal-exact sums inside streaming state, same body as the
+    * batch twin, so the catalog entry `q_stream_hourly_parity` shares the
+    * batch oracle — a real-stream run, not a batch-body stand-in. */
+  def runHourlyFileStream(s: SparkSession, eventsDf: DataFrame, workDir: String,
+      slices: Int = 3): DataFrame = {
+    import s.implicits._
+    val stage = s"$workDir/stage"
+    val outDir = s"$workDir/hourly"
+    val ev = eventsDf.select(col("user_id"), col("ts"), col("event_type"), col("value"))
+    if (stageEventTimeSlices(s, ev, workDir, slices, sentinelOffsetsMin = (200, 260)).isEmpty) {
+      return Seq.empty[(java.sql.Timestamp, String, Long, Double)]
+        .toDF("window_start", "event_type", "n", "total_value")
+    }
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = hourlyAggBody(src.withWatermark("ts", "2 hours"))
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.read.parquet(outDir).filter(!col("event_type").startsWith("sentinel"))
+  }
+
+  /** Run [[dedupEvents]] — watermarked exactly-once dedup of an
+    * at-least-once feed — as a REAL file-stream query and return the
+    * surviving rows. dropDuplicatesWithinWatermark emits each first-seen
+    * event_id immediately (no window to close), so no sentinel tuning is
+    * needed; duplicates share their original's event time, hence always
+    * arrive inside the lateness bound. Sentinels carry null event_ids and
+    * are filtered after the watermark node. */
+  def runDedupFileStream(s: SparkSession, feedDf: DataFrame, workDir: String,
+      slices: Int = 3): DataFrame = {
+    import s.implicits._
+    val stage = s"$workDir/stage"
+    val outDir = s"$workDir/unique"
+    val ev = feedDf.select(col("user_id"), col("ts"), col("event_type"),
+      col("event_id"), col("value"))
+    if (stageEventTimeSlices(s, ev, workDir, slices).isEmpty) {
+      return Seq.empty[(Long, java.sql.Timestamp, String, Long, Double)]
+        .toDF("user_id", "ts", "event_type", "event_id", "value")
+    }
+    val src = s.readStream
+      .schema(StructType(Seq(
+        StructField("user_id", LongType),
+        StructField("ts", TimestampType),
+        StructField("event_type", StringType),
+        StructField("event_id", LongType),
+        StructField("value", DoubleType))))
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stage)
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", "8")
+      val q = src.withWatermark("ts", "1 hour")
+        .filter(col("user_id") >= 0)
+        .dropDuplicatesWithinWatermark("event_id")
+        .writeStream
+        .format("parquet")
+        .option("path", outDir)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .outputMode(OutputMode.Append())
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    s.read.parquet(outDir)
   }
 
   /** Run [[enrichWithDim]] — stream-static dimension enrichment — as a
