@@ -265,6 +265,46 @@ class ExamplesSpec extends AnyFunSuite {
     assert(compacted == oneShot)
   }
 
+  test("example 12: corpus hygiene — keep-best canonicals, boilerplate scrub, per-source calibration, whitening") {
+    val dir = "/root/testdata/sf0.001"
+
+    // keep-BEST canonical selection: every emitted cluster is multi-doc,
+    // keeps a real member, and the kept token count bounds the average
+    val best = graft.ops.Dedup.dedupKeepBest(spark, dir)
+    // (cluster_id, keep_id, kept_tokens, n_members, total_tokens)
+    assert(best.count() > 0)
+    assert(best.filter(col("n_members") < 2).count() == 0)
+    assert(best.filter(col("kept_tokens") * col("n_members") < col("total_tokens"))
+      .count() == 0, "the kept member is the per-cluster token argmax")
+
+    // boilerplate: per-source frequency-floored template grams; the scrub
+    // only ever removes tokens
+    val boiler = graft.ops.Dedup.boilerplateGrams(spark, dir)
+    // (source, n_boiler_grams, n_docs_hit, n_positions)
+    assert(boiler.count() > 0)
+    val scrubbed = graft.ops.Dedup.boilerplateScrub(spark, dir)
+    assert(scrubbed.filter(col("n_tokens_after") >= col("n_tokens_before")).count() == 0)
+
+    // per-source length calibration: a row per source, band counts nested
+    val cal = graft.ops.TextAnalysis.sourceOutliers(spark, dir)
+    // (source, n_docs, sum_tokens, n_gt1s, n_gt2s)
+    assert(cal.count() == graft.ops.Tables.documents(spark, dir)
+      .select(col("source")).distinct().count())
+    assert(cal.filter(col("n_gt2s") > col("n_gt1s")).count() == 0)
+
+    // whitening audit: one row per dimension; post sums obey the z-score
+    // law within the floor-bias bound
+    val w = graft.ops.Similarity.embedWhiten(spark, dir)
+    // (dim, n, mean_ppb, var_ppb, post_sum_w_ppm, post_sum_w2_ppm)
+    val rows = w.collect()
+    assert(rows.length == 64)
+    rows.foreach { r =>
+      val n = r.getLong(1)
+      assert(math.abs(r.getLong(4)) <= 2 * n)
+      assert(math.abs(r.getLong(5) - n * 1000000L) <= 3 * n)
+    }
+  }
+
   test("example 9b: audio and video ride the multimodal near-dup kernels") {
     val dir = "/root/testdata/sf0.001"
 
