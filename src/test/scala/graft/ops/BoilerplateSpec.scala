@@ -85,6 +85,13 @@ class BoilerplateSpec extends AnyFunSuite {
       "surviving stream must be exactly the non-template tokens, in order")
   }
 
+  test("plan shape: the floored gram set broadcasts onto the position stream") {
+    val plan = Dedup.boilerplateGrams(spark, "/root/testdata/sf0.001")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
+    assert(!plan.contains("SortMergeJoin"), plan.take(1500))
+  }
+
   test("overlapping template occurrences merge into one island (coverage, not per-gram subtraction)") {
     // "header one two header one two" back-to-back in 3 docs: grams at
     // positions 0..3 are all boilerplate; coverage is tokens [0,5] — 6

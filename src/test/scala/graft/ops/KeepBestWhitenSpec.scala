@@ -43,6 +43,11 @@ class KeepBestWhitenSpec extends AnyFunSuite {
     }
   }
 
+  test("plan shape: keep-best is one aggregate — no per-cluster window, no sort before the argmax") {
+    val plan = Dedup.dedupKeepBest(spark, d).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), plan.take(1500))
+  }
+
   test("whitening audit: quantized pre-stats match a float aggregate; post sums obey the z-score law") {
     val rows = Similarity.queries("x_embed_whiten")(spark, d).collect()
     assert(rows.length == 64, "one audit row per dimension")
