@@ -243,6 +243,26 @@ class EventStreamSpec extends AnyFunSuite {
     assert(streamed.toSet == batch, "stream/batch divergence on the real table")
   }
 
+  test("all four file-stream runners return empty (correctly-shaped) results on an empty corpus") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, java.sql.Timestamp, Long, String, Double)]
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+    val dim = Seq(("click", 0.5)).toDF("event_type", "weight")
+    def work() = java.nio.file.Files.createTempDirectory("runner_empty_spec").toString
+    val joined = EventStream.runJoinFileStream(spark, empty, work())
+    assert(joined.count() == 0 &&
+      joined.columns.toSeq == Seq("purchase_id", "click_id", "gap_ms"))
+    val enriched = EventStream.runEnrichFileStream(spark, empty, dim, work())
+    assert(enriched.count() == 0 &&
+      enriched.columns.toSeq == Seq("event_id", "event_type", "weighted_value"))
+    val hourly = EventStream.runHourlyFileStream(spark, empty, work())
+    assert(hourly.count() == 0 &&
+      hourly.columns.toSeq == Seq("window_start", "event_type", "n", "total_value"))
+    val deduped = EventStream.runDedupFileStream(spark, empty, work())
+    assert(deduped.count() == 0 &&
+      deduped.columns.toSeq == Seq("user_id", "ts", "event_type", "event_id", "value"))
+  }
+
   test("stream-static dimension enrichment equals its batch twin") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
