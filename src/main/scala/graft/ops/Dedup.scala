@@ -326,7 +326,7 @@ object Dedup {
       .collect() // consume the early matches BEFORE retention drops them
     // Maintenance window: the stream is stopped; batch 1 is committed.
     graft.streaming.DedupStream.compactIndex(s, s"$work/sig_index", watermark = 1L)
-    graft.streaming.DedupStream.pruneMatches(s"$work/matches", keepFrom = 2L)
+    graft.streaming.DedupStream.pruneMatches(s, s"$work/matches", keepFrom = 2L)
     // Second backlog: the checkpoint resumes at batch 2; batches 2 and 3
     // probe the COMPACTED index.
     (2 until 4).foreach { b =>

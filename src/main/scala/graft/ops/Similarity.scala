@@ -721,7 +721,7 @@ object Similarity {
       .collect() // consume the early matches BEFORE retention drops them
     // Maintenance window: the stream is stopped; batch 1 is committed.
     graft.streaming.SemanticStream.compactIndex(s, s"$work/vec_index", watermark = 1L)
-    graft.streaming.SemanticStream.pruneMatches(s"$work/matches", keepFrom = 2L)
+    graft.streaming.SemanticStream.pruneMatches(s, s"$work/matches", keepFrom = 2L)
     // Second backlog: the checkpoint resumes at batch 2; batches 2 and 3
     // probe the COMPACTED index.
     (2 until 4).foreach { b =>

@@ -1311,7 +1311,7 @@ object TextAnalysis {
     // Maintenance window: stream stopped, batch 1 committed — drop the
     // audit trail strictly below it (partition 0); partition 1 IS the
     // running state the resumed batch 2 reads.
-    graft.streaming.SketchStream.pruneState(s"$work/hh_state", keepFrom = 1L)
+    graft.streaming.SketchStream.pruneState(s, s"$work/hh_state", keepFrom = 1L)
     // Second backlog: the checkpoint resumes at batch 2.
     (2 until 4).foreach { b =>
       docs.filter(col("doc_id") % 4 === b).coalesce(1).write.mode("append").parquet(stage)

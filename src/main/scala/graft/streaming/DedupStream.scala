@@ -137,16 +137,17 @@ object DedupStream {
     * than every committed one, so a replay never overwrites or re-probes
     * a compacted partition.
     *
-    * Crash safety, stage-then-swap: (1) the fold is staged next to the
-    * index with a `_SUCCESS` marker — a crash mid-stage leaves the live
-    * index untouched and the next run rebuilds the stage; (2) only after
-    * the marker exists are the folded partitions dropped and the staged
-    * files published as the watermark partition — a crash mid-swap is
-    * recovered by RE-RUNNING compactIndex with the same watermark (the
-    * completed stage is detected and the swap resumes; the index is not
-    * readable mid-swap, which is what the maintenance window is for). A
-    * deployment on a transactional table format gets the swap atomically
-    * instead; this is the plain-parquet contract.
+    * Crash safety, stage-then-publish: (1) the fold is staged next to the
+    * index behind Spark's `_SUCCESS` marker — a crash mid-stage leaves the
+    * live index untouched and the next run rebuilds the stage; (2) only
+    * after the marker exists are the folded partitions dropped, and the
+    * publish is ONE atomic directory rename of the stage onto the
+    * watermark partition — a crash at ANY point is recovered by RE-RUNNING
+    * compactIndex with the same watermark (every window is injected and
+    * proven content-restoring in SinkRetentionSpec; the index is not
+    * readable mid-maintenance, which is what the maintenance window is
+    * for). A deployment on a transactional table format gets the publish
+    * transactionally instead; this is the plain-parquet contract.
     *
     * The same op applies verbatim to the other batch_id-partitioned
     * streaming sinks — the fold itself lives in [[SinkRetention]] (shared
@@ -161,8 +162,8 @@ object DedupStream {
     * each batch lands — so retention is a plain partition drop, not a
     * fold; nothing later reads them back (the probe reads the signature
     * index, never the match sink). */
-  def pruneMatches(matchesDir: String, keepFrom: Long): Unit =
-    SinkRetention.prunePartitions(matchesDir, keepFrom)
+  def pruneMatches(s: SparkSession, matchesDir: String, keepFrom: Long): Unit =
+    SinkRetention.prunePartitions(s, matchesDir, keepFrom)
 
   /** Run the incremental pipeline over a directory of staged document
     * parquet files as a real Structured Streaming query (file source,

@@ -141,8 +141,8 @@ object SemanticStream {
 
   /** Retention for the semantic match sink: plain partition drop of
     * consumed results (see [[SinkRetention.prunePartitions]]). */
-  def pruneMatches(matchesDir: String, keepFrom: Long): Unit =
-    SinkRetention.prunePartitions(matchesDir, keepFrom)
+  def pruneMatches(s: SparkSession, matchesDir: String, keepFrom: Long): Unit =
+    SinkRetention.prunePartitions(s, matchesDir, keepFrom)
 
   /** Run the incremental semantic pipeline over a directory of staged
     * vector parquet files as a real Structured Streaming query (file

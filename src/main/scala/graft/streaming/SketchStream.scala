@@ -123,8 +123,8 @@ object SketchStream {
     * running sketch, so the resumed fold — and the Agarwal et al. merge
     * guarantee — is unchanged (spec-proven; catalog
     * `x_stream_hh_pruned` shares the `x_heavy_hitters` oracle). */
-  def pruneState(stateDir: String, keepFrom: Long): Unit =
-    SinkRetention.prunePartitions(stateDir, keepFrom)
+  def pruneState(s: SparkSession, stateDir: String, keepFrom: Long): Unit =
+    SinkRetention.prunePartitions(s, stateDir, keepFrom)
 
   /** Drain a staged document directory as a real file-source stream and
     * return (final candidate sketch, exact stream length). */

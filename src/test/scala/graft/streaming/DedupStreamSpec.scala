@@ -142,7 +142,7 @@ class DedupStreamSpec extends AnyFunSuite {
     assert(spark.read.parquet(idx).count() == beforeRows.size)
 
     // retention: early match partitions drop, later ones stay readable
-    DedupStream.pruneMatches(s"$work/matches", keepFrom = 2L)
+    DedupStream.pruneMatches(spark, s"$work/matches", keepFrom = 2L)
     // resume the stream over the rest of the corpus: batches 2/3 probe the
     // COMPACTED index and the full union still tiles the one-shot pair set
     (2 until 4).foreach { b =>

@@ -144,7 +144,7 @@ class SemanticStreamSpec extends AnyFunSuite {
     // retention: early match partitions drop; resume over the rest —
     // batches 2/3 probe the COMPACTED index and the union tiles the
     // one-shot pair set
-    SemanticStream.pruneMatches(s"$work/matches", keepFrom = 2L)
+    SemanticStream.pruneMatches(spark, s"$work/matches", keepFrom = 2L)
     (2 until 4).foreach { b =>
       vecs.filter(col("vec_id") % 4 === b).coalesce(1).write.mode("append").parquet(s"$work/stage")
     }

@@ -61,7 +61,7 @@ class SketchStreamSpec extends AnyFunSuite {
     val lastBefore = spark.read.parquet(stateDir)
       .filter(col("batch_id") === 2).collect()
       .map(r => (Option(r.getString(0)), r.getLong(1))).sortBy(_.toString).toSeq
-    SketchStream.pruneState(stateDir, keepFrom = 2L)
+    SketchStream.pruneState(spark, stateDir, keepFrom = 2L)
     assert(partitions == Seq("batch_id=2"), s"got $partitions")
     val lastAfter = spark.read.parquet(stateDir)
       .filter(col("batch_id") === 2).collect()
