@@ -25,7 +25,7 @@ object SparkEntry {
     // 100× keyspace a driver-side buffer would grow without bound; the sink
     // holds one tiny file per chunk instead, and the readback is itself a
     // distributed scan).
-    val auditDir = java.nio.file.Files.createTempDirectory("graft_entry_audit").toString
+    val auditDir = graft.ops.Scratch.dir("graft_entry_audit")
     bc.foreachChunk { chunk =>
       chunk.agg(
           min(col("l_orderkey")).as("first_key"),
@@ -49,7 +49,7 @@ object SparkEntry {
     if (dataFiles.length <= 16) raw
     else {
       val targetFiles = math.max(1, (dataFiles.map(_.getLen).sum / (128L << 20)).toInt)
-      val compactDir = java.nio.file.Files.createTempDirectory("graft_entry_audit_c").toString
+      val compactDir = graft.ops.Scratch.dir("graft_entry_audit_c")
       raw.coalesce(targetFiles).write.mode("overwrite").parquet(compactDir)
       spark.read.parquet(compactDir)
     }

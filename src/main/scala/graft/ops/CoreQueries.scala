@@ -277,7 +277,7 @@ object CoreQueries {
     // Per-run temp sink (env-overridable): a fixed world-writable path would
     // collide across concurrent runs / users on one machine.
     val loc = sys.env.getOrElse("GRAFT_DML_SINK_DIR",
-      java.nio.file.Files.createTempDirectory("graft_dml_chunked_insert").toString)
+      graft.ops.Scratch.dir("graft_dml_chunked_insert"))
     val p = new org.apache.hadoop.fs.Path(loc)
     val fs = p.getFileSystem(s.sparkContext.hadoopConfiguration)
     if (fs.exists(p)) fs.delete(p, true)
@@ -335,7 +335,7 @@ object CoreQueries {
     * exactly once — no gaps, no double-applied discounts, regardless of
     * where the (timing-dependent) chunk boundaries fall. */
   def dmlChunkedUpdate(s: SparkSession, d: String): DataFrame = {
-    val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_update").toString
+    val outDir = graft.ops.Scratch.dir("graft_dml_chunked_update")
     val o = orders(s, d)
     val bldg = customer(s, d).filter(col("c_mktsegment") === "BUILDING")
       .select(col("c_custkey"))
@@ -362,7 +362,7 @@ object CoreQueries {
     * the composite (orderkey, linenumber) key to prove per-row
     * exactly-once coverage through the copy-on-write. */
   def dmlChunkedDelete(s: SparkSession, d: String): DataFrame = {
-    val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_delete").toString
+    val outDir = graft.ops.Scratch.dir("graft_dml_chunked_delete")
     val li = lineitem(s, d)
     val cfg = ChunkerConfig(chunkSize = BigInt(131072), targetTime = 5, sleep = 0,
       minChunkPercent = 0, retryAttempts = 3, log = quiet)
@@ -389,7 +389,7 @@ object CoreQueries {
     * aggregates the merged table; the oracle replays the merge
     * relationally (LEFT JOIN + UNION ALL), proving upsert exactly-once. */
   def dmlChunkedMerge(s: SparkSession, d: String): DataFrame = {
-    val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_merge").toString
+    val outDir = graft.ops.Scratch.dir("graft_dml_chunked_merge")
     val o = orders(s, d)
     val insertBase = BigInt(o.agg(max(col("o_orderkey"))).head().getLong(0)) + 1
     val updates = o.filter(col("o_orderkey") % 100 === 0)
@@ -502,8 +502,8 @@ object CoreQueries {
     * doubled key counts — hash-matched against an oracle replaying the
     * same append — prove the extended keyspace was covered. */
   def qLiveMaxAppend(s: SparkSession, d: String): DataFrame = {
-    val liveDir = java.nio.file.Files.createTempDirectory("graft_live_tbl").toString
-    val outDir = java.nio.file.Files.createTempDirectory("graft_live_out").toString
+    val liveDir = graft.ops.Scratch.dir("graft_live_tbl")
+    val outDir = graft.ops.Scratch.dir("graft_live_out")
     val sup = supplier(s, d)
     sup.write.mode("overwrite").parquet(liveDir)
     val origMax = BigInt(sup.agg(max(col("s_suppkey"))).head().getLong(0))
@@ -564,7 +564,7 @@ object CoreQueries {
     * the EXPORTED files, so the oracle proves the concurrent chunks
     * covered every row exactly once. */
   def qChunkExportPar(s: SparkSession, d: String): DataFrame = {
-    val outDir = java.nio.file.Files.createTempDirectory("graft_chunk_export").toString
+    val outDir = graft.ops.Scratch.dir("graft_chunk_export")
     val li = lineitem(s, d)
       .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"), col("l_extendedprice"))
     // Fixed-size chunks are REQUIRED here (adaptive resizing is sequential

@@ -287,7 +287,7 @@ object Dedup {
     * DuckDB oracle is the SAME CTE pile as `x_dedup_minhash` — the oracle
     * checks the theorem, not just the rows. */
   def dedupStreamIncremental(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_dedup").toString
+    val work = graft.ops.Scratch.dir("graft_stream_dedup")
     val stage = s"$work/stage"
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     (0 until 3).foreach { b =>
@@ -313,7 +313,7 @@ object Dedup {
     * the self-join restricted to the pruned batches' pairs — retention
     * assumes downstream consumed them, and this entry IS that consumer.) */
   def dedupStreamCompacted(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_compact").toString
+    val work = graft.ops.Scratch.dir("graft_stream_compact")
     val stage = s"$work/stage"
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     // First backlog: two files -> committed micro-batches 0 and 1.
@@ -1103,7 +1103,7 @@ object Dedup {
     * chunked materialization dropped EXACTLY the non-canonical docs. */
   def dmlChunkedDedup(s: SparkSession, d: String): DataFrame = {
     import graft.chunker.{ChunkedRewrite, ChunkerConfig}
-    val outDir = java.nio.file.Files.createTempDirectory("graft_dml_chunked_dedup").toString
+    val outDir = graft.ops.Scratch.dir("graft_dml_chunked_dedup")
     val drop = dupLabelsShared(s, d)
       .filter(col("id") =!= col("label"))
       .select(col("id").as("doc_id"))

@@ -95,7 +95,7 @@ object MoreQueries {
     * result equals the batch body exactly — the DuckDB oracle is
     * unchanged, so the gate now checks REAL stream/batch parity. */
   def qStreamHourlyParity(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_hourly").toString
+    val work = graft.ops.Scratch.dir("graft_stream_hourly")
     graft.streaming.EventStream.runHourlyFileStream(s, events(s, d), work)
       .select(date_format(col("window_start"), "yyyy-MM-dd HH").as("hour"),
         col("event_type"), col("n"), col("total_value"))
@@ -120,7 +120,7 @@ object MoreQueries {
     // each event_id's first arrival — equal to the batch dropDuplicates on
     // the same feed, so the oracle is unchanged and the gate now checks
     // REAL stream/batch parity.
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_dedup_p").toString
+    val work = graft.ops.Scratch.dir("graft_stream_dedup_p")
     val uniq = graft.streaming.EventStream.runDedupFileStream(s, feed, work)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_unique"),
@@ -162,7 +162,7 @@ object MoreQueries {
     * >30 min by construction), so the rank is total. */
   def qStreamSessionizeParity(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_sessionize").toString
+    val work = graft.ops.Scratch.dir("graft_stream_sessionize")
     val sessions = graft.streaming.EventStream.runSessionizeFileStream(s, events(s, d), work)
     val w = Window.partitionBy(col("user_id")).orderBy(col("first_ms"))
     sessions.select(
@@ -340,7 +340,7 @@ object MoreQueries {
     * (step, event_type, n_users) rows, and the DuckDB oracle is the SAME
     * SQL as the batch entry — the oracle checks stream/batch parity. */
   def qStreamFunnelParity(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_funnel").toString
+    val work = graft.ops.Scratch.dir("graft_stream_funnel")
     val stages = graft.streaming.EventStream.runFunnelFileStream(s, events(s, d), work)
     stages.agg(
       count(when(col("t1") >= 0, 1)).as("s1"),
@@ -356,7 +356,7 @@ object MoreQueries {
     * withheld), rolled up to the same (event_type, next_type, n) rows;
     * the oracle is the SAME SQL as the batch entry. */
   def qStreamTransitionsParity(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_trans").toString
+    val work = graft.ops.Scratch.dir("graft_stream_trans")
     graft.streaming.EventStream.runTransitionFileStream(s, events(s, d), work)
       .groupBy(col("event_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
@@ -372,7 +372,7 @@ object MoreQueries {
     * of the contract (eviction past the horizon) is TransitionTtlSpec's,
     * where gaps are synthetic and controllable. */
   def qStreamTransitionsTtl(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_trans_ttl").toString
+    val work = graft.ops.Scratch.dir("graft_stream_trans_ttl")
     graft.streaming.EventStream.runTransitionFileStream(s, events(s, d), work,
         idleTtlMs = Some(365L * 24 * 3600 * 1000))
       .groupBy(col("event_type"), col("next_type"))
@@ -390,7 +390,7 @@ object MoreQueries {
     * equals [[qIntervalJoin]]'s batch body exactly and the DuckDB oracle
     * is the SAME SQL — the oracle checks stream/batch parity. */
   def qStreamJoinParity(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_join").toString
+    val work = graft.ops.Scratch.dir("graft_stream_join")
     graft.streaming.EventStream.runJoinFileStream(s, events(s, d), work)
   }
 
@@ -406,7 +406,7 @@ object MoreQueries {
   def qStreamEnrichParity(s: SparkSession, d: String): DataFrame = {
     val dim = events(s, d).select(col("event_type")).distinct()
       .withColumn("weight", length(col("event_type")).cast(DoubleType) / lit(10.0))
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_enrich").toString
+    val work = graft.ops.Scratch.dir("graft_stream_enrich")
     graft.streaming.EventStream.runEnrichFileStream(s, events(s, d), dim, work)
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"),

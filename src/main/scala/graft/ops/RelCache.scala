@@ -63,7 +63,16 @@ private[graft] class RelCache {
 
   /** Bound the session to [[MaxDirsPerSession]] dirs, releasing whole
     * least-recently-used dirs. Runs AFTER the current access bumped its
-    * tick, so the dir just touched is never the one evicted. */
+    * tick, so the dir just touched is never the one evicted.
+    *
+    * Known benign race: with 3+ dirs touched from parallel threads of the
+    * SAME session, this can unpersist a dir's relations while another
+    * thread is still scanning them. `unpersist(blocking = false)` makes
+    * that safe — Spark recomputes evicted blocks from lineage, so the
+    * concurrent reader pays a recompute, never a wrong answer. The 2-dir
+    * bound makes the window rare in the supported verify/bench workloads;
+    * a parallel multi-dir driver that hits it should synchronize eviction
+    * (or raise the bound) rather than rely on recompute throughput. */
   private def evictLru(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     val mine = map.entrySet().asScala.filter(_.getKey._1 eq s).toSeq

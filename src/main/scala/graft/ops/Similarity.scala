@@ -671,7 +671,7 @@ object Similarity {
     val k = math.max(IVF_K,
       math.toIntExact((n + targetOccupancy - 1) / targetOccupancy))
     val cents = trainIvfCentroids(s, d, k)
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_sem").toString
+    val work = graft.ops.Scratch.dir("graft_stream_sem")
     val stage = s"$work/stage"
     val vecs = vectors(s, d).select(col("vec_id"), col("v"), col("nrm"))
     (0 until 3).foreach { b =>
@@ -707,7 +707,7 @@ object Similarity {
     val k = math.max(IVF_K,
       math.toIntExact((n + targetOccupancy - 1) / targetOccupancy))
     val cents = trainIvfCentroids(s, d, k)
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_sem_c").toString
+    val work = graft.ops.Scratch.dir("graft_stream_sem_c")
     val stage = s"$work/stage"
     val vecs = vectors(s, d).select(col("vec_id"), col("v"), col("nrm"))
     // First backlog: two files -> committed micro-batches 0 and 1.
@@ -1340,7 +1340,7 @@ object Similarity {
     * never a mutation the probes could race with. */
   def annIvfPqPersisted(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val work = java.nio.file.Files.createTempDirectory("graft_index_persist").toString
+    val work = graft.ops.Scratch.dir("graft_index_persist")
     // BUILD: train, encode, assign — then persist the three artifacts.
     trainIvfCentroids(s, d).zipWithIndex
       .map { case (c, i) => (i, c.toSeq) }.toSeq

@@ -1277,7 +1277,7 @@ object TextAnalysis {
     * identical to the batch entry's, so the output — and therefore the
     * oracle — is identical too, for any slicing into batches. */
   def heavyHittersStream(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_hh").toString
+    val work = graft.ops.Scratch.dir("graft_stream_hh")
     val stage = s"$work/stage"
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     (0 until 3).foreach { b =>
@@ -1300,7 +1300,7 @@ object TextAnalysis {
     * identical to the unpruned stream's and to the one-shot batch entry's:
     * the oracle is the SAME SQL as `x_heavy_hitters`. */
   def heavyHittersStreamPruned(s: SparkSession, d: String): DataFrame = {
-    val work = java.nio.file.Files.createTempDirectory("graft_stream_hh_p").toString
+    val work = graft.ops.Scratch.dir("graft_stream_hh_p")
     val stage = s"$work/stage"
     val docs = documents(s, d).select(col("doc_id"), col("text"))
     // First backlog: two files -> committed micro-batches 0 and 1.
