@@ -587,6 +587,100 @@ object Multimodal {
         sum(col("is_cand") * col("is_planted")).as("n_both"))
   }
 
+  // ---- Image near-dup over REAL PNG bytes (the audio family's bar) -------
+  //
+  // The stub family above plants its "decoded grid" directly; this family
+  // materializes REAL PNG bytes and makes the query path EARN the grid back
+  // through an actual codec: fixture build (codegen'd
+  // [[org.apache.spark.sql.graftbridge.PngFixtureImage]]) → PNG bytes →
+  // `javax.imageio` decode + integer box-average ([[decodedGrids]], the
+  // partition-batched production path) → the SAME dHash + banded kernel.
+  // The DuckDB oracle recomputes the planted cell grays arithmetically
+  // from the generator formula (the audio family's trick,
+  // [[wavPayloadCol]]): PNG is lossless, BT.601 of (v,v,v) is exactly v,
+  // and the box average of a uniform cell block is the cell value — so
+  // the decoded grid must match the formula byte-for-byte, and any
+  // deviation in encode, decode, or downscale fails the value hash.
+  //
+  // Scale shape: fixture+decode is one scan-speed per-row pass (no
+  // shuffle); pairs ride the shared banded kernel at the stub family's
+  // band parameters. Clone ids reuse IMG_CLONE_OFFSET — the two families
+  // never union their relations.
+
+  private val IMG_REAL_CELL_PX = 4 // 44×24 px: each grid cell a uniform 4×4 block
+  private val IMG_REAL_SEED = "#q" // distinct from the stub grid's '#g'
+
+  /** REAL-PNG fixture corpus (doc_id, png): every document rendered as a
+    * cell-aligned grayscale PNG; every IMG_CLONE_MOD-th doc additionally
+    * yields a perturbed clone at doc_id + IMG_CLONE_OFFSET (same
+    * one-scan explode shape as [[imageSignatures]]). */
+  def pngFixtureCorpus(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.pngFixtureImage
+    def png(asClone: Boolean) =
+      pngFixtureImage(col("text"), col("doc_id"), IMG_ROWS, IMG_COLS,
+        IMG_REAL_CELL_PX, IMG_REAL_SEED, asClone, IMG_CLONE_MOD, IMG_PERT_DELTA)
+    val self = struct(col("doc_id").as("doc_id"), png(asClone = false).as("png"))
+    val clone = struct((col("doc_id") + IMG_CLONE_OFFSET).as("doc_id"),
+      png(asClone = true).as("png"))
+    documents(s, d)
+      .select(explode(
+        when(col("doc_id") % IMG_CLONE_MOD === 0, array(self, clone))
+          .otherwise(array(self))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.png").as("png"))
+  }
+
+  /** Codec round-trip audit (catalog `x_image_real_roundtrip`): per-image
+    * grid aggregates over the DECODED pixels, oracled against the planted
+    * formula — the per-document proof that encode → PNG → decode →
+    * box-average is exact, independent of which pairs survive banding
+    * (the audio family's `x_audio_envelope` analogue). */
+  def imageRealRoundtrip(s: SparkSession, d: String): DataFrame =
+    decodedGrids(pngFixtureCorpus(s, d), "doc_id", "png")
+      .select(col("doc_id"),
+        aggregate(col("g"), lit(0L), (acc, x) => acc + x).as("g_sum"),
+        array_min(col("g")).as("g_min"),
+        array_max(col("g")).as("g_max"))
+      .orderBy(col("doc_id"))
+
+  /** Decoded signatures, persisted: the self-join's two sides would
+    * otherwise each recompute the encode+decode pass (the RDD seam breaks
+    * Spark's exchange reuse here). */
+  private def imageRealSigsShared(s: SparkSession, d: String): DataFrame =
+    fpShared(s, d, "imgRealSigs")(
+      imageSignaturesDecoded(pngFixtureCorpus(s, d), "doc_id", "png"))
+
+  private def imageRealPairsShared(s: SparkSession, d: String): DataFrame = {
+    // Resolve the signature dependency OUTSIDE the cache lambda (the
+    // RelCache recursive-update rule, same as [[imagePairsShared]]).
+    val sigs = imageRealSigsShared(s, d)
+    fpShared(s, d, "imgRealPairs")(
+      Dedup.simhashBandedPairs(sigs,
+        words = 1, bandBits = IMG_BAND_BITS, maxHamming = IMG_MAX_HAMMING))
+  }
+
+  /** Image near-dup pairs over REAL PNG bytes (catalog
+    * `x_dedup_image_real`): the stub entry's exact pipeline with the stub
+    * grid replaced by a genuine decode — the one-seam codec swap,
+    * exercised end-to-end under the oracle. */
+  def dedupImageReal(s: SparkSession, d: String): DataFrame =
+    imageRealPairsShared(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Precision audit of the real-codec pairs vs the planted clones
+    * (catalog `x_dedup_image_real_precision`). */
+  def dedupImageRealPrecision(s: SparkSession, d: String): DataFrame = {
+    val cand = imageRealPairsShared(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_cand"))
+    val planted = documents(s, d)
+      .filter(col("doc_id") % IMG_CLONE_MOD === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + IMG_CLONE_OFFSET).as("doc_b"), lit(1).as("is_planted"))
+    cand.join(planted, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(col("is_cand")).as("n_candidates"),
+        sum(col("is_planted")).as("n_planted"),
+        sum(col("is_cand") * col("is_planted")).as("n_both"))
+  }
+
   // ---- Audio: real-WAV fixture build, envelope extraction, fingerprint dedup
 
   private val AUD_FRAMES = 61 // 60 envelope-gradient fingerprint bits
@@ -807,6 +901,9 @@ object Multimodal {
     "x_dedup_image" -> (dedupImage _),
     "x_dedup_image_incremental" -> (dedupImageIncremental _),
     "x_dedup_image_precision" -> (dedupImagePrecision _),
+    "x_image_real_roundtrip" -> (imageRealRoundtrip _),
+    "x_dedup_image_real" -> (dedupImageReal _),
+    "x_dedup_image_real_precision" -> (dedupImageRealPrecision _),
     "x_multimodal_jpeg" -> (multimodalJpeg _),
     "x_pipeline_multimodal" -> (pipelineMultimodal _)
   )
@@ -844,6 +941,36 @@ object Multimodal {
        |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
        |           CAST(bit_count(xor(a.w0, b.w0)) AS INTEGER) AS hamming
        |    FROM iband a JOIN iband b
+       |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
+       |  WHERE hamming <= $IMG_MAX_HAMMING)""".stripMargin
+
+  /** The real-PNG family's twin of [[imageCtes]]: planted grays from the
+    * '#q' generator formula, clone bump wrapped `% 256` (pixels must stay
+    * 8-bit), ending at `ircand(doc_a, doc_b, hamming)`. The Spark side
+    * earns these grids through a real PNG encode + `javax.imageio`
+    * decode; the oracle states what that round-trip MUST return. */
+  private def imageRealCtes: String =
+    s"""irg AS (
+       |  SELECT doc_id,
+       |         list_transform(range(0,${IMG_ROWS * IMG_COLS}),
+       |           i -> CAST('0x' || substring(md5(text || '$IMG_REAL_SEED' || i),1,2) AS BIGINT)) AS g
+       |  FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + $IMG_CLONE_OFFSET,
+       |         list_transform(range(0,${IMG_ROWS * IMG_COLS}),
+       |           i -> (CAST('0x' || substring(md5(text || '$IMG_REAL_SEED' || i),1,2) AS BIGINT)
+       |                + CASE WHEN ((i*7 + doc_id) % ${IMG_ROWS * IMG_COLS}) < ((doc_id // $IMG_CLONE_MOD) % 4)
+       |                       THEN $IMG_PERT_DELTA ELSE 0 END) % 256)
+       |  FROM documents WHERE doc_id % $IMG_CLONE_MOD = 0),
+       |irsig AS (SELECT doc_id, CAST($dhashTermsSql AS BIGINT) AS w0 FROM irg),
+       |irband AS (SELECT doc_id, w0, b.b AS band_idx,
+       |                  (w0 >> CAST(b.b*$IMG_BAND_BITS AS INTEGER)) & ${(1 << IMG_BAND_BITS) - 1} AS band_val
+       |           FROM irsig, (SELECT unnest(range(0,${60 / IMG_BAND_BITS})) AS b) b),
+       |ircand AS (
+       |  SELECT doc_a, doc_b, hamming FROM (
+       |    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       |           CAST(bit_count(xor(a.w0, b.w0)) AS INTEGER) AS hamming
+       |    FROM irband a JOIN irband b
        |      ON a.band_idx = b.band_idx AND a.band_val = b.band_val AND a.doc_id < b.doc_id)
        |  WHERE hamming <= $IMG_MAX_HAMMING)""".stripMargin
 
@@ -1217,6 +1344,28 @@ object Multimodal {
          |SELECT CAST((cum - px) // ${1L << 22} AS BIGINT) AS shard_id,
          |       count(*) AS n_images, CAST(sum(px) AS BIGINT) AS n_pixels
          |FROM cs2 GROUP BY 1""".stripMargin,
+    // The real-codec trio: grids the Spark side must EARN via an actual
+    // PNG encode + javax.imageio decode; the oracle recomputes them from
+    // the generator formula (lossless codec + exact integer downscale).
+    "x_image_real_roundtrip" ->
+      s"""WITH $imageRealCtes
+         |SELECT doc_id,
+         |       CAST(list_sum(g) AS BIGINT) AS g_sum,
+         |       CAST(list_min(g) AS BIGINT) AS g_min,
+         |       CAST(list_max(g) AS BIGINT) AS g_max
+         |FROM irg""".stripMargin,
+    "x_dedup_image_real" ->
+      s"""WITH $imageRealCtes
+         |SELECT doc_a, doc_b, hamming FROM ircand""".stripMargin,
+    "x_dedup_image_real_precision" ->
+      s"""WITH $imageRealCtes,
+         |irplanted AS (SELECT doc_id AS doc_a, doc_id + $IMG_CLONE_OFFSET AS doc_b
+         |              FROM documents WHERE doc_id % $IMG_CLONE_MOD = 0)
+         |SELECT CAST(count(c.doc_a) AS BIGINT) AS n_candidates,
+         |       CAST(count(p.doc_a) AS BIGINT) AS n_planted,
+         |       CAST(SUM(CASE WHEN c.doc_a IS NOT NULL AND p.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |FROM ircand c FULL OUTER JOIN irplanted p
+         |  ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b""".stripMargin,
     "x_dedup_image_precision" ->
       s"""WITH $imageCtes,
          |planted AS (SELECT doc_id AS doc_a, doc_id + $IMG_CLONE_OFFSET AS doc_b

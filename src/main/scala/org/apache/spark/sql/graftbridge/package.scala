@@ -84,6 +84,16 @@ package object graftbridge {
       scala.collection.immutable.ArraySeq.unsafeWrapArray(header.clone()),
       frames, seed, asClone, cloneMod, pertDelta))
 
+  /** The image family's REAL-codec fixture builder — a cell-aligned
+    * grayscale PNG whose planted cell grays are md5-derived, optional
+    * clone perturbation — one codegen'd pass (see
+    * [[graftbridge.PngFixtureImage]]). */
+  def pngFixtureImage(text: Column, docId: Column, rows: Int, cols: Int, cellPx: Int,
+      seed: String, asClone: Boolean, cloneMod: Int, pertDelta: Int): Column =
+    ExpressionUtils.column(PngFixtureImage(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(docId),
+      rows, cols, cellPx, seed, asClone, cloneMod, pertDelta))
+
   /** All n-token-gram md5 hex fingerprints of a token array in one
     * codegen'd byte pass (see [[graftbridge.NgramMd5]]). */
   /** Unicode NFC normalization with an ASCII zero-allocation fast path

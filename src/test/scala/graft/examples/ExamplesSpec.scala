@@ -305,6 +305,33 @@ class ExamplesSpec extends AnyFunSuite {
     }
   }
 
+  test("example 13: real-codec image dedup — PNG bytes in, verified pairs out") {
+    val dir = "/root/testdata/sf0.001"
+
+    // the fixture corpus is REAL bytes: every row decodes via the JDK codec
+    val corpus = graft.ops.Multimodal.pngFixtureCorpus(spark, dir)
+    val first = corpus.select(col("png")).head().getAs[Array[Byte]](0)
+    assert(first.take(8).sameElements(
+      Array(0x89, 'P', 'N', 'G', 0x0D, 0x0A, 0x1A, 0x0A).map(_.toByte)),
+      "fixture payloads must be genuine PNG bytes (magic header)")
+
+    // decode audit: one row per image, aggregates over DECODED pixels
+    val rt = graft.ops.Multimodal.imageRealRoundtrip(spark, dir)
+    assert(rt.count() == corpus.count(), "every fixture PNG must decode")
+    assert(rt.filter(col("g_min") < 0 || col("g_max") > 255).count() == 0)
+
+    // near-dup pairs over the real bytes: planted re-encodes are found
+    val pairs = graft.ops.Multimodal.dedupImageReal(spark, dir)
+    assert(pairs.filter(col("doc_b") >= 10000000L).count() > 0,
+      "planted re-encode clones must pair with their originals")
+
+    // the production seam: the same pipeline over any (id, binary) frame
+    val mine = graft.ops.Multimodal.dedupImageDecoded(
+      corpus.withColumnRenamed("doc_id", "img_id").withColumnRenamed("png", "bytes"),
+      "img_id", "bytes")
+    assert(mine.count() == pairs.count(), "seam and catalog entry agree")
+  }
+
   test("example 9b: audio and video ride the multimodal near-dup kernels") {
     val dir = "/root/testdata/sf0.001"
 

@@ -93,6 +93,59 @@ class ImageDecodeSpec extends AnyFunSuite {
     assert(pairs == planted, s"unexpected extra pairs: ${pairs -- planted}")
   }
 
+  // ---- The ORACLED real-PNG fixture family (x_image_real_roundtrip /
+  // x_dedup_image_real): decoded grids must equal the '#q' generator
+  // formula byte-for-byte — recomputed here independently via
+  // MessageDigest, the same ground truth the DuckDB oracle states in SQL.
+
+  private def plantedGray(text: String, j: Int): Long = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    md.update(text.getBytes("UTF-8")); md.update("#q".getBytes("UTF-8"))
+    md.update(String.valueOf(j).getBytes("UTF-8"))
+    (md.digest()(0) & 0xFF).toLong
+  }
+
+  test("real-PNG fixture: decoded grid equals the generator formula, originals and clones") {
+    val dir = "/root/testdata/sf0.001"
+    val texts = graft.ops.Tables.documents(spark, dir)
+      .select(col("doc_id"), col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val grids = Multimodal.decodedGrids(
+        Multimodal.pngFixtureCorpus(spark, dir), "doc_id", "png")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val nClones = texts.keys.count(_ % 5 == 0)
+    assert(grids.size == texts.size + nClones,
+      "every fixture PNG (originals + planted clones) must decode")
+    // originals: grid j = first md5 byte of (text, '#q', j)
+    val someId = texts.keys.min
+    assert(grids(someId) == (0 until 66).map(j => plantedGray(texts(someId), j)),
+      "decoded original grid must equal the planted formula")
+    // clones: nPert cells bumped +16 mod 256 at (j*7 + id) % 66 < nPert
+    val cloneBase = texts.keys.filter(id => id % 5 == 0 && (id / 5) % 4 == 3).head
+    val expected = (0 until 66).map { j =>
+      val v = plantedGray(texts(cloneBase), j)
+      if ((j * 7 + cloneBase) % 66 < 3) (v + 16) % 256 else v
+    }
+    assert(grids(cloneBase + 10000000L) == expected,
+      "decoded clone grid must equal the perturbed formula")
+  }
+
+  test("real-PNG near-dup: unperturbed clones always pair at hamming 0") {
+    val dir = "/root/testdata/sf0.001"
+    val pairs = Multimodal.dedupImageReal(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val ids = graft.ops.Tables.documents(spark, dir)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    // nPert = (id/5) % 4 == 0 -> the clone is byte-identical pixels:
+    // banding MUST find it (pigeonhole) at hamming exactly 0
+    val identical = ids.filter(id => id % 5 == 0 && (id / 5) % 4 == 0)
+    assert(identical.nonEmpty)
+    identical.foreach { id =>
+      assert(pairs.get((id, id + 10000000L)).contains(0),
+        s"identical-pixel clone of $id must pair at hamming 0")
+    }
+  }
+
   test("a JPEG re-encode decodes through the JDK codec and stays hash-near") {
     import spark.implicits._
     val jpegBytes = encode(mkImage(1), "jpg")
