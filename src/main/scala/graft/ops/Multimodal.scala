@@ -468,9 +468,21 @@ object Multimodal {
       .rdd.mapPartitions { rows =>
         rows.flatMap { r =>
           val bytes = r.getAs[Array[Byte]](1)
+          // MemoryCache, not ImageIO.read(InputStream): the latter wraps
+          // the bytes in the default FILE-cache stream — a temp file (and
+          // its fsyncs) per payload, pure overhead for in-memory inputs.
           val img =
-            try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-            catch { case _: java.io.IOException => None }
+            try {
+              val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                new java.io.ByteArrayInputStream(bytes))
+              val readers = javax.imageio.ImageIO.getImageReaders(iis)
+              if (!readers.hasNext) { iis.close(); None }
+              else {
+                val reader = readers.next()
+                try { reader.setInput(iis); Option(reader.read(0)) }
+                finally { reader.dispose(); iis.close() }
+              }
+            } catch { case _: java.io.IOException => None }
           img.filter(i => i.getWidth > 0 && i.getHeight > 0)
             .map(i => Row(r.getLong(0), grayGrid(i)))
         }
@@ -622,7 +634,14 @@ object Multimodal {
     val self = struct(col("doc_id").as("doc_id"), png(asClone = false).as("png"))
     val clone = struct((col("doc_id") + IMG_CLONE_OFFSET).as("doc_id"),
       png(asClone = true).as("png"))
+    // The codec work is ~ms/row, 1000x the usual expression cost — a
+    // small-file local corpus arrives as ONE split and would serialize
+    // the whole encode behind a single task (measured: 10x the expected
+    // wall). Rebalance the cheap (id, text) rows BEFORE the encode; at
+    // production scale the scan already has enough splits and this
+    // shuffle is noise next to the codec stage it feeds.
     documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
       .select(explode(
         when(col("doc_id") % IMG_CLONE_MOD === 0, array(self, clone))
           .otherwise(array(self))).as("r"))
@@ -635,24 +654,30 @@ object Multimodal {
     * box-average is exact, independent of which pairs survive banding
     * (the audio family's `x_audio_envelope` analogue). */
   def imageRealRoundtrip(s: SparkSession, d: String): DataFrame =
-    decodedGrids(pngFixtureCorpus(s, d), "doc_id", "png")
+    imageRealGridsShared(s, d)
       .select(col("doc_id"),
         aggregate(col("g"), lit(0L), (acc, x) => acc + x).as("g_sum"),
         array_min(col("g")).as("g_min"),
         array_max(col("g")).as("g_max"))
       .orderBy(col("doc_id"))
 
-  /** Decoded signatures, persisted: the self-join's two sides would
-    * otherwise each recompute the encode+decode pass (the RDD seam breaks
-    * Spark's exchange reuse here). */
-  private def imageRealSigsShared(s: SparkSession, d: String): DataFrame =
-    fpShared(s, d, "imgRealSigs")(
-      imageSignaturesDecoded(pngFixtureCorpus(s, d), "doc_id", "png"))
+  /** Decoded grids, persisted ONCE for the whole family: the roundtrip
+    * audit, the pair self-join (both sides), and the precision entry all
+    * read this relation — the codec pass is the family's dominant cost at
+    * scale (measured 24.9x of the sf0.1 point at sf5), and the RDD seam
+    * breaks Spark's exchange reuse, so without the persist every consumer
+    * would re-run encode+decode over the corpus. */
+  private def imageRealGridsShared(s: SparkSession, d: String): DataFrame =
+    fpShared(s, d, "imgRealGrids")(
+      decodedGrids(pngFixtureCorpus(s, d), "doc_id", "png"))
 
   private def imageRealPairsShared(s: SparkSession, d: String): DataFrame = {
-    // Resolve the signature dependency OUTSIDE the cache lambda (the
-    // RelCache recursive-update rule, same as [[imagePairsShared]]).
-    val sigs = imageRealSigsShared(s, d)
+    // Resolve the grid dependency OUTSIDE the cache lambda (the RelCache
+    // recursive-update rule, same as [[imagePairsShared]]); the dHash
+    // over cached grids is a scan-speed projection, not worth a second
+    // persisted copy.
+    val sigs = imageRealGridsShared(s, d)
+      .select(col("doc_id"), dhashCol(col("g")).as("w0"))
     fpShared(s, d, "imgRealPairs")(
       Dedup.simhashBandedPairs(sigs,
         words = 1, bandBits = IMG_BAND_BITS, maxHamming = IMG_MAX_HAMMING))
@@ -896,6 +921,9 @@ object Multimodal {
     "x_dedup_video" -> (dedupVideo _),
     "x_dedup_video_incremental" -> (dedupVideoIncremental _),
     "x_dedup_video_precision" -> (dedupVideoPrecision _),
+    "x_video_real_roundtrip" -> (videoRealRoundtrip _),
+    "x_dedup_video_real" -> (dedupVideoReal _),
+    "x_dedup_video_real_precision" -> (dedupVideoRealPrecision _),
     "x_frame_sample" -> (frameSample _),
     "x_resize_plan" -> (resizePlan _),
     "x_dedup_image" -> (dedupImage _),
@@ -1065,17 +1093,11 @@ object Multimodal {
       // index beats probabilistic banding (which exists to SURVIVE
       // low-entropy buckets). Jaccard is then EXACT from the shared count
       // and the two set sizes — integral ppm, no estimation step.
-      sh.as("a")
-        .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-        .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-        .agg(count(lit(1)).as("n_shared"),
-          max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
-        .select(col("doc_a"), col("doc_b"), col("n_shared"),
-          (col("n_a") + col("n_b") - col("n_shared")).as("n_union"))
-        // integer `div`, not floor-of-double-division: the ppm must be
-        // bit-stable cross-engine (§8.4 rule; DuckDB twin uses `//`)
-        .withColumn("jaccard_ppm", expr("n_shared * 1000000 div n_union"))
-        .filter(col("jaccard_ppm") >= VID_TAU_PPM)
+      // kernel factored into [[shingleSelfJoinPairs]] (shared with the
+      // real-GIF family); integer `div`, not floor-of-double-division:
+      // the ppm must be bit-stable cross-engine (§8.4 rule; `//` in the
+      // DuckDB twin)
+      shingleSelfJoinPairs(sh, VID_TAU_PPM)
     }
   }
 
@@ -1123,6 +1145,171 @@ object Multimodal {
       .filter(col("doc_id") % VID_CLONE_MOD === 0)
       .select(col("doc_id").as("doc_a"),
         (col("doc_id") + VID_CLONE_OFFSET).as("doc_b"), lit(1).as("is_planted"))
+    cand.join(planted, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(col("is_cand")).as("n_candidates"),
+        sum(col("is_planted")).as("n_planted"),
+        sum(col("is_cand") * col("is_planted")).as("n_both"))
+  }
+
+  // ---- Video near-dup over REAL animated-GIF bytes ------------------------
+  //
+  // The stub family above plants frame HASHES; this family materializes a
+  // real multi-frame container — animated GIF, the one format the JDK
+  // codecs both read and write — and makes the query path earn the hash
+  // sequence back: fixture build (codegen'd
+  // [[org.apache.spark.sql.graftbridge.GifFixtureVideo]]) → GIF bytes →
+  // per-frame `javax.imageio.ImageReader` decode + the image family's
+  // box-average grid ([[decodedFrameGrids]]) → per-frame dHash → the SAME
+  // temporal-shingle + exact-Jaccard machinery as the stub. GIF frames
+  // here are gray-valued (≤256 distinct colors), so the palette encode is
+  // LOSSLESS and the oracle recomputes every planted pixel arithmetically
+  // — the multi-frame codec round-trip is value-hashed per document.
+  //
+  // Clone model = the stub's edit semantics over real bytes: trim the
+  // first k = (doc_id/6) % 3 frames, replace the surviving frame at
+  // position r = (doc_id/6) % (16-k) with fresh content. Worst case
+  // (k=2, mid-sequence replace): 11 shared shingles of a 15∪13 union →
+  // Jaccard 647059 ppm, above the 600000 gate — planted recall is EXACT.
+
+  private val VID_REAL_FRAMES = 16
+  private val VID_REAL_CLONE_OFFSET = 40000000L // disjoint from every other family
+  private val VID_REAL_TAU_PPM = 600000L // 16-frame clips carry proportionally bigger edits
+  private val VID_REAL_SEED = "#w"
+  private val VID_REAL_REPLACE_SEED = "#x"
+
+  /** REAL-GIF fixture corpus (doc_id, gif): every document rendered as a
+    * 16-frame animated GIF; every VID_CLONE_MOD-th doc additionally
+    * yields a trimmed+re-cut clone at doc_id + VID_REAL_CLONE_OFFSET. */
+  def gifFixtureCorpus(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.graftbridge.gifFixtureVideo
+    def gif(asClone: Boolean) =
+      gifFixtureVideo(col("text"), col("doc_id"), VID_REAL_FRAMES, IMG_ROWS, IMG_COLS,
+        IMG_REAL_CELL_PX, VID_REAL_SEED, VID_REAL_REPLACE_SEED, asClone, VID_CLONE_MOD)
+    val self = struct(col("doc_id").as("doc_id"), gif(asClone = false).as("gif"))
+    val clone = struct((col("doc_id") + VID_REAL_CLONE_OFFSET).as("doc_id"),
+      gif(asClone = true).as("gif"))
+    // Pre-encode rebalance — same rationale as [[pngFixtureCorpus]], and
+    // the 16-frame GIF build is another ~5 ms/row on top.
+    documents(s, d)
+      .repartition(s.sparkContext.defaultParallelism)
+      .select(explode(
+        when(col("doc_id") % VID_CLONE_MOD === 0, array(self, clone))
+          .otherwise(array(self))).as("r"))
+      .select(col("r.doc_id").as("doc_id"), col("r.gif").as("gif"))
+  }
+
+  /** Decode EVERY frame of a multi-frame payload to the family grid:
+    * (doc_id, fidx, g) — the multi-frame sibling of [[decodedGrids]],
+    * same per-partition batch shape (one `ImageReader` walk per payload),
+    * same integer box-average, undecodable payloads dropped. */
+  def decodedFrameGrids(df: DataFrame, idCol: String, payloadCol: String): DataFrame = {
+    val spark = df.sparkSession
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("fidx", IntegerType, nullable = false),
+      StructField("g", ArrayType(LongType, containsNull = false), nullable = false)))
+    val rdd = df.select(col(idCol).cast(LongType), col(payloadCol).cast(BinaryType))
+      .rdd.mapPartitions { rows =>
+        rows.flatMap { r =>
+          val bytes = r.getAs[Array[Byte]](1)
+          try {
+            // MemoryCache, not ImageIO.createImageInputStream: the default
+            // file-cache stream creates (and fsyncs) a TEMP FILE per
+            // payload — pure overhead for byte-array inputs.
+            val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+              new java.io.ByteArrayInputStream(bytes))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) { iis.close(); Vector.empty[Row] }
+            else {
+              val reader = readers.next()
+              try {
+                reader.setInput(iis)
+                val n = reader.getNumImages(true)
+                (0 until n).map(f => Row(r.getLong(0), f, grayGrid(reader.read(f)))).toVector
+              } finally { reader.dispose(); iis.close() }
+            }
+          } catch { case _: java.io.IOException => Vector.empty[Row] }
+        }
+      }
+    spark.createDataFrame(rdd, schema)
+  }
+
+  /** Codec round-trip audit (catalog `x_video_real_roundtrip`): per-clip
+    * frame count + dHash aggregates over the DECODED frames, oracled
+    * against the planted formula — proves the multi-frame decode (frame
+    * iteration order included) per document, independent of pairing. */
+  def videoRealRoundtrip(s: SparkSession, d: String): DataFrame =
+    videoRealHashesShared(s, d)
+      .groupBy(col("doc_id"))
+      // h is a 60-bit value: a raw sum of 16 frames can exceed int64
+      // (16·2^60 > 2^63), so the checksum sums a prime residue — still
+      // sensitive to any single bit-flip in any frame hash.
+      .agg(count(lit(1)).as("n_frames"),
+        sum(col("h") % lit(1000000007L)).as("h_sum"),
+        min(col("h")).as("h_min"), max(col("h")).as("h_max"))
+      .orderBy(col("doc_id"))
+
+  /** Shared exact-Jaccard pair join over a shingle relation
+    * (doc_id, n_sh, sh) — factored so the stub and real video families
+    * run the IDENTICAL kernel (see [[videoPairsShared]] for why an exact
+    * inverted index beats banding on high-entropy shingle keys). */
+  private def shingleSelfJoinPairs(sh: DataFrame, tauPpm: Long): DataFrame =
+    sh.as("a")
+      .join(sh.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        (col("n_a") + col("n_b") - col("n_shared")).as("n_union"))
+      .withColumn("jaccard_ppm", expr("n_shared * 1000000 div n_union"))
+      .filter(col("jaccard_ppm") >= tauPpm)
+
+  /** Decoded per-frame dHashes, persisted ONCE for the whole family: the
+    * multi-frame codec walk is the dominant cost, and the roundtrip
+    * audit, shingle build, and precision entry all read these rows. */
+  private def videoRealHashesShared(s: SparkSession, d: String): DataFrame =
+    fpShared(s, d, "vidRealHashes")(
+      decodedFrameGrids(gifFixtureCorpus(s, d), "doc_id", "gif")
+        .select(col("doc_id"), col("fidx"), dhashCol(col("g")).as("h")))
+
+  private def videoRealShinglesShared(s: SparkSession, d: String): DataFrame = {
+    // Resolved OUTSIDE the cache lambda (same-map recursive update rule).
+    val hs = videoRealHashesShared(s, d)
+    fpShared(s, d, "vidRealShingles") {
+      val fh = hs.groupBy(col("doc_id"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("fidx"), col("h")))),
+          x => x.getField("h")).as("fh"))
+      fh.select(col("doc_id"), vidShingles(col("fh")).as("sha"))
+        .select(col("doc_id"), size(col("sha")).as("n_sh"), explode(col("sha")).as("sh"))
+    }
+  }
+
+  private def videoRealPairsShared(s: SparkSession, d: String): DataFrame = {
+    // Resolved OUTSIDE the cache lambda (same-map recursive update rule).
+    val sh = videoRealShinglesShared(s, d)
+    fpShared(s, d, "vidRealPairs")(shingleSelfJoinPairs(sh, VID_REAL_TAU_PPM))
+  }
+
+  /** Video near-dup pairs over REAL animated-GIF bytes (catalog
+    * `x_dedup_video_real`): decode → per-frame dHash → temporal shingles
+    * → exact Jaccard — the stub entry's pipeline with the planted hashes
+    * replaced by a genuine multi-frame decode. */
+  def dedupVideoReal(s: SparkSession, d: String): DataFrame =
+    videoRealPairsShared(s, d).orderBy(col("doc_a"), col("doc_b"))
+
+  /** Precision/recall audit vs the planted edited copies (catalog
+    * `x_dedup_video_real_precision`) — recall is exact by construction
+    * (worst-case planted Jaccard 647059 ppm > the 600000 gate), so
+    * n_both < n_planted is a DEFECT, not a budget miss. */
+  def dedupVideoRealPrecision(s: SparkSession, d: String): DataFrame = {
+    val cand = videoRealPairsShared(s, d)
+      .select(col("doc_a"), col("doc_b"), lit(1).as("is_cand"))
+    val planted = documents(s, d)
+      .filter(col("doc_id") % VID_CLONE_MOD === 0)
+      .select(col("doc_id").as("doc_a"),
+        (col("doc_id") + VID_REAL_CLONE_OFFSET).as("doc_b"), lit(1).as("is_planted"))
     cand.join(planted, Seq("doc_a", "doc_b"), "full_outer")
       .agg(
         sum(col("is_cand")).as("n_candidates"),
@@ -1218,7 +1405,76 @@ object Multimodal {
        |  WHERE (n_shared * 1000000) // n_union >= $VID_TAU_PPM)""".stripMargin
   }
 
+  /** The real-GIF family's oracle: planted frame grids from the '#w'/'#x'
+    * generator formula (trim+replace clone arithmetic restated row-wise),
+    * per-frame dHash, then the stub family's shingle/Jaccard mechanics,
+    * ending at `wcand(doc_a, doc_b, n_shared, n_union, jaccard_ppm)`.
+    * The Spark side earns the grids through a real animated-GIF encode +
+    * per-frame `javax.imageio` decode; this states what that round-trip
+    * MUST return. */
+  private def videoRealCtes: String = {
+    val cells = IMG_ROWS * IMG_COLS
+    def gridSql(textE: String, seed: String, frameE: String): String =
+      s"""list_transform(range(0,$cells),
+         |           j -> CAST('0x' || substring(md5($textE || '$seed' || (($frameE)*$cells+j)),1,2) AS BIGINT))""".stripMargin
+    s"""wrf AS (
+       |  SELECT doc_id, f.f AS fidx,
+       |         ${gridSql("text", VID_REAL_SEED, "f.f")} AS g
+       |  FROM documents, (SELECT unnest(range(0,$VID_REAL_FRAMES)) AS f) f
+       |  UNION ALL
+       |  SELECT c.doc_id + $VID_REAL_CLONE_OFFSET, f.f AS fidx,
+       |         CASE WHEN f.f = c.r
+       |              THEN ${gridSql("c.text", VID_REAL_REPLACE_SEED, "f.f")}
+       |              ELSE ${gridSql("c.text", VID_REAL_SEED, "f.f + c.k")} END AS g
+       |  FROM (SELECT doc_id, text,
+       |          (doc_id // $VID_CLONE_MOD) % 3 AS k,
+       |          (doc_id // $VID_CLONE_MOD) % ($VID_REAL_FRAMES - (doc_id // $VID_CLONE_MOD) % 3) AS r
+       |        FROM documents WHERE doc_id % $VID_CLONE_MOD = 0) c,
+       |       (SELECT unnest(range(0,$VID_REAL_FRAMES)) AS f) f
+       |  WHERE f.f < $VID_REAL_FRAMES - c.k),
+       |wfh0 AS (SELECT doc_id, fidx, CAST($dhashTermsSql AS BIGINT) AS h FROM wrf),
+       |wfh AS (SELECT doc_id, list(h ORDER BY fidx) AS fh FROM wfh0 GROUP BY doc_id),
+       |wsh AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, len(fh)),
+       |           i -> CAST('0x' || substring(md5(CAST(fh[i] AS VARCHAR) || ' ' || CAST(fh[i+1] AS VARCHAR)),1,15) AS BIGINT))) AS sh
+       |  FROM wfh),
+       |wsz AS (SELECT doc_id, count(*) AS n_sh FROM wsh GROUP BY doc_id),
+       |wcand AS (
+       |  SELECT doc_a, doc_b, n_shared, n_union,
+       |         (n_shared * 1000000) // n_union AS jaccard_ppm
+       |  FROM (
+       |    SELECT s.doc_a, s.doc_b, s.n_shared,
+       |           za.n_sh + zb.n_sh - s.n_shared AS n_union
+       |    FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+       |          FROM wsh a JOIN wsh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2) s
+       |    JOIN wsz za ON za.doc_id = s.doc_a
+       |    JOIN wsz zb ON zb.doc_id = s.doc_b)
+       |  WHERE (n_shared * 1000000) // n_union >= $VID_REAL_TAU_PPM)""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "x_video_real_roundtrip" ->
+      s"""WITH $videoRealCtes
+         |SELECT doc_id,
+         |       CAST(count(*) AS BIGINT) AS n_frames,
+         |       CAST(sum(h % 1000000007) AS BIGINT) AS h_sum,
+         |       CAST(min(h) AS BIGINT) AS h_min,
+         |       CAST(max(h) AS BIGINT) AS h_max
+         |FROM wfh0 GROUP BY doc_id""".stripMargin,
+    "x_dedup_video_real" ->
+      s"""WITH $videoRealCtes
+         |SELECT doc_a, doc_b, n_shared, n_union, jaccard_ppm FROM wcand""".stripMargin,
+    "x_dedup_video_real_precision" ->
+      s"""WITH $videoRealCtes,
+         |wplanted AS (SELECT doc_id AS doc_a, doc_id + $VID_REAL_CLONE_OFFSET AS doc_b
+         |             FROM documents WHERE doc_id % $VID_CLONE_MOD = 0)
+         |SELECT CAST(count(c.doc_a) AS BIGINT) AS n_candidates,
+         |       CAST(count(p.doc_a) AS BIGINT) AS n_planted,
+         |       CAST(SUM(CASE WHEN c.doc_a IS NOT NULL AND p.doc_a IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
+         |FROM wcand c FULL OUTER JOIN wplanted p
+         |  ON c.doc_a = p.doc_a AND c.doc_b = p.doc_b""".stripMargin,
     "x_dedup_video" ->
       s"""WITH $videoCtes
          |SELECT doc_a, doc_b, n_shared, n_union, jaccard_ppm FROM vcand""".stripMargin,

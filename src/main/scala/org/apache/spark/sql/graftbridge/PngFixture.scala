@@ -10,8 +10,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * twin of [[WavFixtureClip]] (same structure, same clone contract).
   *
   * The image is CELL-ALIGNED: `rows × cols` grid cells, each rendered as a
-  * uniform `cellPx × cellPx` gray block (gray written as R=G=B=v
-  * truecolor). Cell j's planted gray is the first md5 byte of
+  * uniform `cellPx × cellPx` gray block, written as TRUECOLOR R=G=B=v (see
+  * [[GrayFixtureCodec.cellImageRgb]] for why the PNG path must not use a
+  * gray palette or BYTE_GRAY). Cell j's planted gray is the first md5 byte of
   * `utf8(text) ++ seed ++ utf8(j)` — the SAME derivation discipline as the
   * stub grid and the WAV frames, so a DuckDB oracle restates it as
   * `CAST('0x' || substring(md5(text || seed || j), 1, 2) AS BIGINT)`.
@@ -80,30 +81,14 @@ object PngFixtureImage {
     val cells = rows * cols
     val nPert = if (asClone) (docId / cloneMod) % 4 else 0L
     val md = digest.get()
-    val img = new java.awt.image.BufferedImage(
-      cols * cellPx, rows * cellPx, java.awt.image.BufferedImage.TYPE_INT_RGB)
-    var j = 0
-    while (j < cells) {
+    val img = GrayFixtureCodec.cellImageRgb(rows, cols, cellPx, { j =>
       md.reset()
       md.update(textBytes)
       md.update(seedBytes)
       md.update(String.valueOf(j).getBytes("UTF-8"))
-      var v = md.digest()(0) & 0xFF
-      if (asClone && (j * 7L + docId) % cells < nPert) v = (v + pertDelta) % 256
-      val rgb = (v << 16) | (v << 8) | v
-      val x0 = (j % cols) * cellPx
-      val y0 = (j / cols) * cellPx
-      var y = y0
-      while (y < y0 + cellPx) {
-        var x = x0
-        while (x < x0 + cellPx) { img.setRGB(x, y, rgb); x += 1 }
-        y += 1
-      }
-      j += 1
-    }
-    val bos = new java.io.ByteArrayOutputStream(1024)
-    if (!javax.imageio.ImageIO.write(img, "png", bos))
-      throw new IllegalStateException("JDK PNG writer unavailable")
-    bos.toByteArray
+      val v = md.digest()(0) & 0xFF
+      if (asClone && (j * 7L + docId) % cells < nPert) (v + pertDelta) % 256 else v
+    })
+    GrayFixtureCodec.encodePng(img)
   }
 }

@@ -94,6 +94,17 @@ package object graftbridge {
       ExpressionUtils.expression(text), ExpressionUtils.expression(docId),
       rows, cols, cellPx, seed, asClone, cloneMod, pertDelta))
 
+  /** The video family's REAL-codec fixture builder — an animated GIF of
+    * cell-aligned grayscale frames with md5-derived planted grays,
+    * optional trim+replace clone edit — one codegen'd pass (see
+    * [[graftbridge.GifFixtureVideo]]). */
+  def gifFixtureVideo(text: Column, docId: Column, frames: Int, rows: Int, cols: Int,
+      cellPx: Int, seed: String, replaceSeed: String,
+      asClone: Boolean, cloneMod: Int): Column =
+    ExpressionUtils.column(GifFixtureVideo(
+      ExpressionUtils.expression(text), ExpressionUtils.expression(docId),
+      frames, rows, cols, cellPx, seed, replaceSeed, asClone, cloneMod))
+
   /** All n-token-gram md5 hex fingerprints of a token array in one
     * codegen'd byte pass (see [[graftbridge.NgramMd5]]). */
   /** Unicode NFC normalization with an ASCII zero-allocation fast path

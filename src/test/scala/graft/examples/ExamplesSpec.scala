@@ -330,6 +330,17 @@ class ExamplesSpec extends AnyFunSuite {
       corpus.withColumnRenamed("doc_id", "img_id").withColumnRenamed("png", "bytes"),
       "img_id", "bytes")
     assert(mine.count() == pairs.count(), "seam and catalog entry agree")
+
+    // VIDEO: real multi-frame bytes (animated GIF), per-frame decode,
+    // temporal shingles — trimmed re-cut copies are found with exact recall
+    val clips = graft.ops.Multimodal.gifFixtureCorpus(spark, dir)
+    val gif87or89 = clips.select(col("gif")).head().getAs[Array[Byte]](0).take(4)
+    assert(gif87or89.sameElements("GIF8".getBytes("US-ASCII")),
+      "fixture payloads must be genuine GIF bytes (magic header)")
+    val vpairs = graft.ops.Multimodal.dedupVideoReal(spark, dir)
+    assert(vpairs.filter(col("doc_b") >= 40000000L).count() ==
+      graft.ops.Tables.documents(spark, dir).filter(col("doc_id") % 6 === 0).count(),
+      "every planted trimmed+re-cut copy must be recovered (exact recall)")
   }
 
   test("example 9b: audio and video ride the multimodal near-dup kernels") {
