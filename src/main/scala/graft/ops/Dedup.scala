@@ -342,6 +342,48 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The AMORTIZED maintenance schedule (catalog `x_stream_dedup_tiered`):
+    * the threshold-gated fold under the oracle, end-to-end. Folding every
+    * window rewrites the whole index per window — quadratic in sink
+    * lifetime — so production runs
+    * [[graft.streaming.DedupStream.compactIndexIfNeeded]] with threshold K
+    * and pays ~|index|/K bytes per window instead. This entry runs BOTH
+    * branches of that gate between real micro-batches: a below-threshold
+    * window that MUST leave the sink byte-untouched (2 foldable
+    * partitions < K=3), then an at-threshold window that folds — and the
+    * resumed batches probe the result of each. Parity theorem again: the
+    * final pair sink must equal the one-shot set, so the oracle is STILL
+    * the `x_dedup_minhash` CTE pile, now asserted across a no-op window
+    * AND a fold window. */
+  def dedupStreamTiered(s: SparkSession, d: String): DataFrame = {
+    val work = graft.ops.Scratch.dir("graft_stream_tiered")
+    val stage = s"$work/stage"
+    val idx = s"$work/sig_index"
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    // Backlog 1: micro-batches 0 and 1 commit.
+    (0 until 2).foreach { b =>
+      docs.filter(col("doc_id") % 4 === b).coalesce(1).write.mode("append").parquet(stage)
+    }
+    graft.streaming.DedupStream.runIncremental(s, stage, work).count()
+    // Maintenance window A — BELOW threshold: 2 foldable partitions < 3.
+    val ranA = graft.streaming.DedupStream.compactIndexIfNeeded(s, idx,
+      watermark = 1L, minFolded = 3)
+    require(!ranA, "2 foldable partitions must not trigger a minFolded=3 fold")
+    // Backlog 2: batch 2 commits, probing the untouched index.
+    docs.filter(col("doc_id") % 4 === 2).coalesce(1).write.mode("append").parquet(stage)
+    graft.streaming.DedupStream.runIncremental(s, stage, work).count()
+    // Maintenance window B — AT threshold: 3 foldable partitions, folds.
+    val ranB = graft.streaming.DedupStream.compactIndexIfNeeded(s, idx,
+      watermark = 2L, minFolded = 3)
+    require(ranB, "3 foldable partitions must trigger a minFolded=3 fold")
+    // Backlog 3: batch 3 probes the folded index; the sink (never pruned
+    // here) accumulates every batch's matches.
+    docs.filter(col("doc_id") % 4 === 3).coalesce(1).write.mode("append").parquet(stage)
+    graft.streaming.DedupStream.runIncremental(s, stage, work)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   private val SIMHASH_BITS = 60
   private val SIMHASH_BANDS = 6 // 10 bits each
   /** Pigeonhole-complete threshold: hamming <= BANDS-1 guarantees at least
@@ -1379,6 +1421,7 @@ object Dedup {
     "x_dedup_incremental" -> (dedupIncremental _),
     "x_stream_dedup_incremental" -> (dedupStreamIncremental _),
     "x_stream_dedup_compacted" -> (dedupStreamCompacted _),
+    "x_stream_dedup_tiered" -> (dedupStreamTiered _),
     "x_dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
     "x_dedup_simhash_wide" -> (dedupSimhashWide _),
     "x_dedup_minhash_precision" -> (minhashPrecision _),
@@ -1546,6 +1589,12 @@ object Dedup {
     // signature index between micro-batches changes partition layout, not
     // content, so the oracle is STILL the one-shot batch pair set.
     "x_stream_dedup_compacted" ->
+      s"""WITH ${minhashCtes()}
+         |SELECT doc_a, doc_b, est_jaccard FROM cand""".stripMargin,
+    // ...and across the threshold-gated maintenance schedule: a no-op
+    // below-threshold window and an at-threshold fold both preserve the
+    // one-shot pair set.
+    "x_stream_dedup_tiered" ->
       s"""WITH ${minhashCtes()}
          |SELECT doc_a, doc_b, est_jaccard FROM cand""".stripMargin,
     "x_dedup_simhash" ->

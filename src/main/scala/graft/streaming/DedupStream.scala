@@ -157,6 +157,16 @@ object DedupStream {
   def compactIndex(s: SparkSession, indexDir: String, watermark: Long): Unit =
     SinkRetention.compactIndex(s, indexDir, watermark, sigSchema, Seq("doc_id", "mh"))
 
+  /** Threshold-gated fold — [[SinkRetention.compactIndexIfNeeded]] with
+    * this sink's schema: folds only when at least `minFolded` partitions
+    * are at or below the watermark, bounding rewrite amplification to
+    * ~|index|/minFolded bytes per maintenance window (the cost model is
+    * at the SinkRetention contract). Returns whether a fold ran. */
+  def compactIndexIfNeeded(s: SparkSession, indexDir: String, watermark: Long,
+      minFolded: Int): Boolean =
+    SinkRetention.compactIndexIfNeeded(s, indexDir, watermark, sigSchema,
+      Seq("doc_id", "mh"), minFolded)
+
   /** Retention for the match sink: drop every match partition with
     * `batch_id < keepFrom`. Matches are RESULTS — consumed downstream as
     * each batch lands — so retention is a plain partition drop, not a
