@@ -63,6 +63,7 @@ object SparkEntry {
       graft.ops.SkewOps.queries ++
       graft.ops.MoreQueries.queries ++
       graft.ops.ExtraQueries.queries ++
+      graft.ops.GraphOps.queries ++
       graft.ops.TextAnalysis.queries ++
       graft.ops.Dedup.queries ++
       graft.ops.Similarity.queries ++
@@ -76,6 +77,7 @@ object SparkEntry {
       graft.ops.SkewOps.oracleSql ++
       graft.ops.MoreQueries.oracleSql ++
       graft.ops.ExtraQueries.oracleSql ++
+      graft.ops.GraphOps.oracleSql ++
       graft.ops.TextAnalysis.oracleSql ++
       graft.ops.Dedup.oracleSql ++
       graft.ops.Similarity.oracleSql ++

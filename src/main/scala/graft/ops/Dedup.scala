@@ -53,6 +53,43 @@ object Dedup {
         countDistinct(md5(col("text"))).as("n_unique"),
         (count(lit(1)) - countDistinct(md5(col("text")))).as("n_dups"))
 
+  /** Normalization-keyed exact dedup ("fuzzy-exact"): hash-groupBy on a
+    * CANONICALIZED text key — lowercase + whitespace-collapse + trim —
+    * instead of the raw bytes. Web-scale corpora are full of byte-level
+    * variants of identical content (case folds, double spaces, trailing
+    * blanks) that raw exact dedup misses and near-dup sketches overkill;
+    * production pipelines run exactly this pass between the two. The
+    * demonstration corpus is documents plus deterministic byte-variant
+    * CLONES of a subset (doc_id%7==3 re-issued upper-cased at id+10⁶,
+    * doc_id%7==5 re-issued double-spaced at id+2·10⁶ — pure doc_id
+    * arithmetic the oracle restates), so every clone is raw-unique but
+    * norm-identical to its source: n_variant_groups equals the clone count
+    * per language by construction, a provable property, not luck. At
+    * 100 TB the normalization is one scan-speed regex pass fused into the
+    * same stage as the hash — the dedup itself stays the one hash-shuffle
+    * of [[dedupExact]]; production materializes the normalized key column
+    * once at ingest. */
+  def dedupNormalized(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val caseClones = base.filter(col("doc_id") % 7 === 3)
+      .select(col("doc_id") + 1000000L, col("lang"), upper(col("text")).as("text"))
+    val spaceClones = base.filter(col("doc_id") % 7 === 5)
+      .select(col("doc_id") + 2000000L, col("lang"),
+        regexp_replace(col("text"), " ", "  ").as("text"))
+    val perturbed = base.unionByName(caseClones.toDF("doc_id", "lang", "text"))
+      .unionByName(spaceClones.toDF("doc_id", "lang", "text"))
+    val normKey = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    perturbed
+      .select(col("lang"), md5(col("text")).as("rawh"), normKey.as("normh"))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("rawh")).as("n_raw_unique"),
+        countDistinct(col("normh")).as("n_norm_unique"),
+        (countDistinct(col("rawh")) - countDistinct(col("normh")))
+          .as("n_variant_groups"))
+  }
+
   /** Exact dedup keep-list: the canonical survivor (min doc_id) per distinct
     * content hash — the materialized output a pipeline actually consumes. */
   def dedupKeepList(s: SparkSession, d: String): DataFrame =
@@ -1415,6 +1452,7 @@ object Dedup {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "dml_chunked_dedup" -> (dmlChunkedDedup _),
     "x_dedup_exact" -> (dedupExact _),
+    "x_dedup_norm" -> (dedupNormalized _),
     "x_dedup_keep_list" -> (dedupKeepList _),
     "x_dedup_keep_best" -> (dedupKeepBest _),
     "x_dedup_minhash" -> ((s, d) => dedupMinhashLsh(s, d)),
@@ -1820,6 +1858,25 @@ object Dedup {
         |FROM documents GROUP BY lang""".stripMargin,
     "x_dedup_keep_list" ->
       "SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)",
+    // The perturbed view restated in SQL (same doc_id arithmetic), raw vs
+    // canonicalized key — both engines' md5 is lowercase hex and both
+    // regexes are the global '\s+' collapse.
+    "x_dedup_norm" ->
+      """WITH p AS (SELECT doc_id, lang, text FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 1000000, lang, upper(text)
+        |           FROM documents WHERE doc_id % 7 = 3
+        |           UNION ALL
+        |           SELECT doc_id + 2000000, lang, regexp_replace(text, ' ', '  ', 'g')
+        |           FROM documents WHERE doc_id % 7 = 5),
+        |k AS (SELECT lang, md5(text) AS rawh,
+        |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normh
+        |      FROM p)
+        |SELECT lang, count(*) AS n_docs,
+        |       count(DISTINCT rawh) AS n_raw_unique,
+        |       count(DISTINCT normh) AS n_norm_unique,
+        |       count(DISTINCT rawh) - count(DISTINCT normh) AS n_variant_groups
+        |FROM k GROUP BY lang""".stripMargin,
     "x_dup_spans" ->
       s"""WITH ${dupSpanCtes()}
          |SELECT doc_id, span_start, span_end, span_tokens FROM spans""".stripMargin,

@@ -150,6 +150,87 @@ object Similarity {
   def annMatryoshkaRecall(s: SparkSession, d: String): DataFrame =
     recallAgainstExact(annMatryoshka(s, d), exactTop3(s, d, 200))
 
+  // ---------------------------------------------------------------------
+  // 1-bit (binary) embedding quantization + Hamming-distance ANN: keep only
+  // the SIGN of every dimension, packed 64 dims per long. The scale
+  // arithmetic is the whole point — float32x64 = 256 bytes/vector becomes
+  // 8 bytes/vector, a 32x reduction, and the distance kernel collapses to
+  // XOR + popcount (both single CPU instructions, both codegen'd by Spark's
+  // built-in `^` and `bit_count`). On a 100 TB float corpus the binary view
+  // is ~3 TB — the difference between an index that must be probed and one
+  // that can be SCANNED per query batch; production retrieval stacks run
+  // exactly this as the coarse pass and rerank survivors with full floats.
+  // Packing is write-once (a corpus materialization, not per-query work),
+  // and every number downstream is an integer — no float-determinism
+  // caveats anywhere in the family, so the oracles are hash-exact.
+  // ---------------------------------------------------------------------
+
+  /** `array<bigint>` of ceil(dim/64) words; bit b of word w is set iff
+    * dimension 64w+b is strictly positive. Width-generic (derives the word
+    * count from `size(v)`), so a different embedding column needs no code
+    * change. A sign threshold at 0 is the standard choice for centered
+    * embeddings; dimensions equal to 0 quantize to the 0 bit on both
+    * engines (DuckDB mirrors the same `> 0` predicate). */
+  private val PACK_BITS_SQL =
+    """transform(sequence(0, CAST(ceil(size(v) / 64.0) AS INT) - 1), w ->
+      |  aggregate(sequence(w * 64, least(w * 64 + 63, size(v) - 1)), 0L,
+      |    (acc, b) -> CASE WHEN element_at(v, b + 1) > 0D
+      |                THEN acc | shiftleft(1L, b - w * 64) ELSE acc END))""".stripMargin
+
+  /** The packed binary view of the corpus: (vec_id, label, bits, pop).
+    * Persisted once per (session, directory) like [[vectors]] — at scale
+    * this is the materialized binary index, not per-query recomputation. */
+  private val binaryCache = new SessionCache[DataFrame]()
+
+  private def binaryVectors(s: SparkSession, d: String): DataFrame =
+    cached(binaryCache, s, d) {
+      embeddings(s, d)
+        .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+        .select(col("vec_id"), col("label"), expr(PACK_BITS_SQL).as("bits"))
+        .withColumn("pop",
+          expr("aggregate(transform(bits, x -> bit_count(x)), 0, (acc, h) -> acc + h)"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+
+  /** Quantization audit per label: vector counts, total/min/max set bits.
+    * A healthy centered embedding family sits near pop = dim/2 (maximum
+    * sign entropy); a label whose popcounts collapse toward 0 or dim has
+    * lost most of its Hamming resolution — the audit a pipeline runs
+    * BEFORE trusting the binary index. */
+  def embedBinaryAudit(s: SparkSession, d: String): DataFrame =
+    binaryVectors(s, d)
+      .groupBy(col("label"))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        sum(col("pop")).as("total_set_bits"),
+        min(col("pop")).as("min_pop"),
+        max(col("pop")).as("max_pop"))
+
+  /** Hamming top-3 for the first 50 queries over the packed signatures.
+    * Same broadcast-the-queries orientation as [[annBruteforce]], but the
+    * streamed side is the 8-byte binary view, not the 512-byte float
+    * vectors, and the per-pair kernel is XOR+popcount instead of a 64-term
+    * float fold. Ties broken by nn_id — fully deterministic (integers). */
+  def annHamming(s: SparkSession, d: String): DataFrame = {
+    val all = binaryVectors(s, d).select(col("vec_id"), col("bits"))
+    val q = all.filter(col("vec_id") < 50)
+      .select(col("vec_id").as("q_id"), col("bits").as("qbits"))
+    val pairs = broadcast(q).join(all, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        expr("aggregate(zip_with(qbits, bits, (x, y) -> bit_count(x ^ y)), 0, (acc, h) -> acc + h)")
+          .as("ham"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("ham").asc, col("nn_id"))
+    pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("nn_id"), col("rnk"), col("ham"))
+  }
+
+  /** What 1-bit quantization costs in answer quality: the binary top-3
+    * scored against the exact float cosine truth — exact integer hit
+    * counts, same audit shape as every other sketch family. */
+  def annHammingRecall(s: SparkSession, d: String): DataFrame =
+    recallAgainstExact(annHamming(s, d), exactTop3(s, d, 200))
+
   private val LSH_TABLES = 16
   private val LSH_BITS = 6
 
@@ -735,6 +816,54 @@ object Similarity {
     lateMatches
       .unionByName(firstHalf.toSeq.map(r =>
         (r.getLong(0), r.getLong(1), r.getInt(2))).toDF("vec_a", "vec_b", "cluster"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** The amortized maintenance schedule on the SEMANTIC sink (catalog
+    * `x_stream_semantic_tiered`) — the embedding-space twin of
+    * [[graft.ops.Dedup.dedupStreamTiered]], proving the threshold gate's
+    * "applies verbatim to the other sinks" claim: a below-threshold window
+    * that must leave the vector index byte-untouched (2 foldable
+    * partitions < K=3), then an at-threshold window that folds, with
+    * resumed micro-batches probing the result of each. The oracle stays
+    * the one-shot same-cluster τ-pair set (the parity theorem across a
+    * no-op window AND a fold window). */
+  def dedupSemanticStreamTiered(s: SparkSession, d: String,
+      targetOccupancy: Long = 512L): DataFrame = {
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    val n = vectors(s, d).count()
+    val k = math.max(IVF_K,
+      math.toIntExact((n + targetOccupancy - 1) / targetOccupancy))
+    val cents = trainIvfCentroids(s, d, k)
+    val work = graft.ops.Scratch.dir("graft_stream_sem_t")
+    val stage = s"$work/stage"
+    val idx = s"$work/vec_index"
+    val vecs = vectors(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    // Backlog 1: micro-batches 0 and 1 commit.
+    (0 until 2).foreach { b =>
+      vecs.filter(col("vec_id") % 4 === b)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    graft.streaming.SemanticStream.runIncremental(s, stage, work,
+      v => assignCluster(v, cents), SEM_TAU).count()
+    // Maintenance window A — BELOW threshold: no-op, index byte-untouched.
+    val ranA = graft.streaming.SemanticStream.compactIndexIfNeeded(s, idx,
+      watermark = 1L, minFolded = 3)
+    require(!ranA, "2 foldable partitions must not trigger a minFolded=3 fold")
+    // Backlog 2: batch 2 probes the untouched index.
+    vecs.filter(col("vec_id") % 4 === 2).coalesce(1).write.mode("append").parquet(stage)
+    graft.streaming.SemanticStream.runIncremental(s, stage, work,
+      v => assignCluster(v, cents), SEM_TAU).count()
+    // Maintenance window B — AT threshold: 3 foldable partitions, folds.
+    val ranB = graft.streaming.SemanticStream.compactIndexIfNeeded(s, idx,
+      watermark = 2L, minFolded = 3)
+    require(ranB, "3 foldable partitions must trigger a minFolded=3 fold")
+    // Backlog 3: batch 3 probes the folded index; the match sink (never
+    // pruned here) accumulates every batch's pairs.
+    vecs.filter(col("vec_id") % 4 === 3).coalesce(1).write.mode("append").parquet(stage)
+    graft.streaming.SemanticStream.runIncremental(s, stage, work,
+        v => assignCluster(v, cents), SEM_TAU)
+      .select(col("vec_a"), col("vec_b"), col("cluster"))
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
@@ -1521,6 +1650,8 @@ object Similarity {
       dedupSemanticStreamIncremental(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_stream_semantic_compacted" -> ((s: SparkSession, d: String) =>
       dedupSemanticStreamCompacted(s, d, AUTO_DEMO_OCCUPANCY)),
+    "x_stream_semantic_tiered" -> ((s: SparkSession, d: String) =>
+      dedupSemanticStreamTiered(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_dedup_ensemble" -> ((s: SparkSession, d: String) =>
       dedupEnsemble(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_decontam_semantic" -> ((s: SparkSession, d: String) =>
@@ -1531,6 +1662,9 @@ object Similarity {
     "x_cluster_medoids" -> (clusterMedoids _),
     "x_ann_matryoshka" -> (annMatryoshka _),
     "x_ann_matryoshka_recall" -> (annMatryoshkaRecall _),
+    "x_embed_binary" -> (embedBinaryAudit _),
+    "x_ann_hamming" -> (annHamming _),
+    "x_ann_hamming_recall" -> (annHammingRecall _),
     "x_ann_ivfpq" -> (annIvfPq _),
     "x_ann_ivfpq_recall" -> (annIvfPqRecall _),
     "x_ann_ivfpq_persisted" -> (annIvfPqPersisted _)
@@ -1907,11 +2041,52 @@ object Similarity {
       // compacted entry's oracle IS the incremental entry's oracle.
       ("x_stream_semantic_compacted" ->
         semanticStreamOracleSql(AUTO_DEMO_OCCUPANCY)) +
+      // ...and across the threshold-gated maintenance schedule: a no-op
+      // below-threshold window and an at-threshold fold both preserve
+      // index content, so the one-shot pair set is still the oracle.
+      ("x_stream_semantic_tiered" ->
+        semanticStreamOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_dedup_ensemble" -> ensembleOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_decontam_semantic" -> decontamSemanticOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_dedup_semantic_2level" -> semantic2LevelOracleSql(L2_OCCUPANCY))
 
   private val staticOracleSql: Map[String, String] = Map(
+    // The binary family is integer-only end to end: DuckDB never packs —
+    // it counts sign bits / sign mismatches directly over the double view,
+    // which is definitionally what the packed popcount/XOR computes, so a
+    // value match proves the bit-packing round trip.
+    "x_embed_binary" ->
+      """WITH t AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |p AS (SELECT vec_id, label,
+        |             CAST(list_sum(list_transform(v, x -> CASE WHEN x > 0 THEN 1 ELSE 0 END)) AS INTEGER) AS pop
+        |      FROM t)
+        |SELECT label, count(*) AS n_vecs,
+        |       CAST(sum(pop) AS BIGINT) AS total_set_bits,
+        |       min(pop) AS min_pop, max(pop) AS max_pop
+        |FROM p GROUP BY label""".stripMargin,
+    "x_ann_hamming" ->
+      """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |hb AS (SELECT a.vec_id AS q_id, b.vec_id AS nn_id,
+        |              CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+        |                i -> CASE WHEN (a.v[i] > 0) <> (b.v[i] > 0) THEN 1 ELSE 0 END)) AS INTEGER) AS ham
+        |       FROM t a, t b WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id),
+        |r AS (SELECT q_id, nn_id, ham,
+        |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY ham, nn_id) AS INTEGER) AS rnk
+        |      FROM hb)
+        |SELECT q_id, nn_id, rnk, ham FROM r WHERE rnk <= 3""".stripMargin,
+    "x_ann_hamming_recall" ->
+      s"""WITH $baseCtes,
+         |hb AS (SELECT a.vec_id AS q_id, b.vec_id AS nn_id,
+         |              CAST(list_sum(list_transform(range(1, len(a.v) + 1),
+         |                i -> CASE WHEN (a.v[i] > 0) <> (b.v[i] > 0) THEN 1 ELSE 0 END)) AS INTEGER) AS ham
+         |       FROM n a, n b WHERE a.vec_id < 50 AND b.vec_id <> a.vec_id),
+         |hr AS (SELECT q_id, nn_id FROM (
+         |         SELECT q_id, nn_id,
+         |                row_number() OVER (PARTITION BY q_id ORDER BY ham, nn_id) AS rnk
+         |         FROM hb)
+         |       WHERE rnk <= 3),
+         |$exactTop3Cte
+         |${recallSelect("hr")}""".stripMargin,
     // Whitening audit: floor-quantized integer sums (exact, order-free)
     // -> double stats computed in the same expression order as Spark ->
     // identical IEEE per-element whiten -> floor-quantized post sums.

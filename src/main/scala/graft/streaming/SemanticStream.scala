@@ -139,6 +139,16 @@ object SemanticStream {
     SinkRetention.compactIndex(s, indexDir, watermark, indexSchema,
       Seq("vec_id", "v", "nrm", "cluster"))
 
+  /** Threshold-gated fold for the vector index —
+    * [[SinkRetention.compactIndexIfNeeded]] with this sink's schema, the
+    * amortized maintenance schedule of [[graft.streaming.DedupStream
+    * .compactIndexIfNeeded]] applied to the embedding sink (catalog
+    * `x_stream_semantic_tiered`). Returns whether a fold ran. */
+  def compactIndexIfNeeded(s: SparkSession, indexDir: String, watermark: Long,
+      minFolded: Int): Boolean =
+    SinkRetention.compactIndexIfNeeded(s, indexDir, watermark, indexSchema,
+      Seq("vec_id", "v", "nrm", "cluster"), minFolded)
+
   /** Retention for the semantic match sink: plain partition drop of
     * consumed results (see [[SinkRetention.prunePartitions]]). */
   def pruneMatches(s: SparkSession, matchesDir: String, keepFrom: Long): Unit =

@@ -343,6 +343,31 @@ class ExamplesSpec extends AnyFunSuite {
       "every planted trimmed+re-cut copy must be recovered (exact recall)")
   }
 
+  test("example 14: binary embeddings, graph analytics, canonicalized dedup") {
+    val dir = "/root/testdata/sf0.001"
+
+    // 1-bit quantization audit: popcounts live strictly inside [0, dim]
+    val audit = graft.ops.Similarity.embedBinaryAudit(spark, dir)
+    assert(audit.filter(col("min_pop") < 0 || col("max_pop") > 64).count() == 0)
+
+    // Hamming top-3 + its recall audit against the exact cosine truth
+    val nn = graft.ops.Similarity.annHamming(spark, dir)
+    assert(nn.groupBy(col("q_id")).count().filter(col("count") =!= 3).count() == 0)
+    val rec = graft.ops.Similarity.annHammingRecall(spark, dir).head()
+    assert(rec.getLong(0) == 150 && rec.getLong(2) <= 150)
+
+    // integer-exact PageRank: top hubs of the trading network
+    val hubs = graft.ops.GraphOps.graphPagerank(spark, dir)
+    assert(hubs.count() == 15)
+    val degs = graft.ops.GraphOps.graphDegreeStats(spark, dir)
+      .collect().map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(degs("customer") == degs("supplier")) // undirected bipartite
+
+    // canonicalized dedup: variant groups found per language
+    val norm = graft.ops.Dedup.dedupNormalized(spark, dir)
+    assert(norm.agg(sum(col("n_variant_groups"))).head().getLong(0) > 0)
+  }
+
   test("example 9b: audio and video ride the multimodal near-dup kernels") {
     val dir = "/root/testdata/sf0.001"
 
