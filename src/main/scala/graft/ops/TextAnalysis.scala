@@ -1320,6 +1320,67 @@ object TextAnalysis {
     hhExactVerify(s, d, sketch.keys.toSeq.sorted, nTotal)
   }
 
+  private val CMS_D = 4 // hash rows
+  private val CMS_W = 64 // counters per row — deliberately NARROWER than the
+  // bigram vocabulary (~1k) so the demo sketch genuinely collides and the
+  // audit shows real overcounts; production sizes w = ceil(e/ε) instead
+  private val CMS_P = 2147483647L // Mersenne 2^31-1, as in the minhash family
+  /** Kirsch–Mitzenmacher pairs for the CMS rows — fixed constants well under
+    * 2^20, so a*h with a 28-bit base hash stays under 2^48: exact in plain
+    * 64-bit arithmetic in ANY engine (same discipline as the minhash
+    * permutation family). */
+  private val cmsParams: Seq[(Long, Long)] =
+    Seq((976369L, 130363L), (875983L, 440191L), (647011L, 568021L), (508607L, 9187L))
+
+  /** Count-Min sketch + point-query audit — the frequency-sketch sibling of
+    * the Misra-Gries heavy hitters (MG answers "which terms are frequent",
+    * CMS answers "how frequent is THIS term", with a one-sided guarantee:
+    * estimates never undercount). The sketch is held AS A RELATION of
+    * (row, bucket, count) cells — d·w rows regardless of corpus size — so
+    * it is mergeable by plain counter addition: per-shard sketches sum into
+    * the global sketch, which is exactly what the map-side partial
+    * aggregation of one `groupBy(row, bucket)` already computes; at 100 TB
+    * the build is one token scan plus a d·w-cell aggregate, and the
+    * top-term probe joins the cell relation broadcast. The stream counted
+    * is BIGRAMS (the corpus's unigram vocabulary is smaller than any
+    * useful sketch; bigrams give a ~1k vocabulary against 4×64 cells, so
+    * the audit shows real collisions). It estimates the 20
+    * highest-frequency bigrams (exact ground truth via TakeOrdered, ties
+    * broken by term) and reports the CMS overcount, which the guarantee
+    * pins ≥ 0 — all integers, hash-exact in the oracle. */
+  def countMinAudit(s: SparkSession, d: String): DataFrame = {
+    val baseHash = (c: Column) => conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+    val toks = documents(s, d)
+      .select(tokensCol(lower(col("text"))).as("w"))
+      .filter(size(col("w")) >= 2)
+      .select(explode(transform(
+        sequence(lit(0), size(col("w")) - 2),
+        i => concat(element_at(col("w"), i + 1), lit(" "),
+          element_at(col("w"), i + 2)))).as("tok"))
+      .withColumn("h", baseHash(col("tok")))
+    val bucketOf = (i: Int, h: Column) => {
+      val (a, b) = cmsParams(i)
+      (((h * a) + b) % CMS_P) % CMS_W
+    }
+    val cells = cmsParams.indices.map { i =>
+        toks.select(lit(i).as("row_i"), bucketOf(i, col("h")).as("bucket"))
+      }.reduce(_ unionByName _)
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
+      .orderBy(col("true_count").desc, col("tok")).limit(20)
+      .withColumn("h", baseHash(col("tok")))
+    val probes = cmsParams.indices.map { i =>
+        top.select(col("tok"), col("true_count"),
+          lit(i).as("row_i"), bucketOf(i, col("h")).as("bucket"))
+      }.reduce(_ unionByName _)
+    probes.join(cells, Seq("row_i", "bucket"))
+      .groupBy(col("tok"), col("true_count"))
+      .agg(min(col("cnt")).as("est_count"))
+      .select(col("tok").as("term"), col("true_count"), col("est_count"),
+        (col("est_count") - col("true_count")).as("overcount"))
+  }
+
   // ---- Dataset diff: snapshot-to-snapshot corpus lifecycle accounting
 
   private[ops] val DIFF_NEW_OFFSET = 40000000L // disjoint from doc ids and every clone family
@@ -1454,6 +1515,7 @@ object TextAnalysis {
     "x_dataset_diff_stats" -> (datasetDiffStats _),
     "x_diff_dedup_probe" -> (diffDedupProbe _),
     "x_heavy_hitters" -> (heavyHitters _),
+    "x_countmin" -> (countMinAudit _),
     "x_stream_heavy_hitters" -> (heavyHittersStream _),
     "x_stream_hh_pruned" -> (heavyHittersStreamPruned _),
     "x_pii_scrub" -> (piiScrub _),
@@ -1677,6 +1739,31 @@ object TextAnalysis {
          |       CAST(SUM(chars_v2) AS BIGINT) AS chars_v2
          |FROM diff GROUP BY status""".stripMargin,
     "x_heavy_hitters" -> heavyHittersOracleSql,
+    // Same KM constants, same 28-bit base hash, all-integer cells — the
+    // sketch replayed as plain GROUP BYs.
+    "x_countmin" -> {
+      val perm = cmsParams.zipWithIndex
+        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+      s"""WITH w AS (SELECT regexp_extract_all(lower(text), '\\S+') AS w FROM documents),
+         |tok AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS tok
+         |        FROM w WHERE len(w) >= 2),
+         |h AS (SELECT tok, CAST('0x' || substring(md5(tok), 1, 7) AS BIGINT) AS h FROM tok),
+         |cells AS (SELECT p.i AS row_i, ((p.a * h.h + p.b) % $CMS_P) % $CMS_W AS bucket,
+         |                 count(*) AS cnt
+         |          FROM h, (VALUES $perm) p(i,a,b) GROUP BY 1, 2),
+         |truth AS (SELECT tok, count(*) AS true_count FROM tok GROUP BY tok),
+         |top AS (SELECT tok, true_count,
+         |               CAST('0x' || substring(md5(tok), 1, 7) AS BIGINT) AS h
+         |        FROM truth ORDER BY true_count DESC, tok LIMIT 20)
+         |SELECT t.tok AS term, t.true_count,
+         |       CAST(min(c.cnt) AS BIGINT) AS est_count,
+         |       CAST(min(c.cnt) - t.true_count AS BIGINT) AS overcount
+         |FROM top t
+         |JOIN (VALUES $perm) p(i,a,b) ON TRUE
+         |JOIN cells c ON c.row_i = p.i
+         |            AND c.bucket = ((p.a * t.h + p.b) % $CMS_P) % $CMS_W
+         |GROUP BY t.tok, t.true_count""".stripMargin
+    },
     // Parity theorem: the streamed fold of per-batch sketches carries the
     // same completeness guarantee, so the prune+verify output is identical
     // to the batch entry's — SAME oracle.
