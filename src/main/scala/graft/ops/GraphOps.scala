@@ -99,9 +99,58 @@ object GraphOps {
       .select(col("node_type"), col("entity_id"), col("rank_ppb"))
   }
 
+  /** Panel size of the kNN-graph diagnostic: brute-force exact top-3 on a
+    * fixed id-prefix sample (1000² = 10⁶ cosine dots at any scale). */
+  private val KNN_PANEL = 1000L
+
+  /** Structural diagnostics of the embedding space's kNN graph —
+    * reciprocity (how many top-3 edges are mutual) and triangle count
+    * (local clustering): the intrinsic-dimensionality / hubness health
+    * check run before trusting an ANN index, phrased entirely as joins
+    * over a graph that is SPARSE BY CONSTRUCTION (≤ 3 directed edges per
+    * node, so the triangle join's cost is Σdeg² over small degrees, never
+    * a dense-graph explosion — the co-purchase projection of this corpus,
+    * by contrast, is near-complete and was rejected for exactly that
+    * reason). The panel's top-3 is exact brute force over 1000 vectors
+    * (a fixed-size diagnostic sample — scale-invariant cost); on a full
+    * corpus the edge list would come from the ANN index instead and the
+    * graph math below is unchanged. In-degree is unbounded for hub
+    * vectors (the thing this diagnostic measures), which at 100 TB is
+    * AQE-skew-join territory on the triangle join's build side. Cosine
+    * ordering is the strict-left-fold float64 dot both engines share, so
+    * the graph — and every count — is deterministic. */
+  def graphKnnStats(s: SparkSession, d: String): DataFrame = {
+    val panel = Similarity.vectors(s, d).filter(col("vec_id") < KNN_PANEL)
+    val q = panel.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
+    val pairs = q.join(panel, col("vec_id") =!= col("a_id"))
+      .select(col("a_id"), col("vec_id").as("b_id"),
+        (Similarity.dot(col("av"), col("v")) / (col("an") * col("nrm"))).as("sim"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("a_id")).orderBy(col("sim").desc, col("b_id"))
+    val top3 = pairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3).select(col("a_id"), col("b_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val e = top3.select(least(col("a_id"), col("b_id")).as("u"),
+        greatest(col("a_id"), col("b_id")).as("v")).distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nNodes = panel.agg(count(lit(1)).as("n_nodes"))
+    val nEdges = e.agg(count(lit(1)).as("n_edges"))
+    val nMutual = top3.select(col("a_id").as("m1"), col("b_id").as("m2"))
+      .intersect(top3.select(col("b_id").as("m1"), col("a_id").as("m2")))
+      .filter(col("m1") < col("m2"))
+      .agg(count(lit(1)).as("n_mutual"))
+    val nTriangles = e.select(col("u").as("x1"), col("v").as("x2"))
+      .join(e.select(col("u").as("y1"), col("v").as("y2")), col("x2") === col("y1"))
+      .join(e.select(col("u").as("z1"), col("v").as("z2")),
+        col("x1") === col("z1") && col("y2") === col("z2"))
+      .agg(count(lit(1)).as("n_triangles"))
+    nNodes.crossJoin(nEdges).crossJoin(nMutual).crossJoin(nTriangles)
+  }
+
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_graph_degree" -> (graphDegreeStats _),
-    "x_graph_pagerank" -> (graphPagerank _))
+    "x_graph_pagerank" -> (graphPagerank _),
+    "x_graph_knn_stats" -> (graphKnnStats _))
 
   private val edgeCtes: String =
     """e0 AS (SELECT DISTINCT o.o_custkey * 2 AS u, l.l_suppkey * 2 + 1 AS v
@@ -131,6 +180,28 @@ object GraphOps {
          |       CAST(sum(outdeg) AS BIGINT) AS n_edges,
          |       min(outdeg) AS min_deg, max(outdeg) AS max_deg
          |FROM deg GROUP BY 1""".stripMargin,
+    "x_graph_knn_stats" ->
+      s"""WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |           FROM embeddings WHERE vec_id < $KNN_PANEL),
+         |n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM t),
+         |p AS (SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+         |             list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS sim
+         |      FROM n a, n b WHERE b.vec_id <> a.vec_id),
+         |top3 AS (SELECT a_id, b_id FROM (
+         |           SELECT a_id, b_id,
+         |                  row_number() OVER (PARTITION BY a_id ORDER BY sim DESC, b_id) AS rnk
+         |           FROM p)
+         |         WHERE rnk <= 3),
+         |e AS (SELECT DISTINCT least(a_id, b_id) AS u, greatest(a_id, b_id) AS v FROM top3),
+         |nn AS (SELECT count(*) AS n_nodes FROM n),
+         |ee AS (SELECT count(*) AS n_edges FROM e),
+         |mut AS (SELECT count(*) AS n_mutual FROM top3 x
+         |        JOIN top3 y ON x.a_id = y.b_id AND x.b_id = y.a_id
+         |        WHERE x.a_id < x.b_id),
+         |tri AS (SELECT count(*) AS n_triangles FROM e e1
+         |        JOIN e e2 ON e1.v = e2.u
+         |        JOIN e e3 ON e1.u = e3.u AND e2.v = e3.v)
+         |SELECT n_nodes, n_edges, n_mutual, n_triangles FROM nn, ee, mut, tri""".stripMargin,
     "x_graph_pagerank" ->
       s"""WITH $edgeCtes,
          |nn AS (SELECT count(*) AS n FROM deg),

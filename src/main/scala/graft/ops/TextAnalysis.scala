@@ -1348,37 +1348,76 @@ object TextAnalysis {
     * highest-frequency bigrams (exact ground truth via TakeOrdered, ties
     * broken by term) and reports the CMS overcount, which the guarantee
     * pins ≥ 0 — all integers, hash-exact in the oracle. */
-  def countMinAudit(s: SparkSession, d: String): DataFrame = {
-    val baseHash = (c: Column) => conv(substring(md5(c), 1, 7), 16, 10).cast("long")
-    val toks = documents(s, d)
-      .select(tokensCol(lower(col("text"))).as("w"))
+  def countMinAudit(s: SparkSession, d: String): DataFrame =
+    cmsEstimateTop20(s, d, cmsCells(documents(s, d)))
+
+  private def cmsBaseHash(c: Column): Column =
+    conv(substring(md5(c), 1, 7), 16, 10).cast("long")
+
+  private def cmsBucket(i: Int, h: Column): Column = {
+    val (a, b) = cmsParams(i)
+    (((h * a) + b) % CMS_P) % CMS_W
+  }
+
+  /** The bigram stream of a (…, text) relation hashed into its 28-bit key
+    * column — shared by the sketch build and the top-20 probe. */
+  private def cmsBigrams(docs: DataFrame): DataFrame =
+    docs.select(tokensCol(lower(col("text"))).as("w"))
       .filter(size(col("w")) >= 2)
       .select(explode(transform(
         sequence(lit(0), size(col("w")) - 2),
         i => concat(element_at(col("w"), i + 1), lit(" "),
           element_at(col("w"), i + 2)))).as("tok"))
-      .withColumn("h", baseHash(col("tok")))
-    val bucketOf = (i: Int, h: Column) => {
-      val (a, b) = cmsParams(i)
-      (((h * a) + b) % CMS_P) % CMS_W
-    }
-    val cells = cmsParams.indices.map { i =>
-        toks.select(lit(i).as("row_i"), bucketOf(i, col("h")).as("bucket"))
+      .withColumn("h", cmsBaseHash(col("tok")))
+
+  /** (row_i, bucket, cnt) cells of the CMS over a (…, text) relation —
+    * the per-batch kernel [[graft.streaming.SketchStream.runCountMin]]
+    * folds forward, and the whole sketch for the one-shot entry. */
+  private[ops] def cmsCells(docs: DataFrame): DataFrame = {
+    val toks = cmsBigrams(docs)
+    cmsParams.indices.map { i =>
+        toks.select(lit(i).as("row_i"), cmsBucket(i, col("h")).as("bucket"))
       }.reduce(_ unionByName _)
       .groupBy(col("row_i"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-    val top = toks.groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
+  }
+
+  /** Point-query audit of a cell relation against the corpus's exact
+    * top-20 bigram truth (shared by the batch and streaming entries —
+    * identical cells ⟹ identical output ⟹ one oracle). */
+  private def cmsEstimateTop20(s: SparkSession, d: String, cells: DataFrame): DataFrame = {
+    val top = cmsBigrams(documents(s, d))
+      .groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
       .orderBy(col("true_count").desc, col("tok")).limit(20)
-      .withColumn("h", baseHash(col("tok")))
+      .withColumn("h", cmsBaseHash(col("tok")))
     val probes = cmsParams.indices.map { i =>
         top.select(col("tok"), col("true_count"),
-          lit(i).as("row_i"), bucketOf(i, col("h")).as("bucket"))
+          lit(i).as("row_i"), cmsBucket(i, col("h")).as("bucket"))
       }.reduce(_ unionByName _)
     probes.join(cells, Seq("row_i", "bucket"))
       .groupBy(col("tok"), col("true_count"))
       .agg(min(col("cnt")).as("est_count"))
       .select(col("tok").as("term"), col("true_count"), col("est_count"),
         (col("est_count") - col("true_count")).as("overcount"))
+  }
+
+  /** The CMS folded over a REAL file-source stream (catalog
+    * `x_stream_countmin`): the corpus staged as three micro-batches
+    * (doc_id mod 3), each batch's cells added onto the running state
+    * through the exactly-once batch_id chain. Counter addition is
+    * associative and commutative, so the drained state equals the
+    * one-shot sketch for ANY slicing — the oracle is `x_countmin`'s SQL
+    * verbatim, asserting stream/batch parity, and unlike the Misra-Gries
+    * stream no merge-order scaffolding is needed anywhere. */
+  def countMinStream(s: SparkSession, d: String): DataFrame = {
+    val work = graft.ops.Scratch.dir("graft_stream_cms")
+    val stage = s"$work/stage"
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    (0 until 3).foreach { b =>
+      docs.filter(col("doc_id") % 3 === b).coalesce(1).write.mode("append").parquet(stage)
+    }
+    val cells = graft.streaming.SketchStream.runCountMin(s, stage, work, cmsCells)
+    cmsEstimateTop20(s, d, cells)
   }
 
   // ---- Dataset diff: snapshot-to-snapshot corpus lifecycle accounting
@@ -1516,6 +1555,7 @@ object TextAnalysis {
     "x_diff_dedup_probe" -> (diffDedupProbe _),
     "x_heavy_hitters" -> (heavyHitters _),
     "x_countmin" -> (countMinAudit _),
+    "x_stream_countmin" -> (countMinStream _),
     "x_stream_heavy_hitters" -> (heavyHittersStream _),
     "x_stream_hh_pruned" -> (heavyHittersStreamPruned _),
     "x_pii_scrub" -> (piiScrub _),
@@ -1700,6 +1740,33 @@ object TextAnalysis {
        |         COALESCE(v1.c, 0) AS chars_v1, COALESCE(v2.c, 0) AS chars_v2
        |  FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id)""".stripMargin
 
+  /** DuckDB twin of the CMS build + top-20 probe (shared by the batch and
+    * streaming entries): same KM constants, same 28-bit base hash,
+    * all-integer cells — the sketch replayed as plain GROUP BYs. */
+  private def countMinOracleSql: String = {
+    val perm = cmsParams.zipWithIndex
+      .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
+    s"""WITH w AS (SELECT regexp_extract_all(lower(text), '\\S+') AS w FROM documents),
+       |tok AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS tok
+       |        FROM w WHERE len(w) >= 2),
+       |h AS (SELECT tok, CAST('0x' || substring(md5(tok), 1, 7) AS BIGINT) AS h FROM tok),
+       |cells AS (SELECT p.i AS row_i, ((p.a * h.h + p.b) % $CMS_P) % $CMS_W AS bucket,
+       |                 count(*) AS cnt
+       |          FROM h, (VALUES $perm) p(i,a,b) GROUP BY 1, 2),
+       |truth AS (SELECT tok, count(*) AS true_count FROM tok GROUP BY tok),
+       |top AS (SELECT tok, true_count,
+       |               CAST('0x' || substring(md5(tok), 1, 7) AS BIGINT) AS h
+       |        FROM truth ORDER BY true_count DESC, tok LIMIT 20)
+       |SELECT t.tok AS term, t.true_count,
+       |       CAST(min(c.cnt) AS BIGINT) AS est_count,
+       |       CAST(min(c.cnt) - t.true_count AS BIGINT) AS overcount
+       |FROM top t
+       |JOIN (VALUES $perm) p(i,a,b) ON TRUE
+       |JOIN cells c ON c.row_i = p.i
+       |            AND c.bucket = ((p.a * t.h + p.b) % $CMS_P) % $CMS_W
+       |GROUP BY t.tok, t.true_count""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     // Per-source z-band counts from exact integer sums; the double
     // mean/variance expressions mirror the Spark side token for token.
@@ -1741,29 +1808,11 @@ object TextAnalysis {
     "x_heavy_hitters" -> heavyHittersOracleSql,
     // Same KM constants, same 28-bit base hash, all-integer cells — the
     // sketch replayed as plain GROUP BYs.
-    "x_countmin" -> {
-      val perm = cmsParams.zipWithIndex
-        .map { case ((a, b), i) => s"($i,$a,$b)" }.mkString(",")
-      s"""WITH w AS (SELECT regexp_extract_all(lower(text), '\\S+') AS w FROM documents),
-         |tok AS (SELECT unnest(list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])) AS tok
-         |        FROM w WHERE len(w) >= 2),
-         |h AS (SELECT tok, CAST('0x' || substring(md5(tok), 1, 7) AS BIGINT) AS h FROM tok),
-         |cells AS (SELECT p.i AS row_i, ((p.a * h.h + p.b) % $CMS_P) % $CMS_W AS bucket,
-         |                 count(*) AS cnt
-         |          FROM h, (VALUES $perm) p(i,a,b) GROUP BY 1, 2),
-         |truth AS (SELECT tok, count(*) AS true_count FROM tok GROUP BY tok),
-         |top AS (SELECT tok, true_count,
-         |               CAST('0x' || substring(md5(tok), 1, 7) AS BIGINT) AS h
-         |        FROM truth ORDER BY true_count DESC, tok LIMIT 20)
-         |SELECT t.tok AS term, t.true_count,
-         |       CAST(min(c.cnt) AS BIGINT) AS est_count,
-         |       CAST(min(c.cnt) - t.true_count AS BIGINT) AS overcount
-         |FROM top t
-         |JOIN (VALUES $perm) p(i,a,b) ON TRUE
-         |JOIN cells c ON c.row_i = p.i
-         |            AND c.bucket = ((p.a * t.h + p.b) % $CMS_P) % $CMS_W
-         |GROUP BY t.tok, t.true_count""".stripMargin
-    },
+    "x_countmin" -> countMinOracleSql,
+    // Counter addition is associative: the drained stream's cells equal
+    // the one-shot sketch for any micro-batch slicing, so the streaming
+    // entry shares the batch oracle (stream/batch parity under the gate).
+    "x_stream_countmin" -> countMinOracleSql,
     // Parity theorem: the streamed fold of per-batch sketches carries the
     // same completeness guarantee, so the prune+verify output is identical
     // to the batch entry's — SAME oracle.

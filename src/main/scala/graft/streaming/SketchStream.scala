@@ -126,6 +126,68 @@ object SketchStream {
   def pruneState(s: SparkSession, stateDir: String, keepFrom: Long): Unit =
     SinkRetention.prunePartitions(s, stateDir, keepFrom)
 
+  private val cmsStateSchema: StructType = StructType(Seq(
+    StructField("row_i", IntegerType),
+    StructField("bucket", LongType),
+    StructField("cnt", LongType),
+    StructField("batch_id", LongType)))
+
+  /** Per-micro-batch CMS fold: sketch the batch into its (row, bucket,
+    * count) cells via the caller's kernel, add them onto the latest prior
+    * state, land as this batch's partition. Unlike the Misra-Gries fold
+    * above, NO determinism scaffolding is needed — CMS merge is plain
+    * counter addition, associative and commutative, so any merge order
+    * (shuffle-fetch order included) lands the bit-identical partition and
+    * replay idempotence is free. State is ≤ d·w rows per link regardless
+    * of stream length; the same exactly-once batch_id-partitioned chain
+    * contract as [[sketchBatch]] (read strictly earlier, overwrite own
+    * partition). */
+  def cmsBatch(cellsOf: DataFrame => DataFrame, stateDir: String)(
+      batch: DataFrame, batchId: Long): Unit = {
+    val s = batch.sparkSession
+    val prior = s.read.schema(cmsStateSchema).parquet(stateDir)
+      .filter(col("batch_id") < batchId)
+    val latest = prior.groupBy().agg(max(col("batch_id")).as("b")).head()
+    val prev =
+      if (latest.isNullAt(0))
+        s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          StructType(cmsStateSchema.dropRight(1)))
+      else prior.filter(col("batch_id") === latest.getLong(0)).drop("batch_id")
+    cellsOf(batch).unionByName(prev)
+      .groupBy(col("row_i"), col("bucket"))
+      .agg(sum(col("cnt")).as("cnt"))
+      .withColumn("batch_id", lit(batchId))
+      .write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("batch_id").parquet(stateDir)
+  }
+
+  /** Drain a staged document directory as a real file-source stream,
+    * folding Count-Min cells forward; returns the final cell relation
+    * (row_i, bucket, cnt). Counter addition is associative, so the result
+    * equals the one-shot batch sketch for ANY slicing into micro-batches —
+    * the catalog entry shares the batch oracle (`x_countmin`). */
+  def runCountMin(s: SparkSession, stageDir: String, workDir: String,
+      cellsOf: DataFrame => DataFrame): DataFrame = {
+    val stateDir = s"$workDir/cms_state"
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
+    val q = s.readStream
+      .schema(docSchema)
+      .option("maxFilesPerTrigger", 1)
+      .parquet(stageDir)
+      .writeStream
+      .foreachBatch(cmsBatch(cellsOf, stateDir) _)
+      .option("checkpointLocation", s"$workDir/ckpt")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    val state = s.read.schema(cmsStateSchema).parquet(stateDir)
+    val lastRow = state.agg(max(col("batch_id"))).head()
+    if (lastRow.isNullAt(0))
+      s.createDataFrame(s.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(cmsStateSchema.dropRight(1)))
+    else state.filter(col("batch_id") === lastRow.getLong(0)).drop("batch_id")
+  }
+
   /** Drain a staged document directory as a real file-source stream and
     * return (final candidate sketch, exact stream length). */
   def runHeavyHitters(s: SparkSession, stageDir: String, workDir: String,

@@ -366,6 +366,16 @@ class ExamplesSpec extends AnyFunSuite {
     // canonicalized dedup: variant groups found per language
     val norm = graft.ops.Dedup.dedupNormalized(spark, dir)
     assert(norm.agg(sum(col("n_variant_groups"))).head().getLong(0) > 0)
+
+    // Count-Min: never undercounts, and the streamed fold equals the batch
+    val cms = graft.ops.TextAnalysis.countMinAudit(spark, dir)
+    assert(cms.filter(col("overcount") < 0).count() == 0)
+    val live = graft.ops.TextAnalysis.countMinStream(spark, dir)
+    assert(live.collect().toSet == cms.collect().toSet)
+
+    // kNN-graph health: a connected, partly-reciprocal panel graph
+    val g = graft.ops.GraphOps.graphKnnStats(spark, dir).head()
+    assert(g.getLong(1) > 0 && g.getLong(2) <= g.getLong(1))
   }
 
   test("example 9b: audio and video ride the multimodal near-dup kernels") {
