@@ -71,14 +71,27 @@ object Dedup {
     * once at ingest. */
   def dedupNormalized(s: SparkSession, d: String): DataFrame = {
     val base = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    // Case folding is ASCII-only `translate`, on BOTH the planted clones
+    // and the canonical key, deliberately: the invariant "every clone
+    // folds back under the normalization" must not hinge on a Unicode
+    // case ROUND-TRIP (upper('ß')='SS' lowers to 'ss' ≠ 'ß', 'İ' grows a
+    // combining dot), and Spark (JDK) vs DuckDB (utf8proc) need not agree
+    // on such mappings. translate over [a-z] is engine- and
+    // locale-independent for any corpus content; non-ASCII letters pass
+    // through both transforms untouched, so the theorem holds even if the
+    // corpus gains them.
+    val asciiUpper = translate(col("text"),
+      "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
     val caseClones = base.filter(col("doc_id") % 7 === 3)
-      .select(col("doc_id") + 1000000L, col("lang"), upper(col("text")).as("text"))
+      .select(col("doc_id") + 1000000L, col("lang"), asciiUpper.as("text"))
     val spaceClones = base.filter(col("doc_id") % 7 === 5)
       .select(col("doc_id") + 2000000L, col("lang"),
         regexp_replace(col("text"), " ", "  ").as("text"))
     val perturbed = base.unionByName(caseClones.toDF("doc_id", "lang", "text"))
       .unionByName(spaceClones.toDF("doc_id", "lang", "text"))
-    val normKey = md5(trim(regexp_replace(lower(col("text")), "\\s+", " ")))
+    val asciiLower = translate(col("text"),
+      "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+    val normKey = md5(trim(regexp_replace(asciiLower, "\\s+", " ")))
     perturbed
       .select(col("lang"), md5(col("text")).as("rawh"), normKey.as("normh"))
       .groupBy(col("lang"))
@@ -1859,18 +1872,26 @@ object Dedup {
     "x_dedup_keep_list" ->
       "SELECT min(doc_id) AS keep_id FROM documents GROUP BY md5(text)",
     // The perturbed view restated in SQL (same doc_id arithmetic), raw vs
-    // canonicalized key — both engines' md5 is lowercase hex and both
-    // regexes are the global '\s+' collapse.
+    // canonicalized key — both engines' md5 is lowercase hex, both regexes
+    // are the global '\s+' collapse, and case folding is the ASCII-only
+    // translate on BOTH sides (engine/locale-independent; see
+    // dedupNormalized's scaladoc on why Unicode upper/lower is not safe
+    // to round-trip across JDK vs utf8proc).
     "x_dedup_norm" ->
       """WITH p AS (SELECT doc_id, lang, text FROM documents
         |           UNION ALL
-        |           SELECT doc_id + 1000000, lang, upper(text)
+        |           SELECT doc_id + 1000000, lang,
+        |                  translate(text, 'abcdefghijklmnopqrstuvwxyz',
+        |                                  'ABCDEFGHIJKLMNOPQRSTUVWXYZ')
         |           FROM documents WHERE doc_id % 7 = 3
         |           UNION ALL
         |           SELECT doc_id + 2000000, lang, regexp_replace(text, ' ', '  ', 'g')
         |           FROM documents WHERE doc_id % 7 = 5),
         |k AS (SELECT lang, md5(text) AS rawh,
-        |             md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS normh
+        |             md5(trim(regexp_replace(
+        |               translate(text, 'ABCDEFGHIJKLMNOPQRSTUVWXYZ',
+        |                               'abcdefghijklmnopqrstuvwxyz'),
+        |               '\s+', ' ', 'g'))) AS normh
         |      FROM p)
         |SELECT lang, count(*) AS n_docs,
         |       count(DISTINCT rawh) AS n_raw_unique,

@@ -47,32 +47,44 @@ private[graft] class RelCache {
 
   private val clock = new AtomicLong(0L)
   private val map = new ConcurrentHashMap[(SparkSession, String, String), Entry]()
+  /** One lock makes {sweep, fetch-or-build, tick bump, LRU evict} a single
+    * atomic step (see [[shared]]). Build lambdas only CONSTRUCT plans
+    * (persist() is a lazy marking, never a job), so the critical section
+    * is microseconds — a coarse lock costs nothing and removes the
+    * eviction race the round-13/14 scaladoc could only document. */
+  private val lock = new Object
 
-  /** Fetch-or-build the persisted relation for (session, dir, tag). */
-  def shared(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame = {
-    // Sweep stopped sessions first so dead keys never count toward the
-    // live session's dir bound (and never hold DataFrame references).
-    val dead = map.entrySet().iterator()
-    while (dead.hasNext) if (dead.next().getKey._1.sparkContext.isStopped) dead.remove()
-    val e = map.computeIfAbsent((s, d, tag),
-      _ => new Entry(build.persist(StorageLevel.MEMORY_AND_DISK)))
-    e.tick = clock.incrementAndGet()
-    evictLru(s)
-    e.df
-  }
+  /** Fetch-or-build the persisted relation for (session, dir, tag).
+    *
+    * Thread safety: the whole access is one atomic step under [[lock]],
+    * so a concurrent access can never observe (or evict against) a stale
+    * LRU snapshot — the dir a thread just touched is NEVER the one a
+    * racing thread's eviction releases, the per-session dir bound holds
+    * at every externally observable instant, and two threads requesting
+    * the same key get the same single build (spec-proven under a
+    * 2-thread × 3-dir storm in RelCacheSpec). What the lock deliberately
+    * does NOT pin: relations are returned for the caller to run jobs on
+    * OUTSIDE the lock, so a later access can still LRU-release a relation
+    * mid-scan — `unpersist(blocking = false)` keeps that a lineage
+    * recompute, never a wrong answer (the designed LRU semantics, not a
+    * race). */
+  def shared(s: SparkSession, d: String, tag: String)(build: => DataFrame): DataFrame =
+    lock.synchronized {
+      // Sweep stopped sessions first so dead keys never count toward the
+      // live session's dir bound (and never hold DataFrame references).
+      val dead = map.entrySet().iterator()
+      while (dead.hasNext) if (dead.next().getKey._1.sparkContext.isStopped) dead.remove()
+      val e = map.computeIfAbsent((s, d, tag),
+        _ => new Entry(build.persist(StorageLevel.MEMORY_AND_DISK)))
+      e.tick = clock.incrementAndGet()
+      evictLru(s)
+      e.df
+    }
 
   /** Bound the session to [[MaxDirsPerSession]] dirs, releasing whole
-    * least-recently-used dirs. Runs AFTER the current access bumped its
-    * tick, so the dir just touched is never the one evicted.
-    *
-    * Known benign race: with 3+ dirs touched from parallel threads of the
-    * SAME session, this can unpersist a dir's relations while another
-    * thread is still scanning them. `unpersist(blocking = false)` makes
-    * that safe — Spark recomputes evicted blocks from lineage, so the
-    * concurrent reader pays a recompute, never a wrong answer. The 2-dir
-    * bound makes the window rare in the supported verify/bench workloads;
-    * a parallel multi-dir driver that hits it should synchronize eviction
-    * (or raise the bound) rather than rely on recompute throughput. */
+    * least-recently-used dirs. Always called under [[lock]], AFTER the
+    * current access bumped its tick — so the dir just touched is never
+    * the one evicted, atomically. */
   private def evictLru(s: SparkSession): Unit = {
     import scala.jdk.CollectionConverters._
     val mine = map.entrySet().asScala.filter(_.getKey._1 eq s).toSeq
@@ -93,7 +105,7 @@ private[graft] class RelCache {
     * starts with `tagPrefix` ("" clears all) — the explicit lifecycle
     * hook for long-lived sessions. Cached entries rebuild transparently
     * on next access. */
-  def clear(s: SparkSession, tagPrefix: String = ""): Unit = {
+  def clear(s: SparkSession, tagPrefix: String = ""): Unit = lock.synchronized {
     val it = map.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
@@ -109,7 +121,7 @@ private[graft] class RelCache {
     * instead of the global persistent-RDD count (which any concurrently
     * running suite perturbs). */
   private[graft] def entries(
-      s: SparkSession, tagPrefix: String = ""): Seq[(String, String, DataFrame)] = {
+      s: SparkSession, tagPrefix: String = ""): Seq[(String, String, DataFrame)] = lock.synchronized {
     import scala.jdk.CollectionConverters._
     map.entrySet().asScala
       .filter(e => (e.getKey._1 eq s) && e.getKey._3.startsWith(tagPrefix))

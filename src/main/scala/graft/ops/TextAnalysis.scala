@@ -1372,15 +1372,20 @@ object TextAnalysis {
 
   /** (row_i, bucket, cnt) cells of the CMS over a (…, text) relation —
     * the per-batch kernel [[graft.streaming.SketchStream.runCountMin]]
-    * folds forward, and the whole sketch for the one-shot entry. */
-  private[ops] def cmsCells(docs: DataFrame): DataFrame = {
-    val toks = cmsBigrams(docs)
-    cmsParams.indices.map { i =>
-        toks.select(lit(i).as("row_i"), cmsBucket(i, col("h")).as("bucket"))
-      }.reduce(_ unionByName _)
+    * folds forward, and the whole sketch for the one-shot entry.
+    *
+    * ONE corpus pass: each token emits its d=4 buckets as an array and
+    * `posexplode` supplies the row index — the earlier shape (a d-branch
+    * union, one `select` per hash row) re-evaluated the tokenize+explode
+    * bigram stream once PER ROW, i.e. d-1 extra corpus scans on the most
+    * expensive stage of the sketch. Spec-pinned in CountMinSpec: the
+    * cells plan contains exactly one scan of `documents`. */
+  private[ops] def cmsCells(docs: DataFrame): DataFrame =
+    cmsBigrams(docs)
+      .select(posexplode(array(cmsParams.indices.map(i => cmsBucket(i, col("h"))): _*))
+        .as(Seq("row_i", "bucket")))
       .groupBy(col("row_i"), col("bucket"))
       .agg(count(lit(1)).as("cnt"))
-  }
 
   /** Point-query audit of a cell relation against the corpus's exact
     * top-20 bigram truth (shared by the batch and streaming entries —
@@ -1390,10 +1395,12 @@ object TextAnalysis {
       .groupBy(col("tok")).agg(count(lit(1)).as("true_count"))
       .orderBy(col("true_count").desc, col("tok")).limit(20)
       .withColumn("h", cmsBaseHash(col("tok")))
-    val probes = cmsParams.indices.map { i =>
-        top.select(col("tok"), col("true_count"),
-          lit(i).as("row_i"), cmsBucket(i, col("h")).as("bucket"))
-      }.reduce(_ unionByName _)
+    // Same single-pass discipline as [[cmsCells]]: the probe rows are only
+    // 20, but a d-branch union over `top` re-plans (and without exchange
+    // reuse re-RUNS) the corpus-wide truth aggregation per branch.
+    val probes = top.select(col("tok"), col("true_count"),
+      posexplode(array(cmsParams.indices.map(i => cmsBucket(i, col("h"))): _*))
+        .as(Seq("row_i", "bucket")))
     probes.join(cells, Seq("row_i", "bucket"))
       .groupBy(col("tok"), col("true_count"))
       .agg(min(col("cnt")).as("est_count"))

@@ -22,6 +22,16 @@ class CountMinSpec extends AnyFunSuite {
     java.lang.Long.parseLong(hex.take(7), 16)
   }
 
+  test("the cells build scans the corpus exactly once (no per-hash-row rescan)") {
+    val docs = spark.read.parquet(s"$d/documents.parquet")
+    val scans = graft.PlanTest.executedNodes(TextAnalysis.cmsCells(docs)).collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(_.toString.contains("documents")) => f
+    }
+    assert(scans.size == 1,
+      s"CMS cells must be built in ONE corpus pass, found ${scans.size} document scans")
+  }
+
   test("estimates equal a driver-side CMS replay and never undercount") {
     val bigrams = spark.read.parquet(s"$d/documents.parquet")
       .select(col("text")).collect().flatMap { r =>

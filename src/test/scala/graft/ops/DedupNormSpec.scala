@@ -13,6 +13,23 @@ class DedupNormSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val d = SparkTestSession.sfDir
 
+  test("case folding is ASCII-only: non-roundtripping Unicode (ß, İ) cannot break the invariant") {
+    import spark.implicits._
+    // Unicode upper('ß')='SS' (lowers to 'ss' ≠ 'ß') and upper/lower of
+    // 'İ' disagree across JDK vs utf8proc — the exact breakage the
+    // ASCII-only translate pair is immune to: clone-then-normalize must
+    // equal normalize for ANY text, non-ASCII included.
+    val texts = Seq("Straße İstanbul MIXED case", "ß İ ı ffi", "plain ascii Text")
+    val up = translate(col("t"), "abcdefghijklmnopqrstuvwxyz", "ABCDEFGHIJKLMNOPQRSTUVWXYZ")
+    val down = (c: org.apache.spark.sql.Column) =>
+      translate(c, "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz")
+    val rows = texts.toDF("t")
+      .select(down(up).as("clone_folded"), down(col("t")).as("src_folded"))
+      .collect()
+    rows.foreach(r => assert(r.getString(0) == r.getString(1),
+      s"ASCII fold not a clone/source congruence: ${r.getString(0)} vs ${r.getString(1)}"))
+  }
+
   test("variant groups equal the planted clone count per language") {
     val docs = spark.read.parquet(s"$d/documents.parquet")
     val clones = docs.filter(col("doc_id") % 7 === 3 || col("doc_id") % 7 === 5)

@@ -45,6 +45,95 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(rows("supplier") == ((2L, 3L, 1L, 2L))) // s1 deg 1, s2 deg 2
   }
 
+  /** Driver-side exact replay of the integer PageRank law over an explicit
+    * edge list: r₀ = 10⁹/n; per round give = r div outdeg, gathered by dst,
+    * r' = 0.15·10⁹/n + (85·Σ) div 100. Returns the per-round states. */
+  private def simulate(edges: Seq[(Long, Long)], rounds: Int): Seq[Map[Long, Long]] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val nodes = out.keySet
+    val n = nodes.size
+    val teleport = 150000000L / n
+    var r = nodes.map(_ -> 1000000000L / n).toMap
+    (1 to rounds).map { _ =>
+      val got = scala.collection.mutable.Map.empty[Long, Long]
+      edges.foreach { case (s, dst) =>
+        got(dst) = got.getOrElse(dst, 0L) + r(s) / out(s)
+      }
+      r = nodes.map(v => v -> (teleport + 85L * got.getOrElse(v, 0L) / 100L)).toMap
+      r
+    }
+  }
+
+  /** Undirected chain 0—1—…—(m-1) as a directed both-ways edge list. */
+  private def chain(m: Int): Seq[(Long, Long)] =
+    (0 until m - 1).flatMap(i => Seq((i.toLong, i + 1L), (i + 1L, i.toLong)))
+
+  test("pagerankDeep: 12 checkpointed rounds on a chain graph equal the exact driver replay") {
+    import spark.implicits._
+    val edges = chain(30)
+    val (ranks, rounds) = GraphOps.pagerankDeep(
+      edges.toDF("src", "dst"), maxRounds = 12, checkpointInterval = 4)
+    assert(rounds == 12)
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == simulate(edges, 12).last,
+      "deep solver diverged from the exact integer iteration")
+    // total mass stays bounded by the teleport/damping contraction
+    assert(got.values.sum <= 1000000000L)
+  }
+
+  test("pagerankDeep: reliable-checkpoint path returns the identical fixed point") {
+    import spark.implicits._
+    val edges = chain(12)
+    val dir = java.nio.file.Files.createTempDirectory("pr-ckpt").toString
+    val (ranks, _) = GraphOps.pagerankDeep(edges.toDF("src", "dst"),
+      maxRounds = 10, checkpointInterval = 3, checkpointDir = Some(dir))
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == simulate(edges, 10).last)
+    assert(new java.io.File(dir).listFiles().nonEmpty, "reliable checkpoint wrote nothing")
+  }
+
+  test("pagerankDeep: the convergence accumulator stops the loop at the exact L1 bound") {
+    import spark.implicits._
+    val edges = chain(12)
+    // 0.85-contraction from an ~10⁸ ppb initial movement: ≤ 10⁷ lands
+    // around round 14 — early enough to prove the stop, late enough that
+    // several checkpoint intervals elapse first.
+    val tol = 10000000L
+    val (ranks, rounds) = GraphOps.pagerankDeep(edges.toDF("src", "dst"),
+      maxRounds = 60, checkpointInterval = 5, convergedBelowPpb = tol)
+    assert(rounds < 60, "expected early convergence on a 12-node chain")
+    val states = simulate(edges, rounds + 1)
+    def l1(a: Map[Long, Long], b: Map[Long, Long]): Long =
+      a.keys.toSeq.map(k => math.abs(a(k) - b(k))).sum // toSeq: Set would collapse equal diffs
+    // the stop round is the FIRST whose movement is within the bound
+    val init = edges.map(_._1).distinct.map(_ -> 1000000000L / 12).toMap
+    val moves = (init +: states).sliding(2).map(p => l1(p(0), p(1))).toSeq
+    assert(moves(rounds - 1) <= tol, "loop stopped before reaching the bound")
+    assert(moves.take(rounds - 1).forall(_ > tol), "loop overshot the first converged round")
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == states(rounds - 1))
+  }
+
+  test("graph relations live in RelCache under graph/ and release on clear") {
+    // tinyDir is private to this suite, so concurrent suites can neither
+    // rebuild nor re-touch its entries between the assertions below.
+    GraphOps.graphPagerank(spark, tinyDir).collect()
+    val owned = RelCache.entries(spark, "graph/").filter(_._1 == tinyDir)
+    assert(owned.map(_._2).toSet == Set("graph/edges", "graph/deg"),
+      s"expected exactly edge+degree relations under graph/, got ${owned.map(_._2)}")
+    owned.foreach { case (_, tag, df) =>
+      assert(df.storageLevel != org.apache.spark.storage.StorageLevel.NONE,
+        s"$tag not persisted while cached")
+    }
+    RelCache.clear(spark, "graph/")
+    assert(RelCache.entries(spark, "graph/").forall(_._1 != tinyDir),
+      "clear left graph/ entries behind")
+    owned.foreach { case (_, tag, df) =>
+      assert(df.storageLevel == org.apache.spark.storage.StorageLevel.NONE,
+        s"$tag still persisted after clear — leaked block")
+    }
+  }
+
   test("real-corpus invariants: mass bound, edge symmetry, rank positivity") {
     val deg = GraphOps.graphDegreeStats(spark, SparkTestSession.sfDir)
       .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap

@@ -44,6 +44,49 @@ class RelCacheSpec extends AnyFunSuite {
     cache.clear(spark, ns)
   }
 
+  test("concurrent access is atomic: dir bound observable-invariant, no recompute storm, no lost relations") {
+    val c = new RelCache
+    val iters = 300
+    val nBuilds = new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicInteger]()
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    def touch(dir: String): Unit = {
+      val df = c.shared(spark, dir, ns + "c") {
+        nBuilds.computeIfAbsent(dir, _ => new java.util.concurrent.atomic.AtomicInteger)
+          .incrementAndGet()
+        spark.range(3).toDF("v")
+      }
+      assert(df != null, "shared returned no relation")
+      // The bound must hold at EVERY externally observable instant — the
+      // pre-lock implementation could expose a 3-dir window (and, worse,
+      // evict against a stale LRU snapshot) between computeIfAbsent and
+      // evictLru of racing threads.
+      val dirs = c.entries(spark, ns).map(_._1).distinct
+      assert(dirs.size <= RelCache.MaxDirsPerSession, s"dir bound violated: $dirs")
+    }
+    def thread(body: => Unit): Thread = {
+      val t = new Thread(() => try body catch { case x: Throwable => errs.add(x) })
+      t.start(); t
+    }
+    // Thread A ping-pongs two hot dirs (both fit the bound); thread B
+    // touches a cold third dir once, mid-storm.
+    val a = thread((0 until iters).foreach(i => touch(if (i % 2 == 0) "hotA" else "hotB")))
+    val b = thread { Thread.sleep(5); touch("coldC") }
+    a.join(); b.join()
+    assert(errs.isEmpty, s"concurrent access failed: ${errs.peek()}")
+    // No recompute storm: with {tick bump, evict} atomic, the single cold
+    // touch evicts at most ONE hot dir exactly once (its re-touch then
+    // evicts coldC, restoring the hot pair) — so across 301 accesses the
+    // build counts are hot ≤ 2 each, cold == 1. A racy LRU could evict a
+    // just-touched hot dir over and over.
+    val counts = { import scala.jdk.CollectionConverters._
+      nBuilds.asScala.map { case (k, v) => k -> v.get() }.toMap }
+    assert(counts.getOrElse("coldC", 0) == 1, s"cold dir must build once: $counts")
+    assert(counts("hotA") <= 2 && counts("hotB") <= 2, s"hot-dir recompute storm: $counts")
+    // no lost relations: the surviving entries still compute
+    c.entries(spark, ns).foreach { case (_, _, df) => assert(df.count() == 3) }
+    c.clear(spark, ns)
+  }
+
   test("clear is tag-prefix-scoped and evicted entries rebuild transparently") {
     cache.clear(spark, ns)
     cache.shared(spark, "dirA", ns + "x")(build(1))
