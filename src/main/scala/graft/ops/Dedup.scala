@@ -392,6 +392,46 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
+  /** The OBJECT-STORE maintenance lifecycle (catalog
+    * `x_stream_dedup_manifest`): the exact stop-compact-resume window of
+    * [[dedupStreamCompacted]], but the fold publishes through the
+    * MANIFEST-POINTER commit ([[graft.streaming.SinkRetention
+    * .compactIndexManifest]]) — an atomic single-file creation instead of
+    * a directory rename, the variant a deployment runs when the sink
+    * lives on S3-class storage with no atomic rename. The resumed batches
+    * resolve the index through `SinkRetention.readLive` (the probe's
+    * standing read seam), picking the folded generation up from the
+    * manifest; content is unchanged by the fold, so the final match union
+    * still tiles the one-shot pair set and the oracle is STILL the
+    * `x_dedup_minhash` CTE pile — the parity theorem asserted across a
+    * manifest-committed compaction boundary. */
+  def dedupStreamManifest(s: SparkSession, d: String): DataFrame = {
+    val work = graft.ops.Scratch.dir("graft_stream_manifest")
+    val stage = s"$work/stage"
+    val docs = documents(s, d).select(col("doc_id"), col("text"))
+    (0 until 2).foreach { b =>
+      docs.filter(col("doc_id") % 4 === b)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    val firstHalf = graft.streaming.DedupStream.runIncremental(s, stage, work)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+      .collect() // consume the early matches BEFORE retention drops them
+    // Maintenance window: stream stopped, batch 1 committed — manifest fold.
+    graft.streaming.DedupStream.compactIndexManifest(s, s"$work/sig_index", watermark = 1L)
+    graft.streaming.DedupStream.pruneMatches(s, s"$work/matches", keepFrom = 2L)
+    (2 until 4).foreach { b =>
+      docs.filter(col("doc_id") % 4 === b)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    val lateMatches = graft.streaming.DedupStream.runIncremental(s, stage, work)
+      .select(col("doc_a"), col("doc_b"), col("est_jaccard"))
+    import s.implicits._
+    lateMatches
+      .unionByName(firstHalf.toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toDF("doc_a", "doc_b", "est_jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
   /** The AMORTIZED maintenance schedule (catalog `x_stream_dedup_tiered`):
     * the threshold-gated fold under the oracle, end-to-end. Folding every
     * window rewrites the whole index per window — quadratic in sink
@@ -1472,6 +1512,7 @@ object Dedup {
     "x_dedup_incremental" -> (dedupIncremental _),
     "x_stream_dedup_incremental" -> (dedupStreamIncremental _),
     "x_stream_dedup_compacted" -> (dedupStreamCompacted _),
+    "x_stream_dedup_manifest" -> (dedupStreamManifest _),
     "x_stream_dedup_tiered" -> (dedupStreamTiered _),
     "x_dedup_simhash" -> ((s, d) => dedupSimhash(s, d)),
     "x_dedup_simhash_wide" -> (dedupSimhashWide _),
@@ -1640,6 +1681,13 @@ object Dedup {
     // signature index between micro-batches changes partition layout, not
     // content, so the oracle is STILL the one-shot batch pair set.
     "x_stream_dedup_compacted" ->
+      s"""WITH ${minhashCtes()}
+         |SELECT doc_a, doc_b, est_jaccard FROM cand""".stripMargin,
+    // ...and across the OBJECT-STORE maintenance path: the manifest-pointer
+    // fold (single-file commit, no directory rename) changes where the
+    // folded rows physically live and how the probe resolves them, but not
+    // one row of content — still the one-shot batch pair set.
+    "x_stream_dedup_manifest" ->
       s"""WITH ${minhashCtes()}
          |SELECT doc_a, doc_b, est_jaccard FROM cand""".stripMargin,
     // ...and across the threshold-gated maintenance schedule: a no-op

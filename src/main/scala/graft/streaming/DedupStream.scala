@@ -99,8 +99,13 @@ object DedupStream {
       val bands = graft.ops.Dedup.mhBands(sigs)
       val self = graft.ops.Dedup.lshSelfPairs(bands)
         .withColumn("via", lit("self"))
+      // The probe resolves the index through SinkRetention.readLive: on a
+      // plain sink this IS the schema'd parquet read (identical plan); on a
+      // manifest-committed sink (compactIndexManifest — the object-store
+      // maintenance path) it also picks up the folded generation, which
+      // plain readers would silently miss.
       val indexBands = graft.ops.Dedup.mhBands(
-        s.read.schema(sigSchema).parquet(indexDir)
+        SinkRetention.readLive(s, indexDir, sigSchema)
           .filter(col("batch_id") < batchId)
           .select(col("doc_id"), col("mh")))
       val probe = graft.ops.Dedup.lshCrossPairs(bands, indexBands)
@@ -156,6 +161,19 @@ object DedupStream {
     * strictly-earlier read predicate valid. */
   def compactIndex(s: SparkSession, indexDir: String, watermark: Long): Unit =
     SinkRetention.compactIndex(s, indexDir, watermark, sigSchema, Seq("doc_id", "mh"))
+
+  /** The OBJECT-STORE-SAFE fold — [[SinkRetention.compactIndexManifest]]
+    * with this sink's schema: same content contract and maintenance window
+    * as [[compactIndex]], but the publish is an atomic single-file
+    * manifest commit (no directory rename anywhere in the maintenance
+    * path), which is the variant to run when the sink lives on S3-class
+    * storage. The probe side needs no switch: [[incrementalBatch]] already
+    * resolves the index through [[SinkRetention.readLive]], which is the
+    * plain partitioned read until the first manifest commit exists.
+    * Parity across the manifest fold is DuckDB-oracled end-to-end as
+    * catalog entry `x_stream_dedup_manifest`. */
+  def compactIndexManifest(s: SparkSession, indexDir: String, watermark: Long): Unit =
+    SinkRetention.compactIndexManifest(s, indexDir, watermark, sigSchema, Seq("doc_id", "mh"))
 
   /** Threshold-gated fold — [[SinkRetention.compactIndexIfNeeded]] with
     * this sink's schema: folds only when at least `minFolded` partitions

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import org.apache.hadoop.fs.{FileSystem, Path}
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.StructType
 
@@ -49,10 +49,12 @@ import org.apache.spark.sql.types.StructType
   *     file-at-a-time swap had an unrecoverable window (a crash between
   *     two moves left rows that existed in neither the stage nor the
   *     target once the re-run's drop loop re-cleared the target).
-  *     The rename is atomic on POSIX filesystems and HDFS; an object
-  *     store without atomic directory rename (S3) should run the sink on
-  *     a transactional table format instead — this is the plain-parquet
-  *     contract.
+  *     The rename is atomic on POSIX filesystems and HDFS; object stores
+  *     without atomic directory rename (S3) use the MANIFEST-POINTER
+  *     publish instead — [[compactIndexManifest]] + [[readLive]], whose
+  *     commit is one small file creation and whose maintenance path
+  *     performs no renames at all (crash matrix proven under a
+  *     rename-refusing FS shim in SinkRetentionSpec).
   *   - REWRITE AMPLIFICATION: one fold rewrites every `<= watermark` byte
   *     once. Folding every maintenance window therefore rewrites the
   *     whole index per window — quadratic in sink lifetime. Use
@@ -129,6 +131,225 @@ object SinkRetention {
     require(fs.rename(stage, target), s"atomic publish rename $stage -> $target failed")
     onPhase("published")
   }
+
+  // ---- Manifest-pointer commit: the object-store-safe publish -------------
+  //
+  // The stage-then-rename publish above is correct on POSIX and HDFS but
+  // depends on an ATOMIC DIRECTORY RENAME — the one primitive S3-class
+  // object stores do not have. This protocol removes the dependency the way
+  // transactional table formats do (Iceberg's version-hint file, Delta's
+  // log): the fold is staged into a WRITE-ONCE generation directory that is
+  // never renamed, and the commit is the creation of ONE small versioned
+  // manifest file. The only FS operations the maintenance path performs are
+  // create-new-file, list, exists, delete, mkdirs — NO rename of any kind
+  // (proven by running the full crash matrix under a rename-refusing
+  // FileSystem shim in SinkRetentionSpec). On S3 a single PUT is atomic
+  // (readers see the old or the new object, never a prefix); on POSIX/HDFS
+  // a crash mid-create can leave a PREFIX of the file, which is why a
+  // manifest is only trusted when it parses completely and ends with the
+  // #END terminator — a torn manifest is ignored and resolution falls back
+  // to the previous version. (The staged parquet write itself goes through
+  // Spark's committer — deployments on object stores pair this with their
+  // cloud-safe committer, which is the standard, orthogonal concern.)
+  //
+  // Layout under the sink root:
+  //   batch_id=N/         live stream partitions (N > watermark after GC)
+  //   _fold_w<W>_g<G>/    fold generations (underscore-prefixed: invisible
+  //                       to plain parquet readers and partition discovery)
+  //   _MANIFEST-<V>/      versioned commit files (same invisibility)
+  //
+  // Resolution rule ([[readLive]]): with a manifest {watermark W, fold F},
+  // the live content is F (as batch_id = W) ∪ physical partitions with
+  // batch_id > W. Physical dirs ≤ W are EXCLUDED — they are either already
+  // folded (pre-GC leftovers) or impossible (committed batch ids only grow).
+  // Without a manifest the sink is a plain partitioned directory and
+  // readLive is byte-identical to the plain read. The streaming writers
+  // never change: they keep appending plain batch_id=N partitions, which the
+  // rule picks up because committed ids are strictly greater than any folded
+  // watermark.
+  //
+  // Crash recovery (re-run compactIndexManifest with the same watermark):
+  //   - mid-stage (no _SUCCESS in the max generation): stage rebuilt from
+  //     the untouched live set; sink and manifest never touched.
+  //   - staged, pre-commit: the completed generation is REUSED (its content
+  //     is a deterministic function of the live set, which is unchanged
+  //     because the manifest is unchanged).
+  //   - torn manifest write: the partial file fails #END validation, is
+  //     ignored by resolution, and is swept by GC; re-run commits the next
+  //     version.
+  //   - post-commit, mid-GC: resolution already serves the new fold; the
+  //     re-run takes the idempotent GC-only path (folded physical dirs,
+  //     superseded folds, stale manifests, torn files).
+
+  private val ManifestPrefix = "_MANIFEST-"
+  private val ManifestHeader = "graft-sink-manifest v1"
+  private val ManifestEnd = "#END"
+
+  private[streaming] final case class Manifest(version: Long, watermark: Long, foldDir: String)
+
+  private def manifestVersionOf(p: Path): Option[Long] = {
+    val n = p.getName
+    if (!n.startsWith(ManifestPrefix)) None
+    else n.drop(ManifestPrefix.length).toLongOption
+  }
+
+  /** Highest-version manifest that parses COMPLETELY (torn writes fail the
+    * #END check and fall through to the previous version). */
+  private[streaming] def currentManifest(fs: FileSystem, root: Path): Option[Manifest] =
+    listDir(fs, root)
+      .flatMap(p => manifestVersionOf(p).map(v => (v, p)))
+      .sortBy(-_._1)
+      .iterator
+      .flatMap { case (v, p) => parseManifest(fs, p).map { case (w, f) => Manifest(v, w, f) } }
+      .nextOption()
+
+  private def parseManifest(fs: FileSystem, p: Path): Option[(Long, String)] = {
+    val bytes =
+      try {
+        val in = fs.open(p)
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val tmp = new Array[Byte](8192)
+          var n = in.read(tmp)
+          while (n >= 0) { buf.write(tmp, 0, n); n = in.read(tmp) }
+          buf.toString("UTF-8")
+        } finally in.close()
+      } catch { case _: java.io.IOException => return None }
+    val lines = bytes.split("\n", -1).toSeq.map(_.trim).filter(_.nonEmpty)
+    for {
+      _ <- Option.when(lines.headOption.contains(ManifestHeader))(())
+      _ <- Option.when(lines.lastOption.contains(ManifestEnd))(())
+      w <- lines.collectFirst { case l if l.startsWith("watermark=") =>
+        l.drop("watermark=".length) }.flatMap(_.toLongOption)
+      f <- lines.collectFirst { case l if l.startsWith("fold=") => l.drop("fold=".length) }
+    } yield (w, f)
+  }
+
+  /** Commit = create ONE new file at the next version. Never overwrites,
+    * never renames; a torn write is self-invalidating (no #END). */
+  private def commitManifest(fs: FileSystem, root: Path, version: Long,
+      watermark: Long, foldDir: String): Unit = {
+    val p = new Path(root, f"$ManifestPrefix$version%09d")
+    // A file can only pre-exist at this version if a previous commit TORE
+    // mid-write (a complete one would have resolved as current and bumped
+    // the version) — sweep it; the gap where neither exists is safe because
+    // resolution falls back to the previous version.
+    if (fs.exists(p)) fs.delete(p, false)
+    val out = fs.create(p, false)
+    try out.write(
+      s"$ManifestHeader\nwatermark=$watermark\nfold=$foldDir\n$ManifestEnd\n".getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** The live content of a (possibly manifest-committed) batch_id sink:
+    * plain partitioned read when no manifest exists — byte-identical plan
+    * to `spark.read.schema(readSchema).parquet(dir)` — else the fold
+    * generation (as `batch_id = watermark`) unioned with the physical
+    * partitions strictly above the watermark. This is the READ SEAM every
+    * probe of a manifest-managed sink must go through: plain readers skip
+    * underscore-prefixed fold dirs and would silently miss the folded rows.
+    * (Spark logs a spurious "All paths were ignored" WARN when handed an
+    * underscore path explicitly — the hidden-path filter only applies to
+    * recursive listing, the read is correct; pinned by every content
+    * assertion in SinkRetentionSpec's manifest matrix.) */
+  def readLive(s: SparkSession, dir: String, readSchema: StructType): DataFrame =
+    readLiveImpl(s, dir, readSchema, None)
+
+  private[streaming] def readLiveImpl(s: SparkSession, dir: String,
+      readSchema: StructType, fsOverride: Option[FileSystem]): DataFrame = {
+    val (fs0, root) = resolve(s, dir)
+    val fs = fsOverride.getOrElse(fs0)
+    currentManifest(fs, root) match {
+      case None => s.read.schema(readSchema).parquet(dir)
+      case Some(m) =>
+        val payload = StructType(readSchema.filterNot(_.name == "batch_id"))
+        val folded = s.read.schema(payload).parquet(new Path(root, m.foldDir).toString)
+          .withColumn("batch_id", lit(m.watermark))
+          .select(readSchema.fieldNames.map(col).toIndexedSeq: _*)
+        s.read.schema(readSchema).parquet(dir)
+          .filter(col("batch_id") > m.watermark) // partition-pruned: pre-GC leftovers excluded
+          .unionByName(folded)
+    }
+  }
+
+  /** The manifest-pointer fold: same content contract as [[compactIndex]]
+    * (every `batch_id <= watermark` row moves into the single logical
+    * partition `batch_id = watermark`, payload untouched, parity theorem
+    * preserved), same maintenance-window rule, but the publish is an
+    * atomic single-file manifest commit instead of a directory rename —
+    * safe on object stores. Readers MUST resolve through [[readLive]]. */
+  def compactIndexManifest(s: SparkSession, indexDir: String, watermark: Long,
+      readSchema: StructType, payloadCols: Seq[String]): Unit =
+    compactIndexManifestImpl(s, indexDir, watermark, readSchema, payloadCols, _ => (), None)
+
+  /** [[compactIndexManifest]] with the spec seams: `onPhase` receives, in
+    * order, "staged", "published", "gc:<name>" per swept path, "gc-done"
+    * (the no-op/GC-only re-run path emits the same sequence); `fsOverride`
+    * lets SinkRetentionSpec route every protocol FS call through a
+    * rename-refusing shim. */
+  private[streaming] def compactIndexManifestImpl(s: SparkSession, indexDir: String,
+      watermark: Long, readSchema: StructType, payloadCols: Seq[String],
+      onPhase: String => Unit, fsOverride: Option[FileSystem]): Unit = {
+    val (fs0, root) = resolve(s, indexDir)
+    val fs = fsOverride.getOrElse(fs0)
+    val cur = currentManifest(fs, root)
+    cur.foreach(m => require(m.watermark <= watermark,
+      s"watermarks are monotone: committed ${m.watermark}, asked $watermark"))
+
+    if (cur.exists(_.watermark == watermark)) {
+      // Idempotent re-run after a successful commit (including a crash
+      // mid-GC): the fold is live; only the sweep remains.
+      onPhase("staged"); onPhase("published")
+      gc(fs, root, cur.get, onPhase)
+      onPhase("gc-done")
+      return
+    }
+
+    // Stage generation: reuse a completed uncommitted stage (marker present,
+    // not the live fold — content is deterministic while the manifest is
+    // unchanged); rebuild a crashed one; else open the next generation.
+    val gens = listDir(fs, root)
+      .filter(_.getName.startsWith(s"_fold_w${watermark}_g"))
+      .flatMap(p => p.getName.split("_g").lastOption.flatMap(_.toLongOption).map((_, p)))
+      .sortBy(-_._1)
+    val stage = gens.headOption match {
+      case Some((_, p)) if fs.exists(new Path(p, "_SUCCESS")) => p
+      case Some((g, p)) => fs.delete(p, true); new Path(root, s"_fold_w${watermark}_g$g")
+      case None => new Path(root, s"_fold_w${watermark}_g1")
+    }
+    if (!fs.exists(new Path(stage, "_SUCCESS"))) {
+      readLiveImpl(s, indexDir, readSchema, Some(fs))
+        .filter(col("batch_id") <= watermark)
+        .select(payloadCols.map(col): _*)
+        .write.mode("overwrite").parquet(stage.toString)
+      require(fs.exists(new Path(stage, "_SUCCESS")),
+        s"staged compaction missing _SUCCESS under $stage")
+    }
+    onPhase("staged")
+
+    val next = Manifest(cur.map(_.version + 1).getOrElse(1L), watermark, stage.getName)
+    commitManifest(fs, root, next.version, next.watermark, next.foldDir)
+    onPhase("published")
+
+    gc(fs, root, next, onPhase)
+    onPhase("gc-done")
+  }
+
+  /** Sweep everything the manifest no longer references: folded physical
+    * partitions, superseded fold generations, manifests older than the
+    * previous version, torn manifest files. Every delete is individually
+    * idempotent — a crash anywhere in the sweep re-runs harmlessly. */
+  private def gc(fs: FileSystem, root: Path, live: Manifest,
+      onPhase: String => Unit): Unit =
+    listDir(fs, root).foreach { p =>
+      val n = p.getName
+      val sweep =
+        batchIdOf(p).exists(_ <= live.watermark) ||
+        (n.startsWith("_fold_") && n != live.foldDir) ||
+        manifestVersionOf(p).exists(_ < live.version - 1) ||
+        (n.startsWith(ManifestPrefix) && manifestVersionOf(p).isEmpty)
+      if (sweep) { fs.delete(p, true); onPhase(s"gc:$n") }
+    }
 
   /** Retention for a result sink: drop every partition with
     * `batch_id < keepFrom`. Results are consumed downstream as each batch

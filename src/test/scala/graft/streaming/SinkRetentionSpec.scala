@@ -103,6 +103,136 @@ class SinkRetentionSpec extends AnyFunSuite {
     assert(content(dir) == want)
   }
 
+  // ---- Manifest-pointer publish: the object-store-safe protocol ----------
+
+  /** Rename-refusing FileSystem: what an S3-class store looks like to the
+    * maintenance path. Every protocol FS call in the manifest matrix below
+    * routes through this shim, so a protocol that renamed ANYTHING —
+    * directory or file — would fail its crash matrix outright. */
+  private class NoRenameFs(underlying: org.apache.hadoop.fs.FileSystem)
+      extends org.apache.hadoop.fs.FilterFileSystem(underlying) {
+    override def rename(src: org.apache.hadoop.fs.Path,
+        dst: org.apache.hadoop.fs.Path): Boolean =
+      throw new AssertionError(s"object-store shim: rename($src -> $dst) is not available")
+  }
+
+  private def shim(dir: String): org.apache.hadoop.fs.FileSystem =
+    new NoRenameFs(new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration))
+
+  private def liveContent(dir: String,
+      fs: org.apache.hadoop.fs.FileSystem): Set[(Long, Long)] =
+    SinkRetention.readLiveImpl(spark, dir, schema, Some(fs))
+      .select(col("doc_id"), col("mh"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+
+  /** Kill the manifest fold at phase `at` (through the no-rename shim),
+    * re-run the production path (same shim), and demand full recovery:
+    * folded rows live behind the manifest, plain layout holds only the
+    * above-watermark partition, exactly one fold generation and one valid
+    * manifest remain. */
+  private def manifestCrashAtThenRecover(at: String): Unit = {
+    val (dir, want) = mkIndex()
+    val fs = shim(dir)
+    val ex = intercept[Crash] {
+      SinkRetention.compactIndexManifestImpl(spark, dir, 1L, schema, payload,
+        p => if (p == at) throw Crash(p) else (), Some(fs))
+    }
+    assert(ex.phase == at)
+    SinkRetention.compactIndexManifestImpl(spark, dir, 1L, schema, payload, _ => (), Some(fs))
+    assert(partitions(dir) == Seq("batch_id=2"),
+      s"crash at '$at': plain partition layout ${partitions(dir)}")
+    assert(liveContent(dir, fs) == want, s"crash at '$at' lost or duplicated rows")
+    val names = new java.io.File(dir).list().toSeq
+    assert(names.count(_.startsWith("_fold_")) == 1,
+      s"crash at '$at': stale fold generations in $names")
+    assert(names.count(_.startsWith("_MANIFEST-")) == 1,
+      s"crash at '$at': stale manifests in $names")
+  }
+
+  test("manifest fold, no crash: plain layout keeps only >watermark, readLive content unchanged") {
+    val (dir, want) = mkIndex()
+    val fs = shim(dir)
+    SinkRetention.compactIndexManifestImpl(spark, dir, 1L, schema, payload, _ => (), Some(fs))
+    assert(partitions(dir) == Seq("batch_id=2"))
+    assert(liveContent(dir, fs) == want)
+    // idempotent re-run: GC-only path, content untouched, no new version
+    SinkRetention.compactIndexManifestImpl(spark, dir, 1L, schema, payload, _ => (), Some(fs))
+    assert(liveContent(dir, fs) == want)
+    assert(new java.io.File(dir).list().count(_.startsWith("_MANIFEST-")) == 1)
+  }
+
+  test("manifest crash after staging, before the commit: re-run reuses the stage (no-rename FS)") {
+    manifestCrashAtThenRecover("staged")
+  }
+
+  test("manifest crash after the commit, before any GC: re-run sweeps (no-rename FS)") {
+    manifestCrashAtThenRecover("published")
+  }
+
+  test("manifest crash BETWEEN two GC deletes: re-run recovers (no-rename FS)") {
+    manifestCrashAtThenRecover("gc:batch_id=0")
+  }
+
+  test("manifest crash after gc-done: re-run is a clean idempotent no-op (no-rename FS)") {
+    manifestCrashAtThenRecover("gc-done")
+  }
+
+  test("a marker-less partial fold generation is rebuilt, never trusted") {
+    val (dir, want) = mkIndex()
+    val fs = shim(dir)
+    val stage = java.nio.file.Paths.get(s"$dir/_fold_w1_g1")
+    java.nio.file.Files.createDirectories(stage)
+    java.nio.file.Files.write(stage.resolve("part-corrupt.parquet"), Array[Byte](1, 2, 3))
+    SinkRetention.compactIndexManifestImpl(spark, dir, 1L, schema, payload, _ => (), Some(fs))
+    assert(liveContent(dir, fs) == want)
+  }
+
+  test("a torn manifest is ignored by resolution and swept by the next commit") {
+    val (dir, want) = mkIndex()
+    val fs = shim(dir)
+    SinkRetention.compactIndexManifestImpl(spark, dir, 1L, schema, payload, _ => (), Some(fs))
+    // fabricate a TORN higher-version manifest (no #END terminator): a
+    // crash mid-create on a POSIX store leaves exactly this prefix
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/_MANIFEST-000000002"),
+      "graft-sink-manifest v1\nwatermark=99\nfold=_fold_w99_g1\n".getBytes("UTF-8"))
+    assert(liveContent(dir, fs) == want, "a torn manifest must not change resolution")
+    assert(partitions(dir) == Seq("batch_id=2"))
+    // the next maintenance window folds at watermark 2 and must commit
+    // version 2 over the torn file's carcass
+    SinkRetention.compactIndexManifestImpl(spark, dir, 2L, schema, payload, _ => (), Some(fs))
+    assert(liveContent(dir, fs) == want)
+    assert(partitions(dir) == Seq.empty, "everything <= watermark 2 folds away")
+  }
+
+  test("successive manifest folds while the stream appends: content tracks, layout stays bounded") {
+    val (dir, want0) = mkIndex()
+    val fs = shim(dir)
+    SinkRetention.compactIndexManifestImpl(spark, dir, 1L, schema, payload, _ => (), Some(fs))
+    // the resumed stream appends a new committed partition
+    import spark.implicits._
+    val extra = Seq((300L, 21L, 3L), (301L, 22L, 3L))
+    extra.toDF("doc_id", "mh", "batch_id")
+      .write.partitionBy("batch_id").mode("append").parquet(dir)
+    val want = want0 ++ extra.map(r => (r._1, r._2))
+    assert(liveContent(dir, fs) == want, "append after a fold must be visible")
+    // next window folds through the previous fold + batch 2
+    SinkRetention.compactIndexManifestImpl(spark, dir, 2L, schema, payload, _ => (), Some(fs))
+    assert(liveContent(dir, fs) == want)
+    assert(partitions(dir) == Seq("batch_id=3"))
+    val names = new java.io.File(dir).list().toSeq
+    assert(names.count(_.startsWith("_fold_")) == 1, s"stale folds: $names")
+  }
+
+  test("readLive on a manifest-less sink is exactly the plain partitioned read") {
+    val (dir, want) = mkIndex()
+    val fs = shim(dir)
+    assert(liveContent(dir, fs) == want)
+    assert(partitions(dir) == Seq("batch_id=0", "batch_id=1", "batch_id=2"),
+      "no maintenance ran: the sink must be byte-untouched")
+  }
+
   test("threshold-gated fold: below threshold no-ops, at threshold folds") {
     val (dir, want) = mkIndex()
     val ran0 = SinkRetention.compactIndexIfNeeded(spark, dir, watermark = 1L,
