@@ -24,13 +24,33 @@ object Bench {
     spark.range(1000000).selectExpr("sum(id)").collect()
     spark.read.parquet(s"$sfDir/region.parquet").count()
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
+    // Batch entries whose cost rides a SHARED persisted relation (RelCache
+    // families: dedup pair/label/ground-truth builds, the graph edge set,
+    // sketch state). Under a 216-entry session's memory pressure those
+    // blocks can be evicted and lineage-rebuilt mid-run, so WHICH entry
+    // pays the multi-second rebuild is nondeterministic — same-HEAD
+    // artifacts disagreed up to 7.6x on these names (x_split_leakage_safe,
+    // x_heavy_hitters; r14). Report their MEDIAN of 3 like the stream
+    // entries: reps 2-3 run against the re-persisted relation, so the
+    // median is the entry's marginal (warm) cost — stable across runs.
+    // Cold/build attribution is recorded separately in the TIMEONE_*
+    // artifacts (fresh JVM per entry), not here.
+    val warmupSensitive = Set(
+      "x_dedup_minhash", "x_dedup_minhash_precision",
+      "x_dedup_simhash", "x_dedup_simhash_precision",
+      "x_dedup_cc", "x_dup_cluster_sizes", "x_dedup_soft_weights",
+      "x_split_leakage_safe", "x_dedup_cross_source", "x_decontam_scrub",
+      "x_jaccard_pairs", "x_containment_pairs",
+      "x_heavy_hitters", "x_countmin",
+      "x_graph_degree", "x_graph_knn_stats", "x_graph_pagerank")
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Checkpointed streaming entries (real micro-batch runs) have
       // inherently high run-to-run variance — same-HEAD artifacts have
-      // disagreed 2× on them. Report the MEDIAN of 3 runs for those;
-      // batch entries stay single-shot (their variance is ambient drift,
-      // which bench_diff normalizes out).
-      val reps = if (name.contains("stream")) 3 else 1
+      // disagreed 2× on them. Report the MEDIAN of 3 runs for those and
+      // for the warmup-sensitive set above; other batch entries stay
+      // single-shot (their variance is ambient drift, which bench_diff
+      // normalizes out).
+      val reps = if (name.contains("stream") || warmupSensitive(name)) 3 else 1
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // A failed query must be VISIBLE in the artifact — a swallowed

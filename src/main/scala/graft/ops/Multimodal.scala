@@ -690,6 +690,26 @@ object Multimodal {
   def dedupImageReal(s: SparkSession, d: String): DataFrame =
     imageRealPairsShared(s, d).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Incremental probe over REAL PNG bytes (catalog
+    * `x_dedup_image_real_incremental`) — the real-codec family reaches the
+    * stub family's delta-vs-index bar: today's ARRIVING images (the planted
+    * clones, whose grids are EARNED through the PNG encode + `javax.imageio`
+    * decode like everything else in this family) probe the persisted dHash
+    * signature index of the existing corpus via
+    * [[Dedup.simhashBandedCrossPairs]]. O(|delta| · bucket occupancy), never
+    * a corpus self-join; the decoded grids come from the family's one
+    * persisted codec pass ([[imageRealGridsShared]]), so the probe adds a
+    * scan-speed dHash projection, not a second decode of the corpus. */
+  def dedupImageRealIncremental(s: SparkSession, d: String): DataFrame = {
+    val sigs = imageRealGridsShared(s, d)
+      .select(col("doc_id"), dhashCol(col("g")).as("w0"))
+    val delta = sigs.filter(col("doc_id") >= IMG_CLONE_OFFSET)
+    val index = sigs.filter(col("doc_id") < IMG_CLONE_OFFSET)
+    Dedup.simhashBandedCrossPairs(delta, index,
+      words = 1, bandBits = IMG_BAND_BITS, maxHamming = IMG_MAX_HAMMING)
+      .orderBy(col("doc_id"), col("match_id"))
+  }
+
   /** Precision audit of the real-codec pairs vs the planted clones
     * (catalog `x_dedup_image_real_precision`). */
   def dedupImageRealPrecision(s: SparkSession, d: String): DataFrame = {
@@ -931,6 +951,7 @@ object Multimodal {
     "x_dedup_image_precision" -> (dedupImagePrecision _),
     "x_image_real_roundtrip" -> (imageRealRoundtrip _),
     "x_dedup_image_real" -> (dedupImageReal _),
+    "x_dedup_image_real_incremental" -> (dedupImageRealIncremental _),
     "x_dedup_image_real_precision" -> (dedupImageRealPrecision _),
     "x_multimodal_jpeg" -> (multimodalJpeg _),
     "x_pipeline_multimodal" -> (pipelineMultimodal _)
@@ -1613,6 +1634,18 @@ object Multimodal {
     "x_dedup_image_real" ->
       s"""WITH $imageRealCtes
          |SELECT doc_a, doc_b, hamming FROM ircand""".stripMargin,
+    "x_dedup_image_real_incremental" ->
+      s"""WITH $imageRealCtes,
+         |irdelta AS (SELECT doc_id, w0, band_idx, band_val FROM irband
+         |            WHERE doc_id >= $IMG_CLONE_OFFSET),
+         |irindex AS (SELECT doc_id, w0, band_idx, band_val FROM irband
+         |            WHERE doc_id < $IMG_CLONE_OFFSET)
+         |SELECT doc_id, match_id, hamming FROM (
+         |  SELECT DISTINCT a.doc_id AS doc_id, b.doc_id AS match_id,
+         |         CAST(bit_count(xor(a.w0, b.w0)) AS INTEGER) AS hamming
+         |  FROM irdelta a JOIN irindex b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val)
+         |WHERE hamming <= $IMG_MAX_HAMMING""".stripMargin,
     "x_dedup_image_real_precision" ->
       s"""WITH $imageRealCtes,
          |irplanted AS (SELECT doc_id AS doc_a, doc_id + $IMG_CLONE_OFFSET AS doc_b
