@@ -378,6 +378,46 @@ class ExamplesSpec extends AnyFunSuite {
     assert(g.getLong(1) > 0 && g.getLong(2) <= g.getLong(1))
   }
 
+  test("example 15: object-store maintenance, deep PageRank, real-codec day-2") {
+    val dir = "/root/testdata/sf0.001"
+    import org.apache.spark.sql.types._
+
+    // Manifest-pointer fold: stage a tiny batch_id sink, fold at watermark
+    // 1, and read back through the manifest — plain layout keeps only the
+    // above-watermark partition, content is untouched.
+    val sinkDir = java.nio.file.Files.createTempDirectory("usage15_sink").toString
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("mh", LongType),
+      StructField("batch_id", LongType)))
+    import spark.implicits._
+    val rows = for (b <- 0L until 3L; i <- 0L until 4L) yield (b * 10 + i, b + i, b)
+    rows.toDF("doc_id", "mh", "batch_id")
+      .write.partitionBy("batch_id").mode("overwrite").parquet(sinkDir)
+    graft.streaming.SinkRetention.compactIndexManifest(
+      spark, sinkDir, watermark = 1L, schema, Seq("doc_id", "mh"))
+    assert(new java.io.File(sinkDir).list().count(_.startsWith("batch_id=")) == 1,
+      "folded partitions must leave the plain layout")
+    val live = graft.streaming.SinkRetention.readLive(spark, sinkDir, schema)
+    assert(live.count() == 12, "the manifest fold must preserve every row")
+    assert(live.filter(col("batch_id") <= 1L).count() == 8,
+      "folded rows resolve at the watermark partition")
+
+    // Deep PageRank: 10 checkpointed rounds on a planted cycle — total
+    // mass bounded, every node ranked
+    val edges = (0L until 8L).flatMap(i => Seq((i, (i + 1) % 8), ((i + 1) % 8, i)))
+      .toDF("src", "dst")
+    val (ranks, rounds) = graft.ops.GraphOps.pagerankDeep(
+      edges, maxRounds = 10, checkpointInterval = 4)
+    assert(rounds == 10 && ranks.count() == 8)
+    assert(ranks.agg(sum(col("r"))).head().getLong(0) <= 1000000000L)
+
+    // Real-codec incremental probe: delta (re-encoded clones) vs index
+    val hits = graft.ops.Multimodal.dedupImageRealIncremental(spark, dir)
+    assert(hits.filter(col("doc_id") < 10000000L).count() == 0,
+      "probe output must be delta-side ids only")
+    assert(hits.count() > 0)
+  }
+
   test("example 9b: audio and video ride the multimodal near-dup kernels") {
     val dir = "/root/testdata/sf0.001"
 
