@@ -109,7 +109,10 @@ object SemanticStream {
       // vectors (a replay after its append landed would re-find every
       // intra-batch pair a second time). The predicate is a partition
       // filter, so the replayed probe does not even scan its own partition.
-      val index = s.read.schema(indexSchema).parquet(indexDir)
+      // Resolved through SinkRetention.readLive: the plain schema'd read
+      // (identical plan) until a manifest commit exists, fold-aware after —
+      // so [[compactIndexManifest]] needs no probe-side switch.
+      val index = SinkRetention.readLive(s, indexDir, indexSchema)
         .filter(col("batch_id") < batchId)
         .select(col("vec_id"), col("v"), col("nrm"), col("cluster"))
       val probe = assigned.as("x").join(index.as("y"),
@@ -137,6 +140,16 @@ object SemanticStream {
     * watermark committed — the contract is in SinkRetention's scaladoc. */
   def compactIndex(s: SparkSession, indexDir: String, watermark: Long): Unit =
     SinkRetention.compactIndex(s, indexDir, watermark, indexSchema,
+      Seq("vec_id", "v", "nrm", "cluster"))
+
+  /** Object-store-safe fold for the vector index —
+    * [[SinkRetention.compactIndexManifest]] with this sink's schema: the
+    * manifest-pointer publish (single-file commit, no renames) applied to
+    * the embedding sink. Probe side already resolves through
+    * `SinkRetention.readLive`; parity across the manifest fold is proven
+    * in SemanticStreamSpec. */
+  def compactIndexManifest(s: SparkSession, indexDir: String, watermark: Long): Unit =
+    SinkRetention.compactIndexManifest(s, indexDir, watermark, indexSchema,
       Seq("vec_id", "v", "nrm", "cluster"))
 
   /** Threshold-gated fold for the vector index —

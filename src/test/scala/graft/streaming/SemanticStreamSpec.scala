@@ -158,6 +158,52 @@ class SemanticStreamSpec extends AnyFunSuite {
       "resumed batches over the compacted index must complete the one-shot pair set")
   }
 
+  test("manifest-pointer fold on the vector index: parity survives the object-store window") {
+    val work = java.nio.file.Files.createTempDirectory("sem_stream_manifest_spec").toString
+    val vecs = graft.ops.Tables.embeddings(spark, d)
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast("double")).as("v"))
+      .withColumn("nrm", sqrt(aggregate(col("v"), lit(0.0), (a, x) => a + x * x)))
+    val cents = Similarity.trainIvfCentroids(spark, d, k)
+    (0 until 2).foreach { b =>
+      vecs.filter(col("vec_id") % 4 === b).coalesce(1).write.mode("append").parquet(s"$work/stage")
+    }
+    val early = SemanticStream.runIncremental(spark, s"$work/stage", work,
+        v => Similarity.assignClusterViaHof(v, cents), TAU)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val idx = s"$work/vec_index"
+    val beforeRows = spark.read.parquet(idx)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+
+    // the OBJECT-STORE maintenance window: single-file manifest commit,
+    // folded partitions leave the plain layout entirely
+    SemanticStream.compactIndexManifest(spark, idx, watermark = 1L)
+    val names = new java.io.File(idx).list().toSeq
+    assert(!names.exists(_.startsWith("batch_id=")), s"folded partitions remain: $names")
+    assert(names.count(_.startsWith("_MANIFEST-")) == 1 &&
+      names.count(_.startsWith("_fold_")) == 1, s"unexpected layout: $names")
+    // content resolves ONLY through the manifest-aware read seam
+    val afterRows = SinkRetention.readLiveImpl(spark, idx,
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "vec_id LONG, v ARRAY<DOUBLE>, nrm DOUBLE, cluster INT, batch_id LONG"), None)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(afterRows == beforeRows, "the manifest fold must preserve index content")
+
+    // resumed batches probe THROUGH the manifest and complete the pair set
+    SemanticStream.pruneMatches(spark, s"$work/matches", keepFrom = 2L)
+    (2 until 4).foreach { b =>
+      vecs.filter(col("vec_id") % 4 === b).coalesce(1).write.mode("append").parquet(s"$work/stage")
+    }
+    val late = SemanticStream.runIncremental(spark, s"$work/stage", work,
+        v => Similarity.assignClusterViaHof(v, cents), TAU)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    assert(late.intersect(early).isEmpty, "late batches must not re-find consumed pairs")
+    assert((late ++ early) == oneShot,
+      "resumed batches over the manifest-folded index must complete the one-shot pair set")
+  }
+
   test("oracle derives k in-SQL and the entry emits only integral columns") {
     val sql = Similarity.oracleSql("x_stream_semantic_incremental")
     assert(sql.contains("kk AS (SELECT greatest(16,") &&
