@@ -196,6 +196,32 @@ object GraphOps {
     (out, round)
   }
 
+  /** Rounds of the DEEP catalog entry — past the unrolled entry's 3, so
+    * the solver's lineage cut (checkpointInterval 3 → two cuts) executes
+    * under the DuckDB oracle, not only under the spec. */
+  private val DEEP_ROUNDS = 6
+
+  /** Catalog face of [[pagerankDeep]] (`x_graph_pagerank_deep`): 6
+    * checkpointed rounds over the trading graph, top 15 — same integer
+    * law as [[graphPagerank]], but run through the n-round solver so a
+    * mid-plan lineage cut (a `localCheckpoint` at rounds 3 and 6) sits
+    * between the oracle and the answer. The edge relation comes from the
+    * shared cache; the solver's own working copies release on return. */
+  def graphPagerankDeep(s: SparkSession, d: String): DataFrame = {
+    val (ranks, _) = pagerankDeep(edgesShared(s, d),
+      maxRounds = DEEP_ROUNDS, checkpointInterval = 3)
+    ranks
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").as("entity_id"),
+        col("r").cast("long").as("rank_ppb"),
+        col("node"))
+      .orderBy(col("rank_ppb").desc, col("node"))
+      .limit(15)
+      .select(col("node_type"), col("entity_id"), col("rank_ppb"))
+  }
+
   /** Panel size of the kNN-graph diagnostic: brute-force exact top-3 on a
     * fixed id-prefix sample (1000² = 10⁶ cosine dots at any scale). */
   private val KNN_PANEL = 1000L
@@ -260,6 +286,7 @@ object GraphOps {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_graph_degree" -> (graphDegreeStats _),
     "x_graph_pagerank" -> (graphPagerank _),
+    "x_graph_pagerank_deep" -> (graphPagerankDeep _),
     "x_graph_knn_stats" -> (graphKnnStats _))
 
   private val edgeCtes: String =
@@ -322,5 +349,18 @@ object GraphOps {
          |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
          |       node // 2 AS entity_id,
          |       CAST(r AS BIGINT) AS rank_ppb
-         |FROM r3 ORDER BY r DESC, node LIMIT 15""".stripMargin)
+         |FROM r3 ORDER BY r DESC, node LIMIT 15""".stripMargin,
+    // The deep solver under the oracle: the same integer round law chained
+    // DEEP_ROUNDS times in SQL, while the Spark side runs pagerankDeep with
+    // lineage cuts at rounds 3 and 6 — a checkpoint must be invisible to
+    // the answer, and the hash compare proves it.
+    "x_graph_pagerank_deep" ->
+      s"""WITH $edgeCtes,
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |r0 AS (SELECT src AS node, 1000000000 // (SELECT n FROM nn) AS r FROM deg),
+         |${(1 to DEEP_ROUNDS).map(i => prRound(s"r${i - 1}", s"r$i")).mkString(",\n")}
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+         |       node // 2 AS entity_id,
+         |       CAST(r AS BIGINT) AS rank_ppb
+         |FROM r$DEEP_ROUNDS ORDER BY r DESC, node LIMIT 15""".stripMargin)
 }
