@@ -143,15 +143,36 @@ object GraphOps {
     * relation. Returns (final ranks (node, r), rounds actually run). */
   def pagerankDeep(edgeRel: DataFrame, maxRounds: Int, checkpointInterval: Int = 5,
       checkpointDir: Option[String] = None, convergedBelowPpb: Long = 0L): (DataFrame, Int) = {
-    require(maxRounds >= 1, "maxRounds must be >= 1")
-    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
-    val s = edgeRel.sparkSession
-    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
     val e = edgeRel.select(col("src").cast("long").as("src"), col("dst").cast("long").as("dst"))
       .repartition(col("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try pagerankLoop(e, deg, maxRounds, checkpointInterval, checkpointDir, convergedBelowPpb)
+    finally {
+      // The returned relation is always materialized (every loop exit path
+      // checkpoints), so releasing the working copies here cannot trigger
+      // a recompute in the caller.
+      e.unpersist(blocking = false)
+      deg.unpersist(blocking = false)
+    }
+  }
+
+  /** The solver loop over ALREADY-PREPARED relations: `e` a (src, dst)
+    * edge set partitioned on src, `deg` its (src, outdeg) — both expected
+    * persisted by the caller (who also owns their release). The catalog
+    * entry calls this directly on the `graph/` RelCache relations:
+    * duplicating the edge relation per call (what [[pagerankDeep]]'s
+    * convenience prep does) doubled the biggest persisted footprint in the
+    * 219-entry bench session and tipped sf5 over the execution-memory
+    * edge. */
+  private[ops] def pagerankLoop(e: DataFrame, deg: DataFrame, maxRounds: Int,
+      checkpointInterval: Int, checkpointDir: Option[String],
+      convergedBelowPpb: Long): (DataFrame, Int) = {
+    require(maxRounds >= 1, "maxRounds must be >= 1")
+    require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
+    val s = e.sparkSession
+    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
     val n = deg.count()
     val teleport = 150000000L / n
     val degN = deg.select(col("src").as("gnode"), col("outdeg"))
@@ -188,11 +209,9 @@ object GraphOps {
       }
       ranks = nextM
     }
-    // Hand back a materialized relation so the shared edge/degree blocks
-    // can be released NOW instead of leaking into the caller's session.
+    // Hand back a materialized relation so the caller may release the
+    // edge/degree blocks immediately.
     val out = if (materialized) ranks else ranks.localCheckpoint()
-    e.unpersist(blocking = false)
-    deg.unpersist(blocking = false)
     (out, round)
   }
 
@@ -205,11 +224,15 @@ object GraphOps {
     * checkpointed rounds over the trading graph, top 15 — same integer
     * law as [[graphPagerank]], but run through the n-round solver so a
     * mid-plan lineage cut (a `localCheckpoint` at rounds 3 and 6) sits
-    * between the oracle and the answer. The edge relation comes from the
-    * shared cache; the solver's own working copies release on return. */
+    * between the oracle and the answer. Runs [[pagerankLoop]] DIRECTLY on
+    * the shared `graph/` relations — no per-call duplicate of the edge
+    * relation, which is both the cheaper plan (no extra edge shuffle) and
+    * what kept the sf5 219-entry bench session inside its execution-memory
+    * budget. */
   def graphPagerankDeep(s: SparkSession, d: String): DataFrame = {
-    val (ranks, _) = pagerankDeep(edgesShared(s, d),
-      maxRounds = DEEP_ROUNDS, checkpointInterval = 3)
+    val (ranks, _) = pagerankLoop(edgesShared(s, d), degShared(s, d),
+      maxRounds = DEEP_ROUNDS, checkpointInterval = 3,
+      checkpointDir = None, convergedBelowPpb = 0L)
     ranks
       .select(
         when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
