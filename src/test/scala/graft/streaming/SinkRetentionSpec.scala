@@ -206,6 +206,36 @@ class SinkRetentionSpec extends AnyFunSuite {
     assert(partitions(dir) == Seq.empty, "everything <= watermark 2 folds away")
   }
 
+  test("every strict byte-prefix of a manifest either fails validation or carries the exact content") {
+    // The #END-terminator design's torn-write theorem, enumerated: a crash
+    // mid-create leaves a byte PREFIX. Because #END is the LAST line, a
+    // prefix either lacks a complete terminator (rejected — resolution
+    // falls back to the previous version) or contains the COMPLETE
+    // watermark and fold lines (only the trailing newline may be missing),
+    // in which case resolving it is harmless: identical committed state.
+    // No prefix may ever resolve to a THIRD state.
+    val (dir, want) = mkIndex()
+    val fs = shim(dir)
+    SinkRetention.compactIndexManifestImpl(spark, dir, 1L, schema, payload, _ => (), Some(fs))
+    val v1 = java.nio.file.Paths.get(s"$dir/_MANIFEST-000000001")
+    val bytes = java.nio.file.Files.readAllBytes(v1)
+    val full = SinkRetention.currentManifest(fs, new org.apache.hadoop.fs.Path(dir))
+      .getOrElse(fail("complete manifest must resolve"))
+    val torn = java.nio.file.Paths.get(s"$dir/_MANIFEST-000000002")
+    (0 until bytes.length).foreach { n =>
+      java.nio.file.Files.write(torn, bytes.take(n))
+      val cur = SinkRetention.currentManifest(fs, new org.apache.hadoop.fs.Path(dir))
+        .getOrElse(fail(s"resolution must not go blank on a $n-byte torn v2"))
+      assert((cur.watermark, cur.foldDir) == ((full.watermark, full.foldDir)),
+        s"a $n-byte prefix resolved to a DIFFERENT state: $cur vs $full")
+      if (cur.version == 2L)
+        assert(n >= bytes.length - 1,
+          s"a $n-byte prefix (of ${bytes.length}) validated without a complete #END line")
+    }
+    java.nio.file.Files.delete(torn)
+    assert(liveContent(dir, fs) == want)
+  }
+
   test("successive manifest folds while the stream appends: content tracks, layout stays bounded") {
     val (dir, want0) = mkIndex()
     val fs = shim(dir)
