@@ -255,6 +255,47 @@ class SinkRetentionSpec extends AnyFunSuite {
     assert(names.count(_.startsWith("_fold_")) == 1, s"stale folds: $names")
   }
 
+  test("manifest lifecycle soak: five crash-interrupted maintenance windows over a growing sink") {
+    // The long-haul composition the single-window matrix can't see: a sink
+    // that alternates appends (the resumed stream) with manifest folds at
+    // advancing watermarks, EVERY window first killed at a rotating phase
+    // and then recovered by the production re-run. Content must track the
+    // full append history at every step; layout must stay bounded at one
+    // fold generation + above-watermark partitions.
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("sink_manifest_soak").toString
+    val fs = shim(dir)
+    var want = Set.empty[(Long, Long)]
+    def append(b: Long): Unit = {
+      val rows = (0L until 3L).map(i => (b * 100 + i, b * 7 + i, b))
+      rows.toDF("doc_id", "mh", "batch_id")
+        .write.partitionBy("batch_id").mode("append").parquet(dir)
+      want ++= rows.map(r => (r._1, r._2))
+    }
+    val phases = Seq("staged", "published", "gc-done", "staged", "published")
+    (0 until 5).foreach { w =>
+      append(2L * w); append(2L * w + 1)
+      val watermark = 2L * w + 1
+      val ex = intercept[Crash] {
+        SinkRetention.compactIndexManifestImpl(spark, dir, watermark, schema, payload,
+          p => if (p == phases(w)) throw Crash(p) else (), Some(fs))
+      }
+      assert(ex.phase == phases(w))
+      SinkRetention.compactIndexManifestImpl(spark, dir, watermark, schema, payload,
+        _ => (), Some(fs))
+      assert(liveContent(dir, fs) == want,
+        s"window $w (crash at ${phases(w)}): content diverged from the append history")
+      assert(partitions(dir).isEmpty,
+        s"window $w: everything <= watermark must leave the plain layout")
+      val names = new java.io.File(dir).list().toSeq
+      assert(names.count(_.startsWith("_fold_")) == 1, s"window $w: stale folds in $names")
+    }
+    // after five windows the sink still takes appends and reads coherently
+    append(10L)
+    assert(liveContent(dir, fs) == want)
+    assert(partitions(dir) == Seq("batch_id=10"))
+  }
+
   test("readLive on a manifest-less sink is exactly the plain partitioned read") {
     val (dir, want) = mkIndex()
     val fs = shim(dir)
