@@ -168,11 +168,19 @@ object GraphOps {
     * edge. */
   private[ops] def pagerankLoop(e: DataFrame, deg: DataFrame, maxRounds: Int,
       checkpointInterval: Int, checkpointDir: Option[String],
-      convergedBelowPpb: Long): (DataFrame, Int) = {
+      convergedBelowPpb: Long,
+      onCut: DataFrame => Unit = _ => ()): (DataFrame, Int) = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val s = e.sparkSession
-    checkpointDir.foreach(s.sparkContext.setCheckpointDir)
+    // Only set the checkpoint dir when the session has none: the dir is
+    // SESSION-GLOBAL, and clobbering it here would silently redirect every
+    // later reliable checkpoint (e.g. Dedup.connectedComponents) to this
+    // solver's possibly-temporary dir — same guard discipline as
+    // connectedComponents.
+    checkpointDir.foreach { dir =>
+      if (s.sparkContext.getCheckpointDir.isEmpty) s.sparkContext.setCheckpointDir(dir)
+    }
     val n = deg.count()
     val teleport = 150000000L / n
     val degN = deg.select(col("src").as("gnode"), col("outdeg"))
@@ -180,6 +188,14 @@ object GraphOps {
     // so the first convergence join never re-plans the edge build.
     var ranks = degN.select(col("gnode").as("node"), lit(1000000000L / n).as("r"))
       .localCheckpoint()
+    // The previous MATERIALIZED cut. Each localCheckpoint materializes a
+    // node-sized relation whose blocks would otherwise live until
+    // ContextCleaner GC — unbounded at deep round counts. Once cut N is
+    // materialized (and the convergence join over the last pre-cut state
+    // has run), no later plan references cut N−1, so its blocks are
+    // released eagerly. NEVER released: the cut the caller receives.
+    var lastCut: DataFrame = ranks
+    onCut(ranks)
     var round = 0
     var converged = false
     var materialized = true
@@ -207,13 +223,34 @@ object GraphOps {
           .agg(sum(abs(col("r") - col("pr"))).as("l1")).head.getLong(0)
         converged = moved <= convergedBelowPpb
       }
+      if (cut) {
+        // Safe point: nextM is materialized and the convergence join (the
+        // last reader of lineage over the previous cut) has completed.
+        releaseCut(lastCut)
+        lastCut = nextM
+        onCut(nextM)
+      }
       ranks = nextM
     }
     // Hand back a materialized relation so the caller may release the
     // edge/degree blocks immediately.
     val out = if (materialized) ranks else ranks.localCheckpoint()
+    if (out ne lastCut) { onCut(out); releaseCut(lastCut) }
     (out, round)
   }
+
+  /** Release the persisted blocks behind a checkpointed rank relation. A
+    * `localCheckpoint` truncates lineage, so an unpersisted cut cannot be
+    * recomputed — callers release a cut ONLY once nothing references it
+    * (enforced by [[pagerankLoop]]'s schedule). Reliable checkpoints keep
+    * their files on the checkpoint dir (owned by the dir's lifecycle);
+    * this drops only block-manager state, which for them is a no-op. */
+  private def releaseCut(df: DataFrame): Unit =
+    df.queryExecution.analyzed.collectLeaves().foreach {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.unpersist(blocking = false)
+      case _ => ()
+    }
 
   /** Rounds of the DEEP catalog entry — past the unrolled entry's 3, so
     * the solver's lineage cut (checkpointInterval 3 → two cuts) executes
@@ -243,6 +280,51 @@ object GraphOps {
       .orderBy(col("rank_ppb").desc, col("node"))
       .limit(15)
       .select(col("node_type"), col("entity_id"), col("rank_ppb"))
+  }
+
+  /** Convergence bound of the CONVERGED catalog entry, in ppb of L1 rank
+    * movement. The damped chain contracts movement by ≤0.85 per round from
+    * ~1.5·10⁹ initial, and the sequence is mass-normalized (measured
+    * byte-stable across sf0.001→0.1: round 7 ≈ 5.61·10⁸, round 8 ≈
+    * 4.77·10⁸), so 5·10⁸ stops at round 8 with >10% margin on both sides —
+    * and even off this graph the entry cannot diverge from its oracle,
+    * because BOTH engines replay the same integer stopping law rather than
+    * a pinned round count. */
+  private val CONV_BOUND_PPB = 500000000L
+
+  /** Round cap of the CONVERGED entry — the safety rail every production
+    * convergence loop carries; replayed verbatim in the oracle's recursive
+    * WHERE, so a cap-hit is equal on both engines too. */
+  private val CONV_MAX_ROUNDS = 12
+
+  /** Catalog face of the CONVERGENCE-STOPPED solver
+    * (`x_graph_pagerank_converged`, r15 verdict #8): [[pagerankLoop]] with
+    * the integer-L1 stop active — each round pays the movement join
+    * Σ|r_t − r_{t−1}| and the loop exits at the FIRST round at or under
+    * [[CONV_BOUND_PPB]] (or the [[CONV_MAX_ROUNDS]] cap). The round count
+    * rides in the output as `n_rounds`, so the DuckDB hash compare asserts
+    * the stop round itself — the oracle is a recursive CTE that replays
+    * the identical integer law AND the identical stopping rule (movement
+    * carried per iteration, recursion continues only while movement
+    * exceeds the bound), proving the convergence join is answer-invisible
+    * and the exit deterministic. Lineage cuts at rounds 3 and 6 run under
+    * the oracle as in the deep entry; the shared `graph/` relations keep
+    * the per-call cost at the BSP lower bound. */
+  def graphPagerankConverged(s: SparkSession, d: String): DataFrame = {
+    val (ranks, rounds) = pagerankLoop(edgesShared(s, d), degShared(s, d),
+      maxRounds = CONV_MAX_ROUNDS, checkpointInterval = 3,
+      checkpointDir = None, convergedBelowPpb = CONV_BOUND_PPB)
+    ranks
+      .select(
+        when(col("node") % 2 === 0, lit("customer")).otherwise(lit("supplier"))
+          .as("node_type"),
+        expr("node div 2").as("entity_id"),
+        col("r").cast("long").as("rank_ppb"),
+        col("node"))
+      .orderBy(col("rank_ppb").desc, col("node"))
+      .limit(15)
+      .select(col("node_type"), col("entity_id"), col("rank_ppb"),
+        lit(rounds).as("n_rounds"))
   }
 
   /** Panel size of the kNN-graph diagnostic: brute-force exact top-3 on a
@@ -310,6 +392,7 @@ object GraphOps {
     "x_graph_degree" -> (graphDegreeStats _),
     "x_graph_pagerank" -> (graphPagerank _),
     "x_graph_pagerank_deep" -> (graphPagerankDeep _),
+    "x_graph_pagerank_converged" -> (graphPagerankConverged _),
     "x_graph_knn_stats" -> (graphKnnStats _))
 
   private val edgeCtes: String =
@@ -385,5 +468,37 @@ object GraphOps {
          |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
          |       node // 2 AS entity_id,
          |       CAST(r AS BIGINT) AS rank_ppb
-         |FROM r$DEEP_ROUNDS ORDER BY r DESC, node LIMIT 15""".stripMargin)
+         |FROM r$DEEP_ROUNDS ORDER BY r DESC, node LIMIT 15""".stripMargin,
+    // The convergence-stopped solver under the oracle: a RECURSIVE CTE
+    // carries (node, rank, this-iteration's L1 movement, round) and the
+    // recursive term fires only while movement exceeds the bound (NULL =
+    // round 0, always continue) and the cap is unreached — the exact
+    // stopping law the Spark loop runs, so the hash compare pins not just
+    // the final ranks but the round the loop exited (n_rounds).
+    "x_graph_pagerank_converged" ->
+      s"""WITH RECURSIVE $edgeCtes,
+         |nn AS (SELECT count(*) AS n FROM deg),
+         |pr(node, r, mv, rnd) AS (
+         |  SELECT src, 1000000000 // (SELECT n FROM nn), NULL::BIGINT, 0 FROM deg
+         |  UNION ALL
+         |  SELECT x.node, x.r2, CAST(sum(abs(x.r2 - x.r)) OVER () AS BIGINT), x.rnd + 1
+         |  FROM (
+         |    SELECT cur.node, cur.r, cur.rnd,
+         |           150000000 // (SELECT n FROM nn)
+         |             + (85 * coalesce(g.got, 0)) // 100 AS r2
+         |    FROM pr cur
+         |    LEFT JOIN (SELECT e.dst, sum(c2.r // d.outdeg) AS got
+         |               FROM e JOIN pr c2 ON c2.node = e.src
+         |                      JOIN deg d ON d.src = e.src
+         |               GROUP BY e.dst) g ON g.dst = cur.node
+         |    WHERE (cur.mv IS NULL OR cur.mv > $CONV_BOUND_PPB)
+         |      AND cur.rnd < $CONV_MAX_ROUNDS
+         |  ) x
+         |),
+         |fin AS (SELECT node, r, rnd FROM pr WHERE rnd = (SELECT max(rnd) FROM pr))
+         |SELECT CASE WHEN node % 2 = 0 THEN 'customer' ELSE 'supplier' END AS node_type,
+         |       node // 2 AS entity_id,
+         |       CAST(r AS BIGINT) AS rank_ppb,
+         |       CAST(rnd AS INTEGER) AS n_rounds
+         |FROM fin ORDER BY r DESC, node LIMIT 15""".stripMargin)
 }

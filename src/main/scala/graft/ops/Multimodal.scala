@@ -943,6 +943,7 @@ object Multimodal {
     "x_dedup_video_precision" -> (dedupVideoPrecision _),
     "x_video_real_roundtrip" -> (videoRealRoundtrip _),
     "x_dedup_video_real" -> (dedupVideoReal _),
+    "x_dedup_video_real_incremental" -> (dedupVideoRealIncremental _),
     "x_dedup_video_real_precision" -> (dedupVideoRealPrecision _),
     "x_frame_sample" -> (frameSample _),
     "x_resize_plan" -> (resizePlan _),
@@ -1320,6 +1321,35 @@ object Multimodal {
   def dedupVideoReal(s: SparkSession, d: String): DataFrame =
     videoRealPairsShared(s, d).orderBy(col("doc_a"), col("doc_b"))
 
+  /** Incremental probe over REAL animated-GIF bytes (catalog
+    * `x_dedup_video_real_incremental`) — the last dedup family to reach the
+    * delta-vs-index bar (r15 verdict #3): today's ARRIVING clips (the
+    * trimmed/re-cut GIF clones, whose frame hashes are EARNED through the
+    * GIF encode + per-frame `javax.imageio` decode like everything else in
+    * this family) probe the persisted temporal-shingle index of the
+    * existing corpus. One equi-join against the inverted shingle index —
+    * O(|delta shingles| · bucket occupancy), never a corpus self-join —
+    * and exact Jaccard needs no second pass because set sizes ride on the
+    * shingle rows. The shingles come from the family's ONE persisted codec
+    * pass ([[videoRealShinglesShared]]), so the probe adds join work only,
+    * not a second decode of the corpus. Same gate, same integral ppm as
+    * the one-shot pass. */
+  def dedupVideoRealIncremental(s: SparkSession, d: String): DataFrame = {
+    val sh = videoRealShinglesShared(s, d)
+    val delta = sh.filter(col("doc_id") >= VID_REAL_CLONE_OFFSET)
+    val index = sh.filter(col("doc_id") < VID_REAL_CLONE_OFFSET)
+    delta.as("a")
+      .join(index.as("b"), col("a.sh") === col("b.sh"))
+      .groupBy(col("a.doc_id").as("doc_id"), col("b.doc_id").as("match_id"))
+      .agg(count(lit(1)).as("n_shared"),
+        max(col("a.n_sh")).as("n_a"), max(col("b.n_sh")).as("n_b"))
+      .select(col("doc_id"), col("match_id"), col("n_shared"),
+        (col("n_a") + col("n_b") - col("n_shared")).as("n_union"))
+      .withColumn("jaccard_ppm", expr("n_shared * 1000000 div n_union"))
+      .filter(col("jaccard_ppm") >= VID_REAL_TAU_PPM)
+      .orderBy(col("doc_id"), col("match_id"))
+  }
+
   /** Precision/recall audit vs the planted edited copies (catalog
     * `x_dedup_video_real_precision`) — recall is exact by construction
     * (worst-case planted Jaccard 647059 ppm > the 600000 gate), so
@@ -1487,6 +1517,21 @@ object Multimodal {
     "x_dedup_video_real" ->
       s"""WITH $videoRealCtes
          |SELECT doc_a, doc_b, n_shared, n_union, jaccard_ppm FROM wcand""".stripMargin,
+    "x_dedup_video_real_incremental" ->
+      s"""WITH $videoRealCtes,
+         |winc AS (
+         |  SELECT s.doc_id, s.match_id, s.n_shared,
+         |         za.n_sh + zb.n_sh - s.n_shared AS n_union
+         |  FROM (SELECT a.doc_id AS doc_id, b.doc_id AS match_id, count(*) AS n_shared
+         |        FROM wsh a JOIN wsh b ON a.sh = b.sh
+         |        WHERE a.doc_id >= $VID_REAL_CLONE_OFFSET AND b.doc_id < $VID_REAL_CLONE_OFFSET
+         |        GROUP BY 1, 2) s
+         |  JOIN wsz za ON za.doc_id = s.doc_id
+         |  JOIN wsz zb ON zb.doc_id = s.match_id)
+         |SELECT doc_id, match_id, n_shared, n_union,
+         |       (n_shared * 1000000) // n_union AS jaccard_ppm
+         |FROM winc
+         |WHERE (n_shared * 1000000) // n_union >= $VID_REAL_TAU_PPM""".stripMargin,
     "x_dedup_video_real_precision" ->
       s"""WITH $videoRealCtes,
          |wplanted AS (SELECT doc_id AS doc_a, doc_id + $VID_REAL_CLONE_OFFSET AS doc_b

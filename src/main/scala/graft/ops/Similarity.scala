@@ -819,6 +819,61 @@ object Similarity {
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
+  /** The OBJECT-STORE maintenance lifecycle on the SEMANTIC sink (catalog
+    * `x_stream_semantic_manifest`) — the embedding-space twin of
+    * [[graft.ops.Dedup.dedupStreamManifest]], closing the one asymmetry the
+    * r15 verdict called out: `SemanticStream.compactIndexManifest` was
+    * spec-proven but never ran under the DuckDB oracle. Same
+    * stop-compact-resume window as [[dedupSemanticStreamCompacted]], but
+    * the fold publishes through the MANIFEST-POINTER commit
+    * ([[graft.streaming.SinkRetention.compactIndexManifest]]) — an atomic
+    * single-file creation instead of a directory rename, the variant a
+    * deployment runs when the vector index lives on S3-class storage. The
+    * resumed batches resolve the index through `SinkRetention.readLive`
+    * (the probe's standing read seam), picking the folded generation up
+    * from the manifest; content is unchanged by the fold, so the final
+    * match union still tiles the one-shot same-cluster τ-pair set and the
+    * oracle is STILL the replayed-Lloyd CTE pile of
+    * `x_stream_semantic_incremental` — the parity theorem asserted across
+    * a manifest-committed compaction boundary. */
+  def dedupSemanticStreamManifest(s: SparkSession, d: String,
+      targetOccupancy: Long = 512L): DataFrame = {
+    require(targetOccupancy >= 1, "targetOccupancy must be >= 1")
+    val n = vectors(s, d).count()
+    val k = math.max(IVF_K,
+      math.toIntExact((n + targetOccupancy - 1) / targetOccupancy))
+    val cents = trainIvfCentroids(s, d, k)
+    val work = graft.ops.Scratch.dir("graft_stream_sem_m")
+    val stage = s"$work/stage"
+    val vecs = vectors(s, d).select(col("vec_id"), col("v"), col("nrm"))
+    (0 until 2).foreach { b =>
+      vecs.filter(col("vec_id") % 4 === b)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    val firstHalf = graft.streaming.SemanticStream.runIncremental(s, stage, work,
+        v => assignCluster(v, cents), SEM_TAU)
+      .select(col("vec_a"), col("vec_b"), col("cluster"))
+      .collect() // consume the early matches BEFORE retention drops them
+    // Maintenance window: stream stopped, batch 1 committed — manifest fold.
+    graft.streaming.SemanticStream.compactIndexManifest(s, s"$work/vec_index", watermark = 1L)
+    graft.streaming.SemanticStream.pruneMatches(s, s"$work/matches", keepFrom = 2L)
+    // The checkpoint resumes at batch 2; batches 2 and 3 probe the folded
+    // index THROUGH the manifest (their strictly-earlier reads resolve via
+    // readLive, which the incrementalBatch body already routes through).
+    (2 until 4).foreach { b =>
+      vecs.filter(col("vec_id") % 4 === b)
+        .coalesce(1).write.mode("append").parquet(stage)
+    }
+    val lateMatches = graft.streaming.SemanticStream.runIncremental(s, stage, work,
+        v => assignCluster(v, cents), SEM_TAU)
+      .select(col("vec_a"), col("vec_b"), col("cluster"))
+    import s.implicits._
+    lateMatches
+      .unionByName(firstHalf.toSeq.map(r =>
+        (r.getLong(0), r.getLong(1), r.getInt(2))).toDF("vec_a", "vec_b", "cluster"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
   /** The amortized maintenance schedule on the SEMANTIC sink (catalog
     * `x_stream_semantic_tiered`) — the embedding-space twin of
     * [[graft.ops.Dedup.dedupStreamTiered]], proving the threshold gate's
@@ -1652,6 +1707,8 @@ object Similarity {
       dedupSemanticStreamCompacted(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_stream_semantic_tiered" -> ((s: SparkSession, d: String) =>
       dedupSemanticStreamTiered(s, d, AUTO_DEMO_OCCUPANCY)),
+    "x_stream_semantic_manifest" -> ((s: SparkSession, d: String) =>
+      dedupSemanticStreamManifest(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_dedup_ensemble" -> ((s: SparkSession, d: String) =>
       dedupEnsemble(s, d, AUTO_DEMO_OCCUPANCY)),
     "x_decontam_semantic" -> ((s: SparkSession, d: String) =>
@@ -2045,6 +2102,13 @@ object Similarity {
       // below-threshold window and an at-threshold fold both preserve
       // index content, so the one-shot pair set is still the oracle.
       ("x_stream_semantic_tiered" ->
+        semanticStreamOracleSql(AUTO_DEMO_OCCUPANCY)) +
+      // ...and across the MANIFEST-POINTER fold: the commit changes only
+      // how the folded generation is published (single-file manifest vs
+      // directory rename), never index content, so the one-shot pair set
+      // is still the oracle — the parity theorem across an object-store
+      // maintenance window.
+      ("x_stream_semantic_manifest" ->
         semanticStreamOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_dedup_ensemble" -> ensembleOracleSql(AUTO_DEMO_OCCUPANCY)) +
       ("x_decontam_semantic" -> decontamSemanticOracleSql(AUTO_DEMO_OCCUPANCY)) +

@@ -193,15 +193,42 @@ object SinkRetention {
     else n.drop(ManifestPrefix.length).toLongOption
   }
 
+  /** Resolution cache: parsed manifests keyed by sink root, validated per
+    * call against the LISTED manifest file (name, length) set. Every
+    * resolution still pays exactly one LIST (freshness: a concurrent commit
+    * must be seen), but the GET + parse of the manifest file runs only when
+    * that set changes — steady-state probes (one resolution per micro-batch
+    * per query) pay one LIST, zero GETs. Correct for torn files too: a torn
+    * write changes the name set (new version) or the length (truncated
+    * rewrite), forcing the one re-parse that rejects it. Entries are a few
+    * hundred bytes; the cap only guards a pathological many-sink process. */
+  private val manifestCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[(String, Long)], Option[Manifest])]()
+  private val ManifestCacheMax = 256
+
   /** Highest-version manifest that parses COMPLETELY (torn writes fail the
     * #END check and fall through to the previous version). */
-  private[streaming] def currentManifest(fs: FileSystem, root: Path): Option[Manifest] =
-    listDir(fs, root)
-      .flatMap(p => manifestVersionOf(p).map(v => (v, p)))
+  private[streaming] def currentManifest(fs: FileSystem, root: Path): Option[Manifest] = {
+    val statuses =
+      if (!fs.exists(root)) Seq.empty
+      else fs.listStatus(root).toIndexedSeq.sortBy(_.getPath.getName)
+    val candidates = statuses
+      .flatMap(st => manifestVersionOf(st.getPath).map(v => (v, st)))
       .sortBy(-_._1)
-      .iterator
-      .flatMap { case (v, p) => parseManifest(fs, p).map { case (w, f) => Manifest(v, w, f) } }
-      .nextOption()
+    val token = candidates.map(c => (c._2.getPath.getName, c._2.getLen))
+    val key = root.toString
+    val cached = manifestCache.get(key)
+    if (cached != null && cached._1 == token) cached._2
+    else {
+      val m = candidates.iterator
+        .flatMap { case (v, st) =>
+          parseManifest(fs, st.getPath).map { case (w, f) => Manifest(v, w, f) } }
+        .nextOption()
+      if (manifestCache.size >= ManifestCacheMax) manifestCache.clear()
+      manifestCache.put(key, (token, m))
+      m
+    }
+  }
 
   private def parseManifest(fs: FileSystem, p: Path): Option[(Long, String)] = {
     val bytes =
@@ -336,9 +363,22 @@ object SinkRetention {
   }
 
   /** Sweep everything the manifest no longer references: folded physical
-    * partitions, superseded fold generations, manifests older than the
-    * previous version, torn manifest files. Every delete is individually
-    * idempotent — a crash anywhere in the sweep re-runs harmlessly. */
+    * partitions, superseded fold generations, ALL manifests older than the
+    * live version, torn manifest files. Every delete is individually
+    * idempotent — a crash anywhere in the sweep re-runs harmlessly.
+    *
+    * Why older manifests go too (not keep version V−1 as a "fallback"):
+    * GC necessarily deletes V−1's fold generation (it is superseded), so a
+    * retained V−1 manifest could never be RESOLVED — its fold path is gone
+    * — and resolution can in fact never reach it: gc only runs after
+    * [[commitManifest]] for V returned, so V is complete on disk, and a
+    * torn manifest only ever exists at a version GREATER than the last
+    * complete one (tears happen mid-create of a NEW version; #END
+    * validation rejects them and resolution falls back to V, never past
+    * it). Keeping an unserviceable pointer would only invite a reader of
+    * the layout to trust it. Spec-pinned: exactly one manifest file
+    * survives each window, and a torn V+1 prefix still resolves to V with
+    * a readable fold. */
   private def gc(fs: FileSystem, root: Path, live: Manifest,
       onPhase: String => Unit): Unit =
     listDir(fs, root).foreach { p =>
@@ -346,7 +386,7 @@ object SinkRetention {
       val sweep =
         batchIdOf(p).exists(_ <= live.watermark) ||
         (n.startsWith("_fold_") && n != live.foldDir) ||
-        manifestVersionOf(p).exists(_ < live.version - 1) ||
+        manifestVersionOf(p).exists(_ < live.version) ||
         (n.startsWith(ManifestPrefix) && manifestVersionOf(p).isEmpty)
       if (sweep) { fs.delete(p, true); onPhase(s"gc:$n") }
     }

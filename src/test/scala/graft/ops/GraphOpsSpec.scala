@@ -85,11 +85,19 @@ class GraphOpsSpec extends AnyFunSuite {
     import spark.implicits._
     val edges = chain(12)
     val dir = java.nio.file.Files.createTempDirectory("pr-ckpt").toString
-    val (ranks, _) = GraphOps.pagerankDeep(edges.toDF("src", "dst"),
-      maxRounds = 10, checkpointInterval = 3, checkpointDir = Some(dir))
-    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(got == simulate(edges, 10).last)
-    assert(new java.io.File(dir).listFiles().nonEmpty, "reliable checkpoint wrote nothing")
+    // The dir is session-global and pagerankLoop only sets it when UNSET
+    // (see the clobber test below) — pin it explicitly so this test's
+    // file-landing assertion is independent of suite ordering.
+    val sc = spark.sparkContext
+    val before = sc.getCheckpointDir
+    try {
+      sc.setCheckpointDir(dir)
+      val (ranks, _) = GraphOps.pagerankDeep(edges.toDF("src", "dst"),
+        maxRounds = 10, checkpointInterval = 3, checkpointDir = Some(dir))
+      val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == simulate(edges, 10).last)
+      assert(new java.io.File(dir).listFiles().nonEmpty, "reliable checkpoint wrote nothing")
+    } finally sc.setCheckpointDir(before.orNull)
   }
 
   test("pagerankDeep: the convergence accumulator stops the loop at the exact L1 bound") {
@@ -112,6 +120,62 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(moves.take(rounds - 1).forall(_ > tol), "loop overshot the first converged round")
     val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == states(rounds - 1))
+  }
+
+  test("pagerankLoop releases each intermediate cut once the next one materializes") {
+    // r15 verdict: every lineage cut materializes a node-sized relation
+    // whose blocks lived until ContextCleaner GC — unbounded at deep round
+    // counts. The law now: at any point in the solve, at most TWO
+    // graft-owned cut relations hold storage (the one just materialized
+    // and, for one instant before its release, its predecessor — observed
+    // here AFTER release, so the bound reads: previous cuts are NONE).
+    import spark.implicits._
+    def cutRdds(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.analyzed.collectLeaves().collect {
+        case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd
+      }
+    val edges = chain(20)
+    val e = edges.toDF("src", "dst").repartition(col("src")).persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
+    val seen = scala.collection.mutable.ArrayBuffer.empty[org.apache.spark.rdd.RDD[_]]
+    val alivePerCut = scala.collection.mutable.ArrayBuffer.empty[Int]
+    val (ranks, rounds) = GraphOps.pagerankLoop(e, deg, maxRounds = 12,
+      checkpointInterval = 1, checkpointDir = None, convergedBelowPpb = 0L,
+      onCut = df => {
+        seen ++= cutRdds(df)
+        alivePerCut += seen.count(r =>
+          r.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+      })
+    assert(rounds == 12)
+    // 12 cut rounds + the round-0 cut: 13 observations, every one bounded.
+    assert(alivePerCut.size == 13, s"expected 13 cut observations, got $alivePerCut")
+    assert(alivePerCut.forall(_ <= 2),
+      s"released cuts still hold storage mid-run: $alivePerCut")
+    // After the run exactly ONE cut relation (the returned one) is alive.
+    val aliveAfter = seen.count(_.getStorageLevel != org.apache.spark.storage.StorageLevel.NONE)
+    assert(aliveAfter == 1, s"expected only the returned cut alive, got $aliveAfter")
+    // ...and releasing eagerly changed no answer.
+    val got = ranks.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == simulate(edges, 12).last)
+    e.unpersist(); deg.unpersist()
+  }
+
+  test("pagerankLoop leaves a pre-set session checkpoint dir untouched") {
+    // ADVICE r15: an unconditional setCheckpointDir clobbered the session-
+    // global dir for every LATER reliable checkpoint (connectedComponents'
+    // guard discipline, now shared).
+    import spark.implicits._
+    val sc = spark.sparkContext
+    val before = sc.getCheckpointDir
+    val preset = java.nio.file.Files.createTempDirectory("pr-preset").toString
+    try {
+      sc.setCheckpointDir(preset)
+      val other = java.nio.file.Files.createTempDirectory("pr-clobber").toString
+      GraphOps.pagerankDeep(chain(8).toDF("src", "dst"),
+        maxRounds = 4, checkpointInterval = 2, checkpointDir = Some(other))
+      assert(sc.getCheckpointDir.exists(_.contains(new java.io.File(preset).getName)),
+        s"pagerank clobbered the session checkpoint dir: ${sc.getCheckpointDir}")
+    } finally sc.setCheckpointDir(before.orNull)
   }
 
   test("graph relations live in RelCache under graph/ and release on clear") {
