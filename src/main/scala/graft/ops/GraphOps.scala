@@ -199,6 +199,16 @@ object GraphOps {
     var round = 0
     var converged = false
     var materialized = true
+    // Convergence mode only: the round's rank relation persisted so the
+    // movement join's full materialization is REUSED by the next round's
+    // lineage (and by the NEXT movement join) instead of recomputed —
+    // without this every non-cut round's rank step executed 2-3 times
+    // (once under the L1 aggregate, again under round t+1, again under
+    // round t+2's movement prev side), measured 78 s for the 8-round sf5
+    // entry vs ~2x the fixed-round solver expected. Released on the same
+    // safe-point schedule as the cuts (plain persist keeps lineage, so
+    // unlike a cut an early release could only cost a recompute).
+    var prevPersisted: Option[DataFrame] = None
     while (round < maxRounds && !converged) {
       round += 1
       val give = ranks.join(degN, col("node") === col("gnode"))
@@ -215,6 +225,10 @@ object GraphOps {
         else if (checkpointDir.isDefined) next.checkpoint() else next.localCheckpoint()
       materialized = cut
       if (convergedBelowPpb > 0L) {
+        // A cut round is already materialized+persisted; persist only the
+        // plain rounds (the moved aggregate below is the materializing
+        // action either way).
+        if (!cut) nextM.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         // Integer L1 movement this round; renamed columns, not aliases —
         // prev and next share degN lineage and qualified-attribute
         // resolution across a self-referencing join is not worth trusting.
@@ -222,6 +236,11 @@ object GraphOps {
         val moved = nextM.join(prev, col("node") === col("pnode"))
           .agg(sum(abs(col("r") - col("pr"))).as("l1")).head.getLong(0)
         converged = moved <= convergedBelowPpb
+        // nextM is materialized; the previous round's persisted copy has
+        // served its two readers (this round's lineage + this movement
+        // join's prev side) and is released.
+        prevPersisted.foreach(_.unpersist(blocking = false))
+        prevPersisted = if (!cut) Some(nextM) else None
       }
       if (cut) {
         // Safe point: nextM is materialized and the convergence join (the
@@ -232,10 +251,16 @@ object GraphOps {
       }
       ranks = nextM
     }
+    // The loop's final round may leave its persisted copy behind — the
+    // caller's relation is `out` (materialized below), so release it once
+    // out exists. If out IS that copy (converged on a plain round), the
+    // localCheckpoint below materializes out's blocks first.
+    val lastPersisted = prevPersisted
     // Hand back a materialized relation so the caller may release the
     // edge/degree blocks immediately.
     val out = if (materialized) ranks else ranks.localCheckpoint()
     if (out ne lastCut) { onCut(out); releaseCut(lastCut) }
+    lastPersisted.foreach(_.unpersist(blocking = false))
     (out, round)
   }
 
