@@ -39,7 +39,7 @@ object Bench {
     // ~15 entries on a cold-JIT day, while fresh-JVM warm reps of the
     // same entries beat their recorded numbers (TIMEONE r16:
     // dml_chunked_dedup 9.5 cold / 1.3 warm; q3_top_orders 5.1 / 1.5).
-    {
+    locally {
       val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
       val o = spark.read.parquet(s"$sfDir/orders.parquet")
       li.join(o, li("l_orderkey") === o("o_orderkey"))
