@@ -96,9 +96,12 @@ object Bench {
     val storage = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
     def storageNow(): (Int, Long) = {
       val sc = spark.sparkContext
-      val usedMb = sc.getExecutorMemoryStatus.values
-        .map { case (max, rem) => max - rem }.sum / (1L << 20)
-      (sc.getPersistentRDDs.size, usedMb)
+      // RDD-only figure (memSize summed over cached RDDs), matching the
+      // key's name: the previous max-remaining computation also counted
+      // broadcast and other non-RDD storage blocks, so a reader attributing
+      // the MB to persisted RDDs could misattribute broadcast-heavy entries.
+      val rddMb = sc.getRDDStorageInfo.map(_.memSize).sum / (1L << 20)
+      (sc.getPersistentRDDs.size, rddMb)
     }
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Checkpointed streaming entries (real micro-batch runs) have

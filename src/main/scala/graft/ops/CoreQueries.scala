@@ -489,6 +489,100 @@ object CoreQueries {
     }
   }
 
+  /** PARALLEL journaled DML with a kill-mid-run resume (catalog
+    * `dml_chunked_update_par`, r16 verdict #4): the reference's
+    * bread-and-butter surface — a chunked conditional UPDATE against a live
+    * RDBMS — driven through [[graft.sources.JdbcBatch.executeChunkedDmlPar]]
+    * with 8 CONCURRENT chunk transactions, each committing its journal row
+    * atomically with its work. The lifecycle the entry actually runs (not
+    * just claims): pass 1 dies mid-run BY CONSTRUCTION — the first chunk's
+    * worker waits until every sibling has reached its transaction body,
+    * then throws — leaving the journal with committed chunks at the TOP of
+    * the keyspace and a GAP at the bottom (out-of-order completion, the
+    * exact shape where the sequential loop's MAX(chunk_end) resume law
+    * would skip real work). Pass 2 resumes the same runId from the
+    * journal's COVERAGE SET over the PINNED plan: only the gap re-runs,
+    * committed chunks journal-skip. The audit reads the mutated table back
+    * over a chunk-partitioned JDBC scan; the oracle replays the update
+    * relationally over the source parquet — a hash match proves every key
+    * was updated EXACTLY once across the crashed pass, its concurrent
+    * commits, and the resume. */
+  def dmlChunkedUpdatePar(s: SparkSession, d: String): DataFrame = {
+    val db = "graft_dmlpar_" + java.util.UUID.randomUUID.toString.replace("-", "")
+    // Disjoint-range chunks escalate past Derby's default 5000-lock
+    // threshold at the bigger scale factors (each chunk updates ~p/8 rows),
+    // and an escalated TABLE lock serializes — or times out — the sibling
+    // transactions this entry exists to run concurrently. Row locks are
+    // cheap; raise the threshold before the in-memory DB boots.
+    System.setProperty("derby.locks.escalationThreshold", "1000000")
+    val url = s"jdbc:derby:memory:$db;create=true"
+    val props = new java.util.Properties
+    try {
+      part(s, d)
+        .select(col("p_partkey"), col("p_brand"), col("p_size"), col("p_retailprice"))
+        .coalesce(4)
+        .write.mode("overwrite")
+        .option("batchsize", "10000")
+        .jdbc(url, "part_live", props)
+      // Indexed key (same rule as dml_chunked_jdbc, doubly load-bearing
+      // here: an unindexed range UPDATE heap-scans into SIBLING chunks'
+      // row locks, not just its own range).
+      locally {
+        val c = java.sql.DriverManager.getConnection(url, props)
+        try c.createStatement().executeUpdate(
+          """CREATE INDEX part_live_key ON part_live ("p_partkey")""")
+        finally c.close()
+      }
+      val (mn, mx) = graft.sources.JdbcBatch.discoverRange(url, "part_live", "p_partkey", props)
+        .getOrElse(sys.error(s"no keys in $d/part"))
+      // Exactly 8 fixed-size chunks at every scale factor (the par entry
+      // point requires the fixed-size config; the size must carry the scale).
+      val cfg = ChunkerConfig(chunkSize = ((mx - mn) / 8 + 1).max(BigInt(1)),
+        targetTime = 0, sleep = 0, minChunkPercent = 0, retryAttempts = 3, log = quiet)
+      val tpl = """UPDATE part_live SET "p_retailprice" = "p_retailprice" * 1.04 """ +
+        """WHERE "p_size" <= 25 AND "p_partkey" BETWEEN {start} AND {end}"""
+      // Pass 1: simulated mid-run death with deterministic out-of-order
+      // coverage — the gap lands at the LOW end while MAX(chunk_end) is
+      // already at the top of the keyspace.
+      val siblings = new java.util.concurrent.CountDownLatch(7)
+      val died =
+        try {
+          graft.sources.JdbcBatch.executeChunkedDmlPar(url, tpl, "p_partkey", "part_live",
+            cfg, parallelism = 8, commitLog = "part_live_parlog", runId = "bump4pct-par",
+            props = props,
+            inTxn = { (chunk, _) =>
+              if (chunk.start == mn) {
+                siblings.await(300, java.util.concurrent.TimeUnit.SECONDS)
+                throw new RuntimeException("simulated mid-run death")
+              } else siblings.countDown()
+            })
+          false
+        } catch { case e: RuntimeException if e.getMessage == "simulated mid-run death" => true }
+      require(died, "pass 1 must die mid-run by construction")
+      // Pass 2: resume the SAME runId. Coverage-set resume re-runs exactly
+      // the journal gaps; the concurrent commits of the crashed pass skip.
+      val resumed = graft.sources.JdbcBatch.executeChunkedDmlPar(url, tpl,
+        "p_partkey", "part_live", cfg, parallelism = 8,
+        commitLog = "part_live_parlog", runId = "bump4pct-par", props = props)
+      require(resumed.skippedJournal.nonEmpty,
+        "premise: the crashed pass committed sibling chunks out of order")
+      require(resumed.processed.exists(_.chunk.start == mn),
+        "the coverage gap at the low end must re-run on resume " +
+          "(a MAX(chunk_end) resume would have skipped it)")
+      graft.chunker.ChunkedRewrite.pinLocal(
+        graft.sources.JdbcBatch
+          .readChunked(s, url, "part_live", "p_partkey", chunkCfg(4096), props)
+          .groupBy(col("p_brand"))
+          .agg(
+            count(lit(1)).as("n_rows"),
+            countDistinct(col("p_partkey")).as("n_keys"),
+            sum(col("p_retailprice").cast(DecimalType(18, 4))).cast(DoubleType).as("total")))
+    } finally {
+      try java.sql.DriverManager.getConnection(s"jdbc:derby:memory:$db;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
+  }
+
   /** N10 as a green CORRECTNESS row: the reference's concurrent-insert
     * guarantee (`process_past_max` re-checks MAX(id) when the loop reaches
     * the end, lib/DBIx/BatchChunker.pm:1394-1460) driven against a table
@@ -702,6 +796,7 @@ object CoreQueries {
     "dml_chunked_delete" -> (dmlChunkedDelete _),
     "dml_chunked_merge" -> (dmlChunkedMerge _),
     "dml_chunked_jdbc" -> (dmlChunkedJdbc _),
+    "dml_chunked_update_par" -> (dmlChunkedUpdatePar _),
     "q_live_max_append" -> (qLiveMaxAppend _),
     "q_chunk_export_par" -> (qChunkExportPar _),
     "q_ntile_ranks" -> (qNtileRanks _),
@@ -813,6 +908,12 @@ object CoreQueries {
       """SELECT p_brand, count(*) AS n_rows,
         |       count(DISTINCT p_partkey) AS n_keys,
         |       CAST(SUM(CAST(CASE WHEN p_size > 25 THEN p_retailprice * 1.05
+        |                          ELSE p_retailprice END AS DECIMAL(18,4))) AS DOUBLE) AS total
+        |FROM part GROUP BY p_brand""".stripMargin,
+    "dml_chunked_update_par" ->
+      """SELECT p_brand, count(*) AS n_rows,
+        |       count(DISTINCT p_partkey) AS n_keys,
+        |       CAST(SUM(CAST(CASE WHEN p_size <= 25 THEN p_retailprice * 1.04
         |                          ELSE p_retailprice END AS DECIMAL(18,4))) AS DOUBLE) AS total
         |FROM part GROUP BY p_brand""".stripMargin,
     "q_live_max_append" ->

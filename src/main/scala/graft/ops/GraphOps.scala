@@ -135,8 +135,22 @@ object GraphOps {
     *     the truncated lineage's only copy lives on executors),
     *   - an optional CONVERGENCE stop: when `convergedBelowPpb > 0` each
     *     round also measures the integer L1 rank movement Σ|r_t − r_{t−1}|
-    *     (one node-sized join — the accumulator the fixed-round loop
-    *     doesn't pay for) and the loop exits once movement ≤ the bound.
+    *     and the loop exits once movement ≤ the bound. The movement is
+    *     tallied by an ACCUMULATOR inside the round's single materializing
+    *     job (the previous ranks ride along through one node-keyed join),
+    *     not by a separate aggregate job — convergence mode pays one extra
+    *     node-sized join per round over the fixed-round loop, nothing
+    *     else. A task retry can only OVER-count the tally, which at worst
+    *     delays the exit by a round; it can never change any round's ranks
+    *     (each emitted state is the exact round-t solution).
+    *
+    * `checkpointDir` is a DEFAULT, not an override: the checkpoint
+    * directory is session-global state, so it is applied only when the
+    * session has none set — an earlier caller's configured dir (e.g.
+    * [[Dedup.connectedComponents]]'s) wins, and this call's reliable
+    * checkpoints land there. A caller that needs its cuts in a SPECIFIC
+    * directory (durability/lifecycle reasons) must set
+    * `sparkContext.setCheckpointDir` itself before calling.
     *
     * Per-round cost is the BSP lower bound: edges persisted and shuffled
     * once onto src up front, each round shuffles only the node-sized rank
@@ -169,7 +183,8 @@ object GraphOps {
   private[ops] def pagerankLoop(e: DataFrame, deg: DataFrame, maxRounds: Int,
       checkpointInterval: Int, checkpointDir: Option[String],
       convergedBelowPpb: Long,
-      onCut: DataFrame => Unit = _ => ()): (DataFrame, Int) = {
+      onCut: DataFrame => Unit = _ => (),
+      tallyPadPpb: Long = 0L): (DataFrame, Int) = {
     require(maxRounds >= 1, "maxRounds must be >= 1")
     require(checkpointInterval >= 1, "checkpointInterval must be >= 1")
     val s = e.sparkSession
@@ -199,15 +214,14 @@ object GraphOps {
     var round = 0
     var converged = false
     var materialized = true
-    // Convergence mode only: the round's rank relation persisted so the
-    // movement join's full materialization is REUSED by the next round's
-    // lineage (and by the NEXT movement join) instead of recomputed —
-    // without this every non-cut round's rank step executed 2-3 times
-    // (once under the L1 aggregate, again under round t+1, again under
-    // round t+2's movement prev side), measured 78 s for the 8-round sf5
-    // entry vs ~2x the fixed-round solver expected. Released on the same
-    // safe-point schedule as the cuts (plain persist keeps lineage, so
-    // unlike a cut an early release could only cost a recompute).
+    // Convergence mode only: the round's rank relation persisted so its
+    // full materialization is REUSED by the next round's lineage (and by
+    // the NEXT round's prev side) instead of recomputed — without this
+    // every non-cut round's rank step executed 2-3 times, measured 78 s
+    // for the 8-round sf5 entry vs ~2x the fixed-round solver expected.
+    // Released on the same safe-point schedule as the cuts (plain persist
+    // keeps lineage, so unlike a cut an early release could only cost a
+    // recompute).
     var prevPersisted: Option[DataFrame] = None
     while (round < maxRounds && !converged) {
       round += 1
@@ -220,36 +234,82 @@ object GraphOps {
         .select(col("node"),
           (lit(teleport) + expr("(85 * coalesce(got, 0L)) div 100")).as("r"))
       val cut = round % checkpointInterval == 0
-      val nextM =
-        if (!cut) next
-        else if (checkpointDir.isDefined) next.checkpoint() else next.localCheckpoint()
-      materialized = cut
       if (convergedBelowPpb > 0L) {
-        // A cut round is already materialized+persisted; persist only the
-        // plain rounds (the moved aggregate below is the materializing
-        // action either way).
-        if (!cut) nextM.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        // Integer L1 movement this round; renamed columns, not aliases —
-        // prev and next share degN lineage and qualified-attribute
-        // resolution across a self-referencing join is not worth trusting.
+        // Integer L1 movement Σ|r_t − r_{t−1}| tallied INSIDE the round's
+        // one materializing job via an accumulator (the same trick
+        // [[Dedup.connectedComponents]] uses for its changed-label count)
+        // instead of a separate aggregate job per round: the previous
+        // round's ranks ride along through the node-keyed join the
+        // movement needs anyway, and the per-partition tally map emits the
+        // bare (node, r) rows the next round consumes — one job per round,
+        // no second scan, no aggregate exchange. Renamed columns, not
+        // aliases: prev and next share degN lineage and qualified-
+        // attribute resolution across a self-referencing join is not
+        // worth trusting.
+        //
+        // Accumulator semantics under failure: a task RETRY re-adds its
+        // partition's movement, so the tally can only OVER-count — which
+        // can only delay the exit by a round (movement shrinks round over
+        // round), never change any round's ranks: each emitted rank state
+        // is still exactly the round-t solution of the deterministic
+        // recurrence. Benign in the same way cc's changed-count is
+        // (spec-pinned by GraphOpsSpec's tally-overcount test via the
+        // tallyPadPpb test seam, which simulates a retry's inflation).
+        val acc = s.sparkContext.longAccumulator(s"pagerank-l1-round-$round")
         val prev = ranks.select(col("node").as("pnode"), col("r").as("pr"))
-        val moved = nextM.join(prev, col("node") === col("pnode"))
-          .agg(sum(abs(col("r") - col("pr"))).as("l1")).head.getLong(0)
-        converged = moved <= convergedBelowPpb
+        import s.implicits._
+        val fused = next.join(prev, col("node") === col("pnode"))
+          .select(col("node"), col("r"), col("pr"))
+          .as[(Long, Long, Long)]
+          .mapPartitions { it =>
+            it.map { case (nd, r2, p2) => acc.add(math.abs(r2 - p2)); (nd, r2) }
+          }
+          .toDF("node", "r")
+        // Persist FIRST even on cut rounds: a reliable checkpoint's write
+        // pass recomputes the RDD, and without the cache that second pass
+        // would re-add every partition's movement (systematic 2× tally).
+        // With the plan cached, the write pass reads blocks — the tally
+        // fills exactly once, in the first materializing job.
+        fused.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val nextM =
+          if (!cut) {
+            fused.foreachPartition((_: Iterator[org.apache.spark.sql.Row]) => ())
+            fused
+          } else {
+            val m = if (checkpointDir.isDefined) fused.checkpoint() else fused.localCheckpoint()
+            fused.unpersist(blocking = false) // blocks now live in the checkpoint
+            m
+          }
+        materialized = cut
+        // tallyPadPpb is a TEST SEAM: a deterministic stand-in for a task
+        // retry's over-count, so the benignity claim above is provable
+        // without fault injection. Production callers leave it 0.
+        converged = acc.value + tallyPadPpb <= convergedBelowPpb
         // nextM is materialized; the previous round's persisted copy has
-        // served its two readers (this round's lineage + this movement
-        // join's prev side) and is released.
+        // served its two readers (this round's lineage + this round's
+        // fused prev side) and is released.
         prevPersisted.foreach(_.unpersist(blocking = false))
         prevPersisted = if (!cut) Some(nextM) else None
+        if (cut) {
+          // Safe point: nextM is materialized and the fused movement join
+          // (the last reader of lineage over the previous cut) has run.
+          releaseCut(lastCut)
+          lastCut = nextM
+          onCut(nextM)
+        }
+        ranks = nextM
+      } else {
+        val nextM =
+          if (!cut) next
+          else if (checkpointDir.isDefined) next.checkpoint() else next.localCheckpoint()
+        materialized = cut
+        if (cut) {
+          releaseCut(lastCut)
+          lastCut = nextM
+          onCut(nextM)
+        }
+        ranks = nextM
       }
-      if (cut) {
-        // Safe point: nextM is materialized and the convergence join (the
-        // last reader of lineage over the previous cut) has completed.
-        releaseCut(lastCut)
-        lastCut = nextM
-        onCut(nextM)
-      }
-      ranks = nextM
     }
     // The loop's final round may leave its persisted copy behind — the
     // caller's relation is `out` (materialized below), so release it once

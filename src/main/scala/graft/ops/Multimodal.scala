@@ -1028,7 +1028,10 @@ object Multimodal {
 
   private val VID_FRAMES = 32
   private val VID_CLONE_OFFSET = 30000000L // disjoint from doc ids, image AND audio clones
-  private val VID_CLONE_MOD = 6 // every 6th doc gets a planted edited copy
+  // private[ops]: shared with the specs (VideoRealIncrementalSpec) so a
+  // drift here fails to COMPILE instead of failing as a confusing
+  // planted-set mismatch (r16 ADVICE).
+  private[ops] val VID_CLONE_MOD = 6 // every 6th doc gets a planted edited copy
   private val VID_TAU_PPM = 700000L // Jaccard gate, integral ppm
 
   /** Stub per-frame perceptual hash: frame f of a video = the low 60 bits
@@ -1195,7 +1198,7 @@ object Multimodal {
   // Jaccard 647059 ppm, above the 600000 gate — planted recall is EXACT.
 
   private val VID_REAL_FRAMES = 16
-  private val VID_REAL_CLONE_OFFSET = 40000000L // disjoint from every other family
+  private[ops] val VID_REAL_CLONE_OFFSET = 40000000L // disjoint from every other family
   private val VID_REAL_TAU_PPM = 600000L // 16-frame clips carry proportionally bigger edits
   private val VID_REAL_SEED = "#w"
   private val VID_REAL_REPLACE_SEED = "#x"

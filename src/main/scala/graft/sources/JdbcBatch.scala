@@ -369,6 +369,263 @@ object JdbcBatch {
     }
   }
 
+  /** PARALLEL chunked DML with the commit journal — the 100-TB extension of
+    * [[executeChunkedDml]] for workloads whose chunks don't contend (disjoint
+    * key ranges, row-level locking): `parallelism` workers each drive their
+    * own JDBC connection, one transaction per chunk, journal row committed
+    * atomically WITH the chunk's work. The reference's loop is sequential by
+    * design (its chunks hold locks, lib/DBIx/BatchChunker.pm:591-614); this
+    * entry point is the Spark-side fan-out for engines where range-disjoint
+    * DML is safe to overlap — it trades the reference's lock-safety contract
+    * for wall-clock, and keeps the exactly-once contract.
+    *
+    * Exactly-once under CONCURRENT chunk commits changes the resume math:
+    * chunks complete OUT OF ORDER, so a crash can leave the journal with
+    * gaps (…c1, c2, c4… committed, c3 not). `MAX(chunk_end)` — the correct
+    * high-water mark for the strictly-increasing sequential loop — would
+    * silently skip the gap. This path instead resumes from the journal's
+    * COVERAGE SET: the fixed-size plan is deterministic, every planned
+    * chunk is probed against its exact (start, end) journal row, committed
+    * chunks are skipped and gaps re-run. Two pieces make that sound:
+    *
+    *  - FIXED-SIZE plan required (targetTime = 0, minChunkPercent <= 0,
+    *    same rule as [[graft.chunker.BatchChunker.foreachChunkPar]]):
+    *    adaptive resizing is sequential by nature, and deterministic
+    *    boundaries are what make exact-match journal probes equal interval
+    *    coverage.
+    *  - PLAN PINNING: the first process to run a runId journals the
+    *    discovered (min, max) as a plan row (run_id = `<runId>#plan`,
+    *    committed BEFORE any chunk). A resumed process replans from the
+    *    PINNED range, not a fresh MIN/MAX — the DML itself may have moved
+    *    the live range (DELETEs shrink it), and shifted boundaries would
+    *    miss the exact-match probes and double-apply overlaps. If two
+    *    processes race the first insert, both re-read and the lowest
+    *    (start, end) row deterministically wins for both.
+    *
+    * Failure semantics match [[graft.chunker.BatchChunker.foreachChunkPar]]:
+    * per-chunk retry under `cfg.retryAttempts`/`cfg.retryOn` (with
+    * reconnect-on-dead, per worker), first exhausted budget poisons the run
+    * — queued chunks stop launching, in-flight chunks complete (their
+    * commits are durable and journaled, which is exactly what makes the
+    * resume correct). A retried chunk re-probes its journal row first, so a
+    * lost commit ack is skipped, not double-applied. A duplicate journal
+    * INSERT from a concurrent same-runId process surfaces as a PK violation
+    * → rollback → retry → journal-skip: self-healing, never double-applied.
+    *
+    * `commitLog` and `runId` are REQUIRED here (not optional as in the
+    * sequential path): without the journal there is no out-of-order resume
+    * story at all, and a parallel non-idempotent DML without one is a
+    * double-apply waiting for its first crash.
+    *
+    * Returns an [[ExecutionReport]] with outcomes in PLAN order (not
+    * completion order): "processed" ran this call, "skipped-journal" was
+    * already committed (this run's lost-ack retries or a prior process).
+    */
+  def executeChunkedDmlPar(
+      url: String,
+      template: String,
+      idColumn: String,
+      rangeTable: String,
+      cfg: ChunkerConfig,
+      parallelism: Int,
+      commitLog: String,
+      runId: String,
+      props: Properties = new Properties,
+      inTxn: (Chunk, java.sql.Connection) => Unit = (_, _) => ()
+  ): ExecutionReport = {
+    require(parallelism >= 1, "parallelism must be >= 1")
+    require(runId.nonEmpty, "runId is required: journal rows and the plan row are scoped by it")
+    require(cfg.targetTime == 0 && cfg.minChunkPercent <= 0,
+      "executeChunkedDmlPar needs the fixed-size configuration (targetTime = 0, " +
+        "minChunkPercent <= 0): deterministic chunk boundaries are what make the " +
+        "journal's coverage-set resume exact")
+    val runIdSql = "'" + runId.replace("'", "''") + "'"
+    val planIdSql = "'" + (runId + "#plan").replace("'", "''") + "'"
+    val probeConn = new ProbeConnection(url, props)
+    // One DML + one probe connection per worker thread, tracked for close.
+    val opened = new java.util.concurrent.ConcurrentLinkedQueue[AutoCloseable]()
+    try {
+      // Journal table (same DDL as the sequential path; X0Y32 = exists).
+      try probeConn { c =>
+        val st = c.createStatement()
+        try st.executeUpdate(
+          s"""CREATE TABLE $commitLog ("run_id" VARCHAR(128) NOT NULL,
+             | "chunk_start" BIGINT NOT NULL,
+             | "chunk_end" BIGINT NOT NULL,
+             | PRIMARY KEY ("run_id", "chunk_start", "chunk_end"))""".stripMargin)
+        finally st.close()
+      } catch { case e: java.sql.SQLException if e.getSQLState == "X0Y32" => () }
+
+      def planRow(): Option[(BigInt, BigInt)] = probeConn { c =>
+        val st = c.createStatement()
+        try {
+          // Deterministic winner under a two-process insert race: lowest
+          // (start, end) row wins for everyone.
+          val rs = st.executeQuery(
+            s"""SELECT "chunk_start", "chunk_end" FROM $commitLog WHERE "run_id" = $planIdSql""" +
+              """ ORDER BY "chunk_start", "chunk_end" FETCH FIRST 1 ROWS ONLY""")
+          if (!rs.next()) None
+          else Some((BigInt(rs.getLong(1)), BigInt(rs.getLong(2))))
+        } finally st.close()
+      }
+      val pinned = planRow().orElse {
+        discoverRange(url, rangeTable, idColumn, props).map { case (mn, mx) =>
+          try probeConn { c =>
+            val st = c.createStatement()
+            try st.executeUpdate(s"INSERT INTO $commitLog VALUES ($planIdSql, $mn, $mx)")
+            finally st.close()
+          } catch {
+            // PK violation = another process pinned first; fall through to
+            // the deterministic re-read below either way.
+            case e: java.sql.SQLException if e.getSQLState == "23505" => ()
+          }
+          planRow().getOrElse((mn, mx))
+        }
+      }
+      pinned match {
+        case None =>
+          // Empty keyspace: nothing to plan (mirrors the sequential engine).
+          ExecutionReport(Vector.empty, finishedRange = true, None, None)
+        case Some((mn, mx)) =>
+          // Deterministic fixed-size plan over the PINNED range.
+          val planner = new ChunkEngine(cfg, None, None)
+          planner.minId = Some(mn); planner.maxId = Some(mx)
+          val chunkBuf = Vector.newBuilder[Chunk]
+          planner.execute(c => chunkBuf += c, markTimerOnDispatch = false)
+          val planned = chunkBuf.result()
+          // The journal's coverage set for this run — exact-match lookup is
+          // sound because the plan above is a pure function of the pinned
+          // range. One SELECT for the whole set (not one probe per chunk):
+          // a resumed 100k-chunk run should not pay 100k point-SELECTs
+          // before its first transaction.
+          val covered: Set[(BigInt, BigInt)] = probeConn { c =>
+            val st = c.createStatement()
+            try {
+              val rs = st.executeQuery(
+                s"""SELECT "chunk_start", "chunk_end" FROM $commitLog WHERE "run_id" = $runIdSql""")
+              val b = Set.newBuilder[(BigInt, BigInt)]
+              while (rs.next()) b += ((BigInt(rs.getLong(1)), BigInt(rs.getLong(2))))
+              b.result()
+            } finally st.close()
+          }
+          val outcomes =
+            new java.util.concurrent.ConcurrentHashMap[Chunk, ChunkOutcome]()
+          planned.filter(c => covered((c.start, c.end))).foreach { c =>
+            outcomes.put(c, ChunkOutcome(c, None, "skipped-journal", 0.0, cfg.chunkSize))
+          }
+          val todo = planned.filterNot(c => covered((c.start, c.end)))
+          val pool = java.util.concurrent.Executors.newFixedThreadPool(parallelism)
+          implicit val ec: scala.concurrent.ExecutionContext =
+            scala.concurrent.ExecutionContext.fromExecutorService(pool)
+          val failed = new java.util.concurrent.atomic.AtomicBoolean(false)
+          val outcome = scala.concurrent.Promise[Unit]()
+          val workerDml = ThreadLocal.withInitial[Array[java.sql.Connection]](() => {
+            val c = DriverManager.getConnection(url, props)
+            c.setAutoCommit(false)
+            opened.add(c)
+            Array(c)
+          })
+          val workerProbe = ThreadLocal.withInitial[ProbeConnection](() => {
+            val p = new ProbeConnection(url, props)
+            opened.add(p)
+            p
+          })
+          def connectionClass(e: Throwable): Boolean = e match {
+            case _: java.sql.SQLNonTransientConnectionException => true
+            case _: java.sql.SQLRecoverableException => true
+            case _: java.sql.SQLTransientConnectionException => true
+            case _ => false
+          }
+          def alreadyCommitted(chunk: Chunk): Boolean = workerProbe.get() { c =>
+            val st = c.createStatement()
+            try {
+              val rs = st.executeQuery(
+                s"""SELECT COUNT(*) FROM $commitLog WHERE "run_id" = $runIdSql""" +
+                  s""" AND "chunk_start" = ${chunk.start} AND "chunk_end" = ${chunk.end}""")
+              rs.next(); rs.getLong(1) > 0
+            } finally st.close()
+          }
+          try {
+            val futures = todo.map { chunk =>
+              scala.concurrent.Future {
+                val t0 = System.nanoTime()
+                var attempt = 0
+                var done = failed.get // a poisoned run launches nothing new
+                var action = "processed"
+                while (!done && !failed.get) {
+                  attempt += 1
+                  try {
+                    // Lost-ack guard: probed on EVERY attempt — a retry after
+                    // a commit whose ack was lost must skip, not double-apply.
+                    if (alreadyCommitted(chunk)) { action = "skipped-journal"; done = true }
+                    else {
+                      val holder = workerDml.get()
+                      val conn = holder(0)
+                      try {
+                        val sql = template
+                          .replace("{start}", chunk.start.toString)
+                          .replace("{end}", chunk.end.toString)
+                        val st = conn.createStatement()
+                        try st.executeUpdate(sql) finally st.close()
+                        val st2 = conn.createStatement()
+                        try st2.executeUpdate(
+                          s"INSERT INTO $commitLog VALUES ($runIdSql, ${chunk.start}, ${chunk.end})")
+                        finally st2.close()
+                        inTxn(chunk, conn)
+                        conn.commit()
+                        done = true
+                      } catch {
+                        case e: Throwable =>
+                          try conn.rollback() catch { case _: Throwable => () }
+                          val dead = connectionClass(e) || {
+                            try conn.isClosed || !conn.isValid(5)
+                            catch { case _: Throwable => true }
+                          }
+                          if (dead) {
+                            try conn.close() catch { case _: Throwable => () }
+                            val fresh = DriverManager.getConnection(url, props)
+                            fresh.setAutoCommit(false)
+                            opened.add(fresh)
+                            holder(0) = fresh
+                          }
+                          throw e
+                      }
+                    }
+                  } catch {
+                    case e: Throwable if attempt < cfg.retryAttempts && cfg.retryOn(e) =>
+                      cfg.log(s"Chunk $chunk attempt $attempt/${cfg.retryAttempts} failed, retrying: ${e.getMessage}")
+                    case e: Throwable =>
+                      failed.set(true)
+                      outcome.tryFailure(e)
+                      throw e
+                  }
+                }
+                outcomes.put(chunk,
+                  ChunkOutcome(chunk, None, action, (System.nanoTime() - t0) / 1e9, cfg.chunkSize))
+              }
+            }
+            scala.concurrent.Future.sequence(futures).foreach(_ => outcome.trySuccess(()))
+            scala.concurrent.Await.result(outcome.future, scala.concurrent.duration.Duration.Inf)
+          } finally {
+            // On the poison path Await throws while sibling chunks are
+            // still mid-commit; their commits are the durable journaled
+            // work the resume builds on, so WAIT for them before the outer
+            // finally closes their connections out from under them.
+            pool.shutdown()
+            pool.awaitTermination(10, java.util.concurrent.TimeUnit.MINUTES)
+          }
+          ExecutionReport(
+            planned.flatMap(c => Option(outcomes.get(c))),
+            finishedRange = true,
+            finalMinId = Some(mx + 1),
+            maxIdSeen = Some(mx))
+      }
+    } finally {
+      opened.forEach(c => try c.close() catch { case _: Throwable => () })
+      probeConn.close()
+    }
+  }
+
   /** Strictly-sequential chunked JDBC append: the reference's "run large
     * database changes safely" write path. Returns the execution report
     * (resume point usable for a re-run after failure).

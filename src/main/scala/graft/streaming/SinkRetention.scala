@@ -201,10 +201,21 @@ object SinkRetention {
     * per query) pay one LIST, zero GETs. Correct for torn files too: a torn
     * write changes the name set (new version) or the length (truncated
     * rewrite), forcing the one re-parse that rejects it. Entries are a few
-    * hundred bytes; the cap only guards a pathological many-sink process. */
+    * hundred bytes; the cap only guards a pathological many-sink process.
+    *
+    * Keyed by FILESYSTEM IDENTITY + root, not the path string alone: a
+    * parse performed through one FileSystem (e.g. a counting/fault shim in
+    * the specs, passed via fsOverride) must never be served to a resolution
+    * running through another fs for the same path string — two fs instances
+    * may present diverging views of "the same" store. The default
+    * `FileSystem.get` returns a process-cached instance per (scheme,
+    * authority), so production resolutions still share one entry. */
   private val manifestCache =
     new java.util.concurrent.ConcurrentHashMap[String, (Seq[(String, Long)], Option[Manifest])]()
   private val ManifestCacheMax = 256
+
+  private def manifestCacheKey(fs: FileSystem, root: Path): String =
+    System.identityHashCode(fs).toHexString + "@" + root.toString
 
   /** Highest-version manifest that parses COMPLETELY (torn writes fail the
     * #END check and fall through to the previous version). */
@@ -216,7 +227,7 @@ object SinkRetention {
       .flatMap(st => manifestVersionOf(st.getPath).map(v => (v, st)))
       .sortBy(-_._1)
     val token = candidates.map(c => (c._2.getPath.getName, c._2.getLen))
-    val key = root.toString
+    val key = manifestCacheKey(fs, root)
     val cached = manifestCache.get(key)
     if (cached != null && cached._1 == token) cached._2
     else {

@@ -122,6 +122,47 @@ class GraphOpsSpec extends AnyFunSuite {
     assert(got == states(rounds - 1))
   }
 
+  test("convergence tally over-count (retry simulation) delays the exit by a round, never changes ranks") {
+    // r16 verdict #3: the L1 movement is tallied by an accumulator inside
+    // the round's materializing job, and a task RETRY re-adds its
+    // partition's movement — the tally can only OVER-count. The benignity
+    // claim: an inflated tally can only DELAY the exit (movement shrinks
+    // round over round), and every emitted rank state is still the exact
+    // round-t solution of the deterministic recurrence. tallyPadPpb is the
+    // deterministic stand-in for the retry's inflation.
+    import spark.implicits._
+    val edges = chain(12)
+    val e = edges.toDF("src", "dst").repartition(col("src")).persist()
+    val deg = e.groupBy(col("src")).agg(count(lit(1)).as("outdeg")).persist()
+    val tol = 10000000L
+    val (r0, t0) = GraphOps.pagerankLoop(e, deg, maxRounds = 60,
+      checkpointInterval = 5, checkpointDir = None, convergedBelowPpb = tol)
+    assert(t0 < 60)
+    val states = simulate(edges, t0 + 1)
+    val init = edges.map(_._1).distinct.map(_ -> 1000000000L / 12).toMap
+    def l1(a: Map[Long, Long], b: Map[Long, Long]): Long =
+      a.keys.toSeq.map(k => math.abs(a(k) - b(k))).sum
+    val moves = (init +: states).sliding(2).map(p => l1(p(0), p(1))).toSeq
+    // Pad chosen so the healthy stop round t0 JUST fails the bound: the
+    // padded run must go exactly one round further (movement strictly
+    // decreases under the 0.85 contraction, so round t0+1 passes even
+    // with the pad).
+    val pad = tol - moves(t0 - 1) + 1
+    assert(pad > 0 && moves(t0) + pad <= tol, "test premise: one extra round absorbs the pad")
+    val (r1, t1) = GraphOps.pagerankLoop(e, deg, maxRounds = 60,
+      checkpointInterval = 5, checkpointDir = None, convergedBelowPpb = tol,
+      tallyPadPpb = pad)
+    assert(t1 == t0 + 1, s"over-count should add exactly one round: $t0 -> $t1")
+    val got0 = r0.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got1 = r1.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got0 == states(t0 - 1), "healthy run diverged from the exact iteration")
+    assert(got1 == states(t0), "padded run must emit the exact round-(t0+1) solution")
+    // The TRUE movement at the padded exit still satisfies the stop law —
+    // a delayed exit is deeper into convergence, never out of it.
+    assert(moves(t1 - 1) <= tol)
+    e.unpersist(); deg.unpersist()
+  }
+
   test("pagerankLoop releases each intermediate cut once the next one materializes") {
     // r15 verdict: every lineage cut materializes a node-sized relation
     // whose blocks lived until ContextCleaner GC — unbounded at deep round

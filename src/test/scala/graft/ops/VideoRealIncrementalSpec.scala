@@ -17,8 +17,10 @@ import graft.SparkTestSession
 class VideoRealIncrementalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
   private val sfDir = SparkTestSession.sfDir
-  private val off = 40000000L // VID_REAL_CLONE_OFFSET: clones at doc_id + off
-  private val mod = 6L // VID_CLONE_MOD: every 6th doc gets a planted clone
+  // The production constants themselves (private[ops]), not local copies:
+  // a drift in Multimodal now fails here at compile time.
+  private val off = Multimodal.VID_REAL_CLONE_OFFSET // clones at doc_id + off
+  private val mod = Multimodal.VID_CLONE_MOD.toLong // every mod-th doc gets a planted clone
 
   test("real-codec incremental probe equals the self-join restricted to delta-vs-index") {
     val self = Multimodal.dedupVideoReal(spark, sfDir)

@@ -440,6 +440,132 @@ class JdbcBatchSpec extends AnyFunSuite {
     assert(back.filter(col("done") === 1).count() == 120)
   }
 
+  test("executeChunkedDmlPar: concurrent chunk commits apply exactly once and a re-run is a no-op") {
+    seeded
+    val src = (1L to 400L).map(i => (i, i)).toDF("id", "val")
+    src.write.mode("overwrite").jdbc(url, "par_bump", new java.util.Properties)
+    // Same indexing rule the sequential Derby entry documents: without it
+    // every chunk's range DML heap-scans into sibling transactions' row
+    // locks and Derby aborts with SQLTransactionRollbackException.
+    locally {
+      val c = java.sql.DriverManager.getConnection(url)
+      try c.createStatement().executeUpdate("""CREATE INDEX par_bump_id ON par_bump ("id")""")
+      finally c.close()
+    }
+    val rpt = JdbcBatch.executeChunkedDmlPar(url,
+      """UPDATE par_bump SET "val" = "val" + 1000 WHERE "id" BETWEEN {start} AND {end}""",
+      "id", "par_bump", cfg(50), parallelism = 4,
+      commitLog = "par_bump_log", runId = "par-bump-1")
+    assert(rpt.processed.size == 8 && rpt.skippedJournal.isEmpty)
+    // Outcomes come back in PLAN order regardless of completion order.
+    assert(rpt.outcomes.map(_.chunk.start) == (0 until 8).map(i => BigInt(1 + 50 * i)).toVector)
+    val back = spark.read.jdbc(url, "par_bump", new java.util.Properties)
+    assert(back.filter(col("val") === col("id") + 1000).count() == 400,
+      "every row must be bumped exactly once across the concurrent chunks")
+    // Resume of a COMPLETED run: every chunk journal-skips, nothing re-applies.
+    val again = JdbcBatch.executeChunkedDmlPar(url,
+      """UPDATE par_bump SET "val" = "val" + 1000 WHERE "id" BETWEEN {start} AND {end}""",
+      "id", "par_bump", cfg(50), parallelism = 4,
+      commitLog = "par_bump_log", runId = "par-bump-1")
+    assert(again.processed.isEmpty && again.skippedJournal.size == 8)
+    assert(spark.read.jdbc(url, "par_bump", new java.util.Properties)
+      .filter(col("val") === col("id") + 1000).count() == 400)
+  }
+
+  test("executeChunkedDmlPar: a crash mid-parallel-run resumes from the journal's coverage set, not MAX(chunk_end)") {
+    seeded
+    val src = (1L to 400L).map(i => (i, i)).toDF("id", "val")
+    src.write.mode("overwrite").jdbc(url, "par_gap", new java.util.Properties)
+    // Same indexing rule the sequential Derby entry documents: without it
+    // every chunk's range DML heap-scans into sibling transactions' row
+    // locks and Derby aborts with SQLTransactionRollbackException.
+    locally {
+      val c = java.sql.DriverManager.getConnection(url)
+      try c.createStatement().executeUpdate("""CREATE INDEX par_gap_id ON par_gap ("id")""")
+      finally c.close()
+    }
+    val tpl = """UPDATE par_gap SET "val" = "val" + 1000 WHERE "id" BETWEEN {start} AND {end}"""
+    // Deterministic crash shape: the FIRST chunk's worker waits until every
+    // OTHER chunk has reached its transaction body, then dies — out-of-order
+    // completion leaves the journal with a gap at the LOW end of the
+    // keyspace and MAX(chunk_end) at the top: the exact case where the
+    // sequential loop's high-water-mark resume law would skip real work.
+    val others = new java.util.concurrent.CountDownLatch(7)
+    val boom = intercept[RuntimeException] {
+      JdbcBatch.executeChunkedDmlPar(url, tpl, "id", "par_gap",
+        cfg(50), parallelism = 8, commitLog = "par_gap_log", runId = "par-gap-1",
+        inTxn = { (chunk, _) =>
+          if (chunk.start == BigInt(1)) {
+            assert(others.await(120, java.util.concurrent.TimeUnit.SECONDS),
+              "test premise: sibling chunks never reached their bodies")
+            throw new RuntimeException("simulated mid-run death")
+          } else others.countDown()
+        })
+    }
+    assert(boom.getMessage.contains("simulated mid-run death"))
+    // The journal now has 7 committed chunks, a GAP at (1, 50), and a plan
+    // row pinning the discovered range.
+    val jconn = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = jconn.createStatement().executeQuery(
+        """SELECT COUNT(*), MAX("chunk_end"), MIN("chunk_start") FROM par_gap_log WHERE "run_id" = 'par-gap-1'""")
+      rs.next()
+      assert(rs.getLong(1) == 7, "expected every sibling chunk committed")
+      assert(rs.getLong(2) == 400 && rs.getLong(3) == 51,
+        "premise: MAX(chunk_end) covers the keyspace while (1,50) is missing — " +
+          "an HWM resume would skip the gap entirely")
+      val pr = jconn.createStatement().executeQuery(
+        """SELECT "chunk_start", "chunk_end" FROM par_gap_log WHERE "run_id" = 'par-gap-1#plan'""")
+      assert(pr.next() && pr.getLong(1) == 1 && pr.getLong(2) == 400, "plan row must pin (1, 400)")
+    } finally jconn.close()
+    // Resume with the same runId: ONLY the gap runs; committed chunks skip.
+    val resumed = JdbcBatch.executeChunkedDmlPar(url, tpl, "id", "par_gap",
+      cfg(50), parallelism = 8, commitLog = "par_gap_log", runId = "par-gap-1")
+    assert(resumed.processed.map(_.chunk) == Vector(graft.chunker.Chunk(BigInt(1), BigInt(50))))
+    assert(resumed.skippedJournal.size == 7)
+    val back = spark.read.jdbc(url, "par_gap", new java.util.Properties)
+    assert(back.filter(col("val") === col("id") + 1000).count() == 400,
+      "after the resume every row must be bumped EXACTLY once — the gap applied, nothing double-applied")
+  }
+
+  test("executeChunkedDmlPar: resume replans from the PINNED range after the DML moved the live range") {
+    seeded
+    val src = (1L to 400L).map(i => (i, i)).toDF("id", "val")
+    src.write.mode("overwrite").jdbc(url, "par_del", new java.util.Properties)
+    // Same indexing rule the sequential Derby entry documents: without it
+    // every chunk's range DML heap-scans into sibling transactions' row
+    // locks and Derby aborts with SQLTransactionRollbackException.
+    locally {
+      val c = java.sql.DriverManager.getConnection(url)
+      try c.createStatement().executeUpdate("""CREATE INDEX par_del_id ON par_del ("id")""")
+      finally c.close()
+    }
+    val tpl = """DELETE FROM par_del WHERE "id" BETWEEN {start} AND {end}"""
+    val others = new java.util.concurrent.CountDownLatch(7)
+    intercept[RuntimeException] {
+      JdbcBatch.executeChunkedDmlPar(url, tpl, "id", "par_del",
+        cfg(50), parallelism = 8, commitLog = "par_del_log", runId = "par-del-1",
+        inTxn = { (chunk, _) =>
+          if (chunk.start == BigInt(1)) {
+            assert(others.await(120, java.util.concurrent.TimeUnit.SECONDS))
+            throw new RuntimeException("simulated mid-run death")
+          } else others.countDown()
+        })
+    }
+    // The crashed run DELETED everything but the first chunk's rows: a fresh
+    // MIN/MAX discovery would now see (1, 50) and plan ONE chunk — the plan
+    // row forces the resume to replan the ORIGINAL eight, so the exact-match
+    // coverage probes line up with what the journal recorded.
+    val live = spark.read.jdbc(url, "par_del", new java.util.Properties)
+    assert(live.count() == 50 && live.agg(max(col("id"))).head().getLong(0) == 50)
+    val resumed = JdbcBatch.executeChunkedDmlPar(url, tpl, "id", "par_del",
+      cfg(50), parallelism = 8, commitLog = "par_del_log", runId = "par-del-1")
+    assert(resumed.outcomes.size == 8, "resume must replan the pinned (1,400) range, not the shrunk live one")
+    assert(resumed.processed.map(_.chunk) == Vector(graft.chunker.Chunk(BigInt(1), BigInt(50))))
+    assert(resumed.skippedJournal.size == 7)
+    assert(spark.read.jdbc(url, "par_del", new java.util.Properties).count() == 0)
+  }
+
   test("empty table: readChunked returns an empty frame without failing") {
     val empty = Seq.empty[(Long, String)].toDF("id", "name")
     empty.write.mode("overwrite").jdbc(url, "chunk_empty", new java.util.Properties)
