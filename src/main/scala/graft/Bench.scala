@@ -70,6 +70,12 @@ object Bench {
       // entries above — single-shot timing kept exactly the rebuild-
       // attribution noise the median was added to remove (r15 ADVICE).
       "x_graph_pagerank_deep", "x_graph_pagerank_converged",
+      // Sorted-order NEIGHBORS of the graph family: they start under its
+      // full persisted footprint (their own storage rows showed 33 RDDs /
+      // 1.6 GB), and r16's canonical sf5 artifact moved x_hard_negatives
+      // 2.5x with untouched code — the same footprint-interference class,
+      // so they get the same median treatment (r16 verdict #1a).
+      "x_hard_negatives", "x_hash_sample",
       // The multimodal families all ride RelCache'd mm/ relations (decoded
       // grids / frame hashes / pair sets). In the 220-entry session those
       // blocks are the evict-and-rebuild victims — WHICH family member pays
@@ -94,6 +100,7 @@ object Bench {
     // code is untouched can be attributed (or not) to the persisted
     // footprint it starts under, from the committed artifact alone.
     val storage = scala.collection.mutable.LinkedHashMap.empty[String, (Int, Long)]
+    val spread = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     def storageNow(): (Int, Long) = {
       val sc = spark.sparkContext
       // RDD-only figure (memSize summed over cached RDDs), matching the
@@ -122,6 +129,12 @@ object Bench {
         catch { case e: Throwable => errors += name; System.err.println(s"[bench] $name FAILED: ${e.getMessage}") }
         (System.nanoTime() - t0) / 1e9
       }.sorted
+      // Rep spread for the median'd entries rides in the artifact: a
+      // median can hide an unbounded spread (r16's x_stream_dedup_manifest
+      // moved 1.56x between rounds WITH a median) — recording [min, max]
+      // makes the entry's run-to-run variance auditable from the committed
+      // record instead of needing a same-HEAD re-run to expose it.
+      if (reps > 1) spread(name) = (times.head, times.last)
       name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -135,12 +148,14 @@ object Bench {
       s""""shuffle_partitions":$cpus,"entry_order":"sorted","median_reps":"streams+warmup-sensitive"}"""
     val st = storage.map { case (k, (n, mb)) => s"\"" + k + "\":[" + n + "," + mb + "]" }
       .mkString("{", ",", "}")
+    val sp = spread.map { case (k, (lo, hi)) => f"""\"$k\":[$lo%.3f,$hi%.3f]""" }
+      .mkString("{", ",", "}")
     // Key order matters twice over: "metric" stays FIRST (every extraction
     // script greps '{"metric".*'), and queries/errors/sf stay LAST — the
     // round artifact records only the final 2000 chars of output, so the
     // per-entry numbers must sit at the line's tail or the new config/
     // storage blocks would push them out of the committed record.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","config":$cfg,"storage_rdds_mb":$st,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","config":$cfg,"storage_rdds_mb":$st,"rep_spread":$sp,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // stdout goes through sbt's logger, which can mangle the line past
     // recognition for the driver's JSON parse — always ALSO write the bare
     // line to a file (env-provided path, or a pid-suffixed /tmp fallback so

@@ -25,6 +25,19 @@ import Tables._
   * and joins within buckets; IVF swaps the bucket function for data-
   * adaptive centroid assignment — candidate count ~ nprobe/k of the
   * corpus, same equi-join shape.
+  *
+  * NO HNSW/NSW family, deliberately: a graph-traversal index is a
+  * stateful greedy pointer-chase with sequential hop dependencies —
+  * per-partition sub-indexes lose the global graph (recall collapses as
+  * partitions grow), and a faithful distributed walk costs one BSP
+  * shuffle PER HOP (20-50 per query batch), strictly worse than the one
+  * probe shuffle IVF(-PQ) pays. The candidate-generation story at scale
+  * is IVF(-PQ)/banded-LSH/Hamming here, with `x_shard_balanced` +
+  * `x_ann_ivfpq_persisted` as the build-side composition for serving
+  * stacks that run HNSW per shard OUTSIDE the engine. Future work if a
+  * traversal shape is ever wanted: beam search as k frontier-joins over
+  * a precomputed kNN-graph RELATION (the `pagerankDeep` loop shape) —
+  * expressible and oracle-able, just not a better plan than IVF-PQ.
   */
 object Similarity {
 
