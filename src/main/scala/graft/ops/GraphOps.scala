@@ -414,7 +414,7 @@ object GraphOps {
 
   /** Panel size of the kNN-graph diagnostic: brute-force exact top-3 on a
     * fixed id-prefix sample (1000² = 10⁶ cosine dots at any scale). */
-  private val KNN_PANEL = 1000L
+  private[ops] val KNN_PANEL = 1000L
 
   /** Structural diagnostics of the embedding space's kNN graph —
     * reciprocity (how many top-3 edges are mutual) and triangle count
@@ -432,13 +432,14 @@ object GraphOps {
     * AQE-skew-join territory on the triangle join's build side. Cosine
     * ordering is the strict-left-fold float64 dot both engines share, so
     * the graph — and every count — is deterministic. */
-  def graphKnnStats(s: SparkSession, d: String): DataFrame = {
-    // Resolve the vector dependency OUTSIDE the cache lambdas (RelCache
-    // recursive-update rule); top3 and the undirected edge set are shared
-    // through the cache so repeated invocations neither recompute the 10⁶
-    // dots nor leak unmanaged persisted blocks.
+  /** The panel's exact directed top-3 kNN graph `(a_id, b_id)` — shared
+    * (RelCache) between the structural diagnostics below and the
+    * beam-search ANN probe (`Similarity.annBeam`), which walks it. The
+    * vector dependency is resolved OUTSIDE the cache lambda (RelCache
+    * recursive-update rule). */
+  private[ops] def knnTop3(s: SparkSession, d: String): DataFrame = {
     val panel = Similarity.vectors(s, d).filter(col("vec_id") < KNN_PANEL)
-    val top3 = RelCache.shared(s, d, "graph/knnTop3") {
+    RelCache.shared(s, d, "graph/knnTop3") {
       val q = panel.select(col("vec_id").as("a_id"), col("v").as("av"), col("nrm").as("an"))
       val pairs = q.join(panel, col("vec_id") =!= col("a_id"))
         .select(col("a_id"), col("vec_id").as("b_id"),
@@ -448,6 +449,14 @@ object GraphOps {
       pairs.withColumn("rnk", row_number().over(w))
         .filter(col("rnk") <= 3).select(col("a_id"), col("b_id"))
     }
+  }
+
+  def graphKnnStats(s: SparkSession, d: String): DataFrame = {
+    // top3 and the undirected edge set are shared through the cache so
+    // repeated invocations neither recompute the 10⁶ dots nor leak
+    // unmanaged persisted blocks.
+    val top3 = knnTop3(s, d)
+    val panel = Similarity.vectors(s, d).filter(col("vec_id") < KNN_PANEL)
     val e = RelCache.shared(s, d, "graph/knnEdges")(
       top3.select(least(col("a_id"), col("b_id")).as("u"),
         greatest(col("a_id"), col("b_id")).as("v")).distinct())

@@ -34,10 +34,11 @@ import Tables._
   * probe shuffle IVF(-PQ) pays. The candidate-generation story at scale
   * is IVF(-PQ)/banded-LSH/Hamming here, with `x_shard_balanced` +
   * `x_ann_ivfpq_persisted` as the build-side composition for serving
-  * stacks that run HNSW per shard OUTSIDE the engine. Future work if a
-  * traversal shape is ever wanted: beam search as k frontier-joins over
-  * a precomputed kNN-graph RELATION (the `pagerankDeep` loop shape) —
-  * expressible and oracle-able, just not a better plan than IVF-PQ.
+  * stacks that run HNSW per shard OUTSIDE the engine. The traversal
+  * SHAPE, where it is expressible, is implemented: [[annBeam]] runs
+  * LSH-seeded beam search as frontier-joins over the panel's kNN-graph
+  * RELATION (the `pagerankDeep` loop shape), oracled hop by hop, with
+  * [[annBeamRecall]] quantifying the trade against the exact truth.
   */
 object Similarity {
 
@@ -119,6 +120,117 @@ object Similarity {
     pairs.withColumn("rnk", row_number().over(w))
       .filter(col("rnk") <= 3)
       .select(col("q_id"), col("nn_id"), col("rnk"), col("sim"))
+  }
+
+  // ---------------------------------------------------------------------
+  // Beam-search ANN probe over the panel's exact kNN graph — the
+  // DataFrame-shaped TRAVERSAL index probe the HNSW trade-off note
+  // promised (SURVEY §2.3): the graph-walk semantics expressed as k
+  // frontier-joins over a precomputed kNN-graph RELATION instead of a
+  // stateful pointer-chase. Every query starts from the same fixed entry
+  // set (the HNSW global-entry-point shape), each hop expands the frontier
+  // through the directed top-3 edges, rescores the candidate set against
+  // the query, and keeps the best BEAM_W; after BEAM_HOPS hops the top-3
+  // of the final frontier is the answer. Everything is deterministic
+  // (ties by id, strict-left-fold float64 dots), so the DuckDB oracle
+  // replays the entire walk hop by hop and the hash compare pins the
+  // traversal itself. The recall audit quantifies the trade honestly
+  // against the exact brute-force truth — on a 3-NN graph with a single
+  // entry region the walk misses what greedy routing cannot reach, which
+  // is exactly the measurement that justifies IVF-PQ as the production
+  // candidate generator here (the scaladoc at the top of this object).
+  // Plan shape at scale: the walk itself is O(Q·BEAM·(3+1)) rows per hop —
+  // trivially broadcast-able; the honest cost is BUILDING the graph
+  // relation, which at 100 TB comes from the ANN index composition, not
+  // from the panel's brute force.
+  // ---------------------------------------------------------------------
+
+  private[ops] val BEAM_W = 16 // frontier width per query
+  private[ops] val BEAM_HOPS = 6 // expansion rounds after seeding
+  private[ops] val BEAM_SEEDS = 8L // fixed entry set: panel ids < 8
+  private[ops] val BEAM_QMOD = 29L // query set: vec_id % 29 == 3
+
+  /** One scored frontier expansion: candidates joined to the panel
+    * vectors and the query vectors, self excluded, ranked per query by
+    * (sim desc, id). `cand` is (q_id, c_id). */
+  private def beamRank(cand: DataFrame, panel: DataFrame, q: DataFrame): DataFrame = {
+    val scored = cand
+      .join(panel.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), "c_id")
+      .join(q, "q_id")
+      .filter(col("c_id") =!= col("q_id"))
+      .select(col("q_id"), col("c_id"),
+        (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
+    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= BEAM_W)
+  }
+
+  /** Beam-search top-3 (catalog `x_ann_beam`): the walk described above,
+    * answered from the panel corpus (`vec_id < GraphOps.KNN_PANEL`).
+    * SEEDING is the hybrid production shape — the query's LSH bucket
+    * mates (multi-entry, the hash-seeded NSW pattern: the walk starts
+    * where the hash index already thinks the neighborhood is, then the
+    * graph refines), unioned with a fixed entry set so a query with no
+    * panel bucket mate still walks from somewhere. The recall audit
+    * therefore measures hash-seeding + graph-refinement jointly, against
+    * plain LSH's own audited recall. */
+  def annBeam(s: SparkSession, d: String): DataFrame = {
+    val all = vectors(s, d)
+    val panel = all.filter(col("vec_id") < GraphOps.KNN_PANEL)
+    val top3 = GraphOps.knnTop3(s, d)
+    val q = all.filter(col("vec_id") % BEAM_QMOD === 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    // Bounded cross join BY CONSTRUCTION: |q| × BEAM_SEEDS rows — the
+    // fixed-entry fallback arm of the seed set.
+    val fixedSeeds = q.select(col("q_id")).crossJoin(
+      panel.filter(col("vec_id") < BEAM_SEEDS).select(col("vec_id").as("c_id")))
+    val bk = lshBuckets(s, d)
+    val qBuckets = bk.join(q.select(col("q_id")), bk("vec_id") === col("q_id"))
+      .select(col("q_id"), col("tbl"), col("bucket"))
+    val mates = qBuckets.join(
+        bk.select(col("vec_id").as("c_id"), col("tbl"), col("bucket")),
+        Seq("tbl", "bucket"))
+      .filter(col("c_id") =!= col("q_id") && col("c_id") < GraphOps.KNN_PANEL)
+      .select(col("q_id"), col("c_id"))
+    val seeds = mates.unionByName(fixedSeeds).distinct()
+    // Each hop references the previous frontier TWICE (carry arm + expand
+    // arm), so an uncut unrolled walk doubles its plan tree per hop —
+    // measured 24.7 s of pure driver/codegen time for 4 hops over ~50
+    // queries. The frontier is Q×BEAM_W rows; cut its lineage every hop
+    // (same discipline as pagerankLoop's round cuts, at a far smaller
+    // size) and each hop's plan stays constant-depth.
+    var ranked = beamRank(seeds, panel, q).localCheckpoint()
+    (1 to BEAM_HOPS).foreach { _ =>
+      val f = ranked.select(col("q_id"), col("c_id"))
+      val expanded = f.unionByName(
+        f.join(top3, f("c_id") === top3("a_id"))
+          .select(col("q_id"), col("b_id").as("c_id")))
+        .distinct()
+      ranked = beamRank(expanded, panel, q).localCheckpoint()
+    }
+    ranked.filter(col("rnk") <= 3)
+      .select(col("q_id"), col("c_id").as("nn_id"), col("rnk"), col("sim"))
+  }
+
+  /** Recall audit of the beam walk vs the exact brute-force truth over the
+    * same panel (catalog `x_ann_beam_recall`): per-query hit counts
+    * histogrammed — integral end to end, so the oracle is hash-exact. */
+  def annBeamRecall(s: SparkSession, d: String): DataFrame = {
+    val all = vectors(s, d)
+    val panel = all.filter(col("vec_id") < GraphOps.KNN_PANEL)
+    val q = all.filter(col("vec_id") % BEAM_QMOD === 3)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("nrm").as("qn"))
+    val truthPairs = broadcast(q).join(panel, col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("nn_id"),
+        (dot(col("qv"), col("v")) / (col("qn") * col("nrm"))).as("sim"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("nn_id"))
+    val truth = truthPairs.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3).select(col("q_id"), col("nn_id"))
+    val hits = annBeam(s, d).select(col("q_id"), col("nn_id"))
+      .join(truth, Seq("q_id", "nn_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("h"))
+    q.select(col("q_id")).join(hits, Seq("q_id"), "left")
+      .select(coalesce(col("h"), lit(0L)).as("n_hits"))
+      .groupBy(col("n_hits")).agg(count(lit(1)).as("n_queries"))
   }
 
   // ---------------------------------------------------------------------
@@ -1695,6 +1807,8 @@ object Similarity {
   val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "x_embed_whiten" -> (embedWhiten _),
     "x_ann_bruteforce" -> (annBruteforce _),
+    "x_ann_beam" -> (annBeam _),
+    "x_ann_beam_recall" -> (annBeamRecall _),
     "x_hard_negatives" -> (hardNegatives _),
     "x_embed_int8" -> (embedInt8Audit _),
     "x_embed_outliers" -> (embedOutliers _),
@@ -1752,6 +1866,58 @@ object Similarity {
   private def baseCtes: String =
     """t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
       |n AS MATERIALIZED (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM t)""".stripMargin
+
+  /** Shared CTEs of the beam-walk oracles: the panel, its exact directed
+    * top-3 graph (same text as the x_graph_knn_stats oracle), the query
+    * set, the LSH-seeded + fixed-entry seed set, and the seeded frontier
+    * `f0` (ranked, rnk <= BEAM_W). The bucket arms are the SAME generated
+    * sign-bit assembly the x_ann_lsh oracle uses, so the seed set is
+    * bit-identical to the Spark side's bucket join. */
+  private def beamCtes: String =
+    s"""pan AS MATERIALIZED (SELECT vec_id, v, nrm FROM n WHERE vec_id < ${GraphOps.KNN_PANEL}),
+       |ptop3 AS MATERIALIZED (SELECT a_id, b_id FROM (
+       |  SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+       |         row_number() OVER (PARTITION BY a.vec_id
+       |           ORDER BY list_dot_product(a.v, b.v) / (a.nrm * b.nrm) DESC, b.vec_id) AS rnk
+       |  FROM pan a, pan b WHERE b.vec_id <> a.vec_id)
+       |  WHERE rnk <= 3),
+       |qs AS (SELECT vec_id, v, nrm FROM n WHERE vec_id % $BEAM_QMOD = 3),
+       |bbk AS (
+       |${bucketArmsSql(planeWeights(64), LSH_TABLES, LSH_BITS)}),
+       |seeds AS (SELECT q.vec_id AS q_id, b.vec_id AS c_id
+       |          FROM bbk a JOIN qs q ON q.vec_id = a.vec_id
+       |               JOIN bbk b ON b.tbl = a.tbl AND b.bucket = a.bucket
+       |          WHERE b.vec_id <> q.vec_id AND b.vec_id < ${GraphOps.KNN_PANEL}
+       |          UNION
+       |          SELECT q.vec_id, p.vec_id FROM qs q, pan p
+       |          WHERE p.vec_id < $BEAM_SEEDS AND p.vec_id <> q.vec_id),
+       |f0 AS (SELECT q_id, c_id, sim,
+       |              CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rnk
+       |       FROM (SELECT s.q_id, s.c_id,
+       |                    list_dot_product(q.v, p.v) / (q.nrm * p.nrm) AS sim
+       |             FROM seeds s JOIN pan p ON p.vec_id = s.c_id
+       |                  JOIN qs q ON q.vec_id = s.q_id)
+       |       QUALIFY rnk <= $BEAM_W)""".stripMargin
+
+  /** One beam hop as CTE text: expand `prev`'s frontier through the
+    * directed top-3 edges (UNION dedups, mirroring Spark's distinct),
+    * rescore against the query, keep the best BEAM_W. */
+  private def beamHop(prev: String, cur: String): String =
+    s"""${cur}c AS (SELECT q_id, c_id FROM $prev
+       |           UNION
+       |           SELECT f.q_id, t.b_id AS c_id FROM $prev f JOIN ptop3 t ON t.a_id = f.c_id),
+       |$cur AS (SELECT q_id, c_id, sim,
+       |                CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, c_id) AS INTEGER) AS rnk
+       |         FROM (SELECT c.q_id, c.c_id,
+       |                      list_dot_product(q.v, p.v) / (q.nrm * p.nrm) AS sim
+       |               FROM ${cur}c c JOIN pan p ON p.vec_id = c.c_id
+       |                    JOIN qs q ON q.vec_id = c.q_id
+       |               WHERE c.c_id <> c.q_id)
+       |         QUALIFY rnk <= $BEAM_W)""".stripMargin
+
+  private def beamWalkCtes: String =
+    s"""$beamCtes,
+       |${(1 to BEAM_HOPS).map(i => beamHop(s"f${i - 1}", s"f$i")).mkString(",\n")}""".stripMargin
 
   /** One UNION ALL arm per hash table: the same sign-bit bucket assembly
     * the [[org.apache.spark.sql.graftbridge.LshBuckets]] expression runs,
@@ -2212,6 +2378,29 @@ object Similarity {
          |             CAST(row_number() OVER (PARTITION BY q_id ORDER BY sim DESC, nn_id) AS INTEGER) AS rnk
          |      FROM p)
          |SELECT q_id, nn_id, rnk, sim FROM r WHERE rnk <= 3""".stripMargin,
+    // The beam walk replayed hop by hop: seeding, BEAM_HOPS frontier
+    // expansions through the directed top-3 graph, final top-3 of the last
+    // ranked frontier — the hash compare pins the traversal itself.
+    "x_ann_beam" ->
+      s"""WITH $baseCtes,
+         |$beamWalkCtes
+         |SELECT q_id, c_id AS nn_id, rnk, sim FROM f$BEAM_HOPS WHERE rnk <= 3""".stripMargin,
+    "x_ann_beam_recall" ->
+      s"""WITH $baseCtes,
+         |$beamWalkCtes,
+         |beam3 AS (SELECT q_id, c_id AS nn_id FROM f$BEAM_HOPS WHERE rnk <= 3),
+         |truth3 AS (SELECT q_id, nn_id FROM (
+         |  SELECT q.vec_id AS q_id, p.vec_id AS nn_id,
+         |         row_number() OVER (PARTITION BY q.vec_id
+         |           ORDER BY list_dot_product(q.v, p.v) / (q.nrm * p.nrm) DESC, p.vec_id) AS rnk
+         |  FROM qs q, pan p WHERE p.vec_id <> q.vec_id)
+         |  WHERE rnk <= 3),
+         |bh AS (SELECT b.q_id, count(*) AS h FROM beam3 b
+         |       JOIN truth3 t ON t.q_id = b.q_id AND t.nn_id = b.nn_id
+         |       GROUP BY b.q_id),
+         |per AS (SELECT q.vec_id AS q_id, coalesce(bh.h, 0) AS n_hits
+         |        FROM qs q LEFT JOIN bh ON bh.q_id = q.vec_id)
+         |SELECT n_hits, count(*) AS n_queries FROM per GROUP BY n_hits""".stripMargin,
     "x_hard_negatives" ->
       """WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v, label FROM embeddings),
         |n AS (SELECT vec_id, v, label, sqrt(list_dot_product(v, v)) AS nrm FROM t),
