@@ -509,12 +509,6 @@ object CoreQueries {
     * commits, and the resume. */
   def dmlChunkedUpdatePar(s: SparkSession, d: String): DataFrame = {
     val db = "graft_dmlpar_" + java.util.UUID.randomUUID.toString.replace("-", "")
-    // Disjoint-range chunks escalate past Derby's default 5000-lock
-    // threshold at the bigger scale factors (each chunk updates ~p/8 rows),
-    // and an escalated TABLE lock serializes — or times out — the sibling
-    // transactions this entry exists to run concurrently. Row locks are
-    // cheap; raise the threshold before the in-memory DB boots.
-    System.setProperty("derby.locks.escalationThreshold", "1000000")
     val url = s"jdbc:derby:memory:$db;create=true"
     val props = new java.util.Properties
     try {
@@ -524,14 +518,31 @@ object CoreQueries {
         .write.mode("overwrite")
         .option("batchsize", "10000")
         .jdbc(url, "part_live", props)
-      // Indexed key (same rule as dml_chunked_jdbc, doubly load-bearing
-      // here: an unindexed range UPDATE heap-scans into SIBLING chunks'
-      // row locks, not just its own range).
       locally {
         val c = java.sql.DriverManager.getConnection(url, props)
-        try c.createStatement().executeUpdate(
-          """CREATE INDEX part_live_key ON part_live ("p_partkey")""")
-        finally c.close()
+        try {
+          // Indexed key (same rule as dml_chunked_jdbc, doubly load-bearing
+          // here: an unindexed range UPDATE heap-scans into SIBLING chunks'
+          // row locks, not just its own range).
+          c.createStatement().executeUpdate(
+            """CREATE INDEX part_live_key ON part_live ("p_partkey")""")
+          // Disjoint-range chunks escalate past Derby's default 5000-lock
+          // threshold at the bigger scale factors (each chunk updates ~p/8
+          // rows), and an escalated TABLE lock serializes — or times out —
+          // the sibling transactions this entry exists to run concurrently.
+          // Set as a DATABASE property (read at runtime): the system
+          // property looks equivalent but is read once at ENGINE boot, so
+          // it silently does nothing whenever an earlier entry in the same
+          // JVM already booted Derby — exactly the full-session condition
+          // (the standalone runs that DID boot fresh masked this; the
+          // first 225-entry bench session caught it as a 300 s lock-
+          // timeout pileup).
+          val ps = c.prepareStatement(
+            "CALL SYSCS_UTIL.SYSCS_SET_DATABASE_PROPERTY(?, ?)")
+          ps.setString(1, "derby.locks.escalationThreshold")
+          ps.setString(2, "1000000")
+          ps.execute(); ps.close()
+        } finally c.close()
       }
       val (mn, mx) = graft.sources.JdbcBatch.discoverRange(url, "part_live", "p_partkey", props)
         .getOrElse(sys.error(s"no keys in $d/part"))
@@ -544,6 +555,14 @@ object CoreQueries {
       // Pass 1: simulated mid-run death with deterministic out-of-order
       // coverage — the gap lands at the LOW end while MAX(chunk_end) is
       // already at the top of the keyspace.
+      // The latch wait is BOUNDED WELL BELOW Derby's 60 s lock timeout and
+      // the poison fires either way: chunk 1 executes its UPDATE before
+      // inTxn runs, so it HOLDS its range's row locks while it waits — if
+      // any sibling's scan ever walks into them (an optimizer regression
+      // to a heap scan), the sibling blocks only until this throw's
+      // rollback instead of dying with a lock timeout that would fail the
+      // whole entry. In the healthy index-range-scan plan the 7 siblings
+      // count down in a few hundred ms and the wait never matters.
       val siblings = new java.util.concurrent.CountDownLatch(7)
       val died =
         try {
@@ -552,7 +571,7 @@ object CoreQueries {
             props = props,
             inTxn = { (chunk, _) =>
               if (chunk.start == mn) {
-                siblings.await(300, java.util.concurrent.TimeUnit.SECONDS)
+                siblings.await(20, java.util.concurrent.TimeUnit.SECONDS)
                 throw new RuntimeException("simulated mid-run death")
               } else siblings.countDown()
             })
