@@ -76,6 +76,14 @@ object Bench {
       // 2.5x with untouched code — the same footprint-interference class,
       // so they get the same median treatment (r16 verdict #1a).
       "x_hard_negatives", "x_hash_sample",
+      // r17's sf5 artifact caught two more single-shot names paying a
+      // session-interference slot with untouched code: x_bpe_apply read
+      // 39.1 s in-bench vs 12.2 cold / 2.9 warm isolated (TIMEONE_sf5_r17),
+      // x_boilerplate_scrub 17.7 vs 14.0 / 5.3 — same footprint class,
+      // same median treatment (added AFTER the r17 artifacts shipped; the
+      // committed r17 numbers carry their single-shot noise, adjudicated
+      // by the TIMEONE rows).
+      "x_bpe_apply", "x_boilerplate_scrub",
       // The multimodal families all ride RelCache'd mm/ relations (decoded
       // grids / frame hashes / pair sets). In the 220-entry session those
       // blocks are the evict-and-rebuild victims — WHICH family member pays

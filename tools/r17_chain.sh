@@ -7,11 +7,12 @@
 set -x
 cd /root/repo
 
-# sf5 scale dir (sf1 already regenerated this session)
-sbt -batch 'Test/runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/graft_scale/sf5 50'
-python3 tools/scaleup_events.py /root/testdata/sf0.1 /tmp/graft_scale/sf5 50
-
-sleep 60 # quiet gap after the scale-gen writes
+# Scale dirs already regenerated this session; skip straight to the trio.
+if [ ! -d /tmp/graft_scale/sf5/lineitem.parquet ]; then
+  sbt -batch 'Test/runMain graft.tools.ScaleUp /root/testdata/sf0.1 /tmp/graft_scale/sf5 50'
+  python3 tools/scaleup_events.py /root/testdata/sf0.1 /tmp/graft_scale/sf5 50
+  sleep 60
+fi
 
 SPARK_GRAFT_CPUS=32 SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 \
   SPARK_GRAFT_BENCH_OUT=/tmp/r17_bench_sf0.1.json sbt -batch "runMain graft.Bench"
