@@ -566,6 +566,44 @@ class JdbcBatchSpec extends AnyFunSuite {
     assert(spark.read.jdbc(url, "par_del", new java.util.Properties).count() == 0)
   }
 
+  test("executeChunkedDmlPar: a LOST COMMIT ACK journal-skips on retry instead of double-applying") {
+    seeded
+    val src = (1L to 200L).map(i => (i, i)).toDF("id", "val")
+    src.write.mode("overwrite").jdbc(url, "par_ack", new java.util.Properties)
+    locally {
+      val c = java.sql.DriverManager.getConnection(url)
+      try c.createStatement().executeUpdate("""CREATE INDEX par_ack_id ON par_ack ("id")""")
+      finally c.close()
+    }
+    // Simulate the lost ack on chunk (51,100): inTxn COMMITS the chunk's
+    // transaction itself (work + journal row durable server-side), then
+    // dies with a connection-class failure — to the worker this is
+    // indistinguishable from a death BEFORE the commit. The per-ATTEMPT
+    // journal probe is what keeps the retry from re-applying the
+    // non-idempotent bump.
+    val bodyRuns = new java.util.concurrent.atomic.AtomicInteger(0)
+    val rpt = JdbcBatch.executeChunkedDmlPar(url,
+      """UPDATE par_ack SET "val" = "val" + 1000 WHERE "id" BETWEEN {start} AND {end}""",
+      "id", "par_ack", cfg(50).copy(retryAttempts = 3), parallelism = 4,
+      commitLog = "par_ack_log", runId = "par-ack-1",
+      inTxn = { (chunk, conn) =>
+        if (chunk.start == BigInt(51) && bodyRuns.incrementAndGet() == 1) {
+          conn.commit() // the server applied it...
+          throw new java.sql.SQLNonTransientConnectionException("ack lost") // ...we never heard
+        }
+      })
+    // The retry's PER-ATTEMPT journal probe fired BEFORE the body: the
+    // chunk's transaction ran exactly once, the retry never re-entered it.
+    assert(bodyRuns.get() == 1, "the lost-ack retry must skip before re-running the body")
+    // The retry's journal probe saw the durable row: final dispatch is
+    // skipped-journal, the other three chunks processed.
+    assert(rpt.skippedJournal.map(_.chunk) == Vector(graft.chunker.Chunk(BigInt(51), BigInt(100))))
+    assert(rpt.processed.size == 3)
+    val back = spark.read.jdbc(url, "par_ack", new java.util.Properties)
+    assert(back.filter(col("val") === col("id") + 1000).count() == 200,
+      "every row bumped exactly once — the lost-ack retry must not double-apply")
+  }
+
   test("empty table: readChunked returns an empty frame without failing") {
     val empty = Seq.empty[(Long, String)].toDF("id", "name")
     empty.write.mode("overwrite").jdbc(url, "chunk_empty", new java.util.Properties)

@@ -363,6 +363,30 @@ class SinkRetentionSpec extends AnyFunSuite {
     assert(cur.exists(_.watermark == 2L), s"stale manifest served from cache: $cur")
   }
 
+  test("manifest cache is per-FileSystem-instance: a second fs is never served the first's parse") {
+    // r16 ADVICE: the cache was keyed by the path STRING alone, so a parse
+    // performed through one FileSystem (e.g. a shim) was served to
+    // resolutions through another fs for the same path — benign only while
+    // every fs presents the same view. The key now carries the fs
+    // identity; the observable law: the FIRST resolution through a fresh
+    // fs instance pays its own GET+parse (it would pay zero if the entry
+    // were shared by path string).
+    val (dir, want) = mkIndex()
+    SinkRetention.compactIndexManifestImpl(spark, dir, 1L, schema, payload, _ => (), None)
+    val real = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val fsA = new CountingFs(real)
+    val fsB = new CountingFs(real)
+    assert(liveContent(dir, fsA) == want)
+    fsA.opens.set(0)
+    assert(liveContent(dir, fsA) == want)
+    assert(fsA.opens.get() == 0, "fsA's second resolution must be served from its cache entry")
+    assert(liveContent(dir, fsB) == want)
+    assert(fsB.opens.get() > 0,
+      "fsB's first resolution must pay its own parse — a path-string-keyed " +
+        "cache would have served it fsA's")
+  }
+
   test("readLive on a manifest-less sink is exactly the plain partitioned read") {
     val (dir, want) = mkIndex()
     val fs = shim(dir)
