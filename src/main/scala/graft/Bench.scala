@@ -111,13 +111,30 @@ object Bench {
     val spread = scala.collection.mutable.LinkedHashMap.empty[String, (Double, Double)]
     def storageNow(): (Int, Long) = {
       val sc = spark.sparkContext
-      // RDD-only figure (memSize summed over cached RDDs), matching the
-      // key's name: the previous max-remaining computation also counted
-      // broadcast and other non-RDD storage blocks, so a reader attributing
-      // the MB to persisted RDDs could misattribute broadcast-heavy entries.
-      val rddMb = sc.getRDDStorageInfo.map(_.memSize).sum / (1L << 20)
+      // RDD-only figure, matching the key's name: the previous max-remaining
+      // computation also counted broadcast and other non-RDD storage blocks,
+      // so a reader attributing the MB to persisted RDDs could misattribute
+      // broadcast-heavy entries. Sum memSize AND diskSize: the families
+      // persist MEMORY_AND_DISK, so under memory pressure blocks spill to
+      // disk — a memory-only sum shows a SHRINKING footprint exactly when
+      // interference is worst (r17 ADVICE).
+      val rddMb = sc.getRDDStorageInfo.map(i => i.memSize + i.diskSize).sum / (1L << 20)
       (sc.getPersistentRDDs.size, rddMb)
     }
+    // Per-entry GC attribution (r17 verdict #1: name the session-
+    // interference mechanism instead of growing the median set): process-
+    // cumulative GC time and GC count deltas across each entry, plus the
+    // used-heap level the entry STARTED at. An interference spike whose
+    // wall-clock delta is mostly GC-time delta is heap-pressure class; one
+    // with flat GC but a large storage_rdds_mb is eviction/rebuild class.
+    import scala.jdk.CollectionConverters._
+    def gcNow(): (Long, Long) = {
+      val beans = java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      (beans.map(_.getCollectionTime).sum, beans.map(_.getCollectionCount).sum)
+    }
+    def heapUsedMb(): Long =
+      java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / (1L << 20)
+    val gcStats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Checkpointed streaming entries (real micro-batch runs) have
       // inherently high run-to-run variance — same-HEAD artifacts have
@@ -127,6 +144,8 @@ object Bench {
       // normalizes out).
       val reps = if (name.contains("stream") || warmupSensitive(name)) 3 else 1
       storage(name) = storageNow()
+      val (gcMs0, gcN0) = gcNow()
+      val heap0 = heapUsedMb()
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // A failed query must be VISIBLE in the artifact — a swallowed
@@ -143,6 +162,8 @@ object Bench {
       // makes the entry's run-to-run variance auditable from the committed
       // record instead of needing a same-HEAD re-run to expose it.
       if (reps > 1) spread(name) = (times.head, times.last)
+      val (gcMs1, gcN1) = gcNow()
+      gcStats(name) = (gcMs1 - gcMs0, gcN1 - gcN0, heap0)
       name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
@@ -156,14 +177,22 @@ object Bench {
       s""""shuffle_partitions":$cpus,"entry_order":"sorted","median_reps":"streams+warmup-sensitive"}"""
     val st = storage.map { case (k, (n, mb)) => s"\"" + k + "\":[" + n + "," + mb + "]" }
       .mkString("{", ",", "}")
-    val sp = spread.map { case (k, (lo, hi)) => f"""\"$k\":[$lo%.3f,$hi%.3f]""" }
+    // Locale-pinned formatting (r17 ADVICE): the f interpolator uses the
+    // JVM default locale, so a comma-decimal locale would emit invalid
+    // JSON here while every other number rides locale-safe toString.
+    def f3(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+    val sp = spread.map { case (k, (lo, hi)) => s"""\"$k\":[${f3(lo)},${f3(hi)}]""" }
+      .mkString("{", ",", "}")
+    // gc_heap_mb rides BEFORE rep_spread/queries so the per-entry numbers
+    // stay inside the driver's 2000-char artifact tail window.
+    val gh = gcStats.map { case (k, (ms, n, heap)) => s"\"" + k + "\":[" + ms + "," + n + "," + heap + "]" }
       .mkString("{", ",", "}")
     // Key order matters twice over: "metric" stays FIRST (every extraction
     // script greps '{"metric".*'), and queries/errors/sf stay LAST — the
     // round artifact records only the final 2000 chars of output, so the
     // per-entry numbers must sit at the line's tail or the new config/
     // storage blocks would push them out of the committed record.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","config":$cfg,"storage_rdds_mb":$st,"rep_spread":$sp,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","config":$cfg,"storage_rdds_mb":$st,"gc_ms_n_heap0":$gh,"rep_spread":$sp,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
     // stdout goes through sbt's logger, which can mangle the line past
     // recognition for the driver's JSON parse — always ALSO write the bare
     // line to a file (env-provided path, or a pid-suffixed /tmp fallback so

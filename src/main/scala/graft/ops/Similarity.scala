@@ -195,17 +195,35 @@ object Similarity {
     // Each hop references the previous frontier TWICE (carry arm + expand
     // arm), so an uncut unrolled walk doubles its plan tree per hop —
     // measured 24.7 s of pure driver/codegen time for 4 hops over ~50
-    // queries. The frontier is Q×BEAM_W rows; cut its lineage every hop
-    // (same discipline as pagerankLoop's round cuts, at a far smaller
-    // size) and each hop's plan stays constant-depth.
-    var ranked = beamRank(seeds, panel, q).localCheckpoint()
+    // queries. The frontier is Q×BEAM_W rows BY CONSTRUCTION (rank-capped
+    // per query), so the cut is a driver-held LITERAL relation, not a
+    // checkpoint: collect the ranked frontier and re-enter the next hop
+    // from a LocalRelation. Constant plan depth like a localCheckpoint cut,
+    // plus two properties the r17 per-hop localCheckpoint lacked:
+    //   - CLUSTER DURABILITY: no hop depends on executor-resident blocks,
+    //     so losing an executor mid-walk costs one stateless hop re-run,
+    //     never the whole query (localCheckpoint truncates lineage INTO
+    //     executor storage — one lost executor is unrecoverable);
+    //   - NO RESIDUE: nothing persists after the walk (the r17 shape left
+    //     seed + 6 hop frontiers cached until ContextCleaner GC, doubled
+    //     when the recall audit re-ran the walk).
+    // The driver pull is Q×BEAM_W small rows per hop — control-plane sized
+    // at any corpus scale because it grows with the QUERY batch, not the
+    // corpus — and the literal broadcasts into the next hop's joins.
+    def frontierLiteral(df: DataFrame): DataFrame = {
+      import s.implicits._
+      df.select(col("q_id"), col("c_id"), col("sim"), col("rnk"))
+        .as[(Long, Long, Double, Int)].collect().toIndexedSeq
+        .toDF("q_id", "c_id", "sim", "rnk")
+    }
+    var ranked = frontierLiteral(beamRank(seeds, panel, q))
     (1 to BEAM_HOPS).foreach { _ =>
       val f = ranked.select(col("q_id"), col("c_id"))
       val expanded = f.unionByName(
         f.join(top3, f("c_id") === top3("a_id"))
           .select(col("q_id"), col("b_id").as("c_id")))
         .distinct()
-      ranked = beamRank(expanded, panel, q).localCheckpoint()
+      ranked = frontierLiteral(beamRank(expanded, panel, q))
     }
     ranked.filter(col("rnk") <= 3)
       .select(col("q_id"), col("c_id").as("nn_id"), col("rnk"), col("sim"))

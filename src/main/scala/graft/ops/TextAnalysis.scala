@@ -586,6 +586,66 @@ object TextAnalysis {
         expr("n_oov * 1000000L div n_tokens").as("oov_ppm"))
   }
 
+  /** Learned language classifier (catalog `x_lang_classifier`) — the
+    * trained-classifier slot of a training-data pipeline (the CCNet /
+    * fastText filtering shape): a model TRAINED on a labeled split of the
+    * corpus, applied to HELD-OUT documents, with the confusion matrix as
+    * the audit. Complements [[langId]], whose decision surface is a fixed
+    * heuristic — this one's comes from the data.
+    *
+    * The model is a multinomial class-profile scorer in exact integer
+    * arithmetic: per (lang, token), the Laplace-smoothed class-conditional
+    * probability in parts-per-billion, `(c + 1) * 1e9 div (T_lang + V)`.
+    * Integral end to end, so training, scoring, and the argmax are
+    * hash-exact across engines — a log-likelihood NB would ride `ln()`,
+    * which IEEE 754 leaves engine-specific, the same reason
+    * [[lmBigramScore]] scores typicality in ppm instead of log-space.
+    * A held-out document scores `Σ_tok n_tok · w_ppb(tok, lang)` against
+    * every class; (tok, lang) pairs unseen in training coalesce to the
+    * smoothed-zero weight `1e9 div (T_lang + V)`, so the scorer is total.
+    * (Fixed-point guard: every product stays ≤ c_max·1e9, overflow-safe in
+    * BIGINT up to ~9e9 occurrences of one token in one class.)
+    *
+    * Scale shape: training is one partial-aggregated groupBy over
+    * (lang, token); the class-totals relation is L rows (broadcast);
+    * scoring joins held-out per-doc token counts to the V×L weight
+    * relation on (tok, lang) — a plain shuffle equi-join at corpus scale
+    * (broadcast only while the vocabulary is small) — and the argmax is a
+    * per-doc window over L candidate rows. Output is a ≤L² confusion
+    * matrix. The vocabulary size V is a control-plane scalar (one
+    * distributed distinct-count, collapsed to a literal for the smoothing
+    * denominator). */
+  def langClassifier(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("lang"), tokensCol(lower(col("text"))).as("toks"))
+    val train = docs.filter(col("doc_id") % 5 =!= 0)
+    val test = docs.filter(col("doc_id") % 5 === 0)
+    val counts = train.select(col("lang"), explode(col("toks")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val vocabSize = counts.select(col("tok")).distinct().count()
+    val totals = counts.groupBy(col("lang"))
+      .agg(sum(col("c")).as("t_lang"))
+      .select(col("lang"), (col("t_lang") + lit(vocabSize)).as("denom"))
+    val weights = counts.join(totals, "lang")
+      .select(col("lang").as("cand"), col("tok"),
+        expr("(c + 1) * 1000000000L div denom").as("w_ppb"))
+    val testToks = test.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("n"))
+    val scored = testToks
+      .crossJoin(broadcast(totals.select(col("lang").as("cand"), col("denom"))))
+      .join(weights, Seq("cand", "tok"), "left")
+      .select(col("doc_id"), col("cand"),
+        (col("n") * coalesce(col("w_ppb"), expr("1000000000L div denom"))).as("contrib"))
+      .groupBy(col("doc_id"), col("cand")).agg(sum(col("contrib")).as("score"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("score").desc, col("cand"))
+    val pred = scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") === 1)
+      .select(col("doc_id"), col("cand").as("predicted"))
+    test.select(col("doc_id"), col("lang").as("actual"))
+      .join(pred, "doc_id")
+      .groupBy(col("actual"), col("predicted")).agg(count(lit(1)).as("n_docs"))
+  }
+
   /** Deterministic hash-based corpus sampling: keep documents whose salted
     * content-id hash lands in 1/10 of the space — reproducible across runs,
     * engines, and partitionings (`rand()`-based sampling is none of those),
@@ -1598,6 +1658,7 @@ object TextAnalysis {
     "x_token_count" -> (tokenCount _),
     "x_quality_score" -> (qualityScore _),
     "x_lang_id" -> (langId _),
+    "x_lang_classifier" -> (langClassifier _),
     "x_fingerprint" -> (fingerprint _)
   )
 
@@ -2284,6 +2345,45 @@ object TextAnalysis {
         |FROM c GROUP BY 1, 2""".stripMargin,
     "x_bpe_train_merges" -> bpeTrainOracleSql(3),
     "x_bpe_apply" -> bpeApplyOracleSql(3),
+    // Integral end to end (ppb weights via integer div), so the hash pins
+    // training, scoring, AND the argmax. DuckDB's sum(BIGINT) widens to
+    // HUGEINT — harmless here because score only feeds ORDER BY and every
+    // OUTPUT column is BIGINT/VARCHAR in both engines.
+    "x_lang_classifier" ->
+      """WITH docs AS (
+        |  SELECT doc_id, lang, regexp_extract_all(lower(text), '\S+') AS toks
+        |  FROM documents),
+        |train AS (SELECT lang, unnest(toks) AS tok FROM docs WHERE doc_id % 5 <> 0),
+        |counts AS (SELECT lang, tok, count(*) AS c FROM train GROUP BY 1, 2),
+        |v AS (SELECT count(DISTINCT tok) AS vocab FROM counts),
+        |totals AS (
+        |  SELECT lang, CAST(sum(c) + (SELECT vocab FROM v) AS BIGINT) AS denom
+        |  FROM counts GROUP BY 1),
+        |weights AS (
+        |  SELECT c.lang AS cand, c.tok,
+        |         CAST((c.c + 1) * 1000000000 // t.denom AS BIGINT) AS w_ppb
+        |  FROM counts c JOIN totals t USING (lang)),
+        |test_toks AS (
+        |  SELECT doc_id, tok, count(*) AS n
+        |  FROM (SELECT doc_id, unnest(toks) AS tok FROM docs WHERE doc_id % 5 = 0)
+        |  GROUP BY 1, 2),
+        |scored AS (
+        |  SELECT tt.doc_id, t.lang AS cand,
+        |         sum(tt.n * coalesce(w.w_ppb, CAST(1000000000 // t.denom AS BIGINT))) AS score
+        |  FROM test_toks tt
+        |  CROSS JOIN totals t
+        |  LEFT JOIN weights w ON w.cand = t.lang AND w.tok = tt.tok
+        |  GROUP BY 1, 2),
+        |pred AS (
+        |  SELECT doc_id, cand AS predicted FROM (
+        |    SELECT doc_id, cand,
+        |           row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, cand) AS rnk
+        |    FROM scored)
+        |  WHERE rnk = 1)
+        |SELECT d.lang AS actual, p.predicted, count(*) AS n_docs
+        |FROM docs d JOIN pred p USING (doc_id)
+        |WHERE d.doc_id % 5 = 0
+        |GROUP BY 1, 2""".stripMargin,
     "x_vocab_coverage" ->
       """WITH tk AS (
         |  SELECT lang, unnest(regexp_extract_all(lower(text), '\S+')) AS tok FROM documents),

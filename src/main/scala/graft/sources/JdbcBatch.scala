@@ -419,7 +419,10 @@ object JdbcBatch {
     *
     * Returns an [[ExecutionReport]] with outcomes in PLAN order (not
     * completion order): "processed" ran this call, "skipped-journal" was
-    * already committed (this run's lost-ack retries or a prior process).
+    * already committed (this run's lost-ack retries or a prior process),
+    * "aborted" was abandoned unapplied because the run was poisoned (only
+    * observable if the outcome map is surfaced on a failure path — a
+    * successful run never contains one).
     */
   def executeChunkedDmlPar(
       url: String,
@@ -600,6 +603,14 @@ object JdbcBatch {
                       throw e
                   }
                 }
+                // A worker can exit with done == false (launched after the
+                // run was poisoned, or the while-condition tripped mid-
+                // retry): it applied NOTHING, so it must not report
+                // "processed". Unreachable in today's surfaced reports only
+                // because the poison path throws before the report is built
+                // — recorded correctly anyway so the map stays truthful if
+                // the report is ever surfaced on failure (r17 ADVICE).
+                if (!done) action = "aborted"
                 outcomes.put(chunk,
                   ChunkOutcome(chunk, None, action, (System.nanoTime() - t0) / 1e9, cfg.chunkSize))
               }

@@ -214,8 +214,24 @@ object SinkRetention {
     new java.util.concurrent.ConcurrentHashMap[String, (Seq[(String, Long)], Option[Manifest])]()
   private val ManifestCacheMax = 256
 
-  private def manifestCacheKey(fs: FileSystem, root: Path): String =
-    System.identityHashCode(fs).toHexString + "@" + root.toString
+  /** Per-instance fs ids: `System.identityHashCode` is NOT unique (two live
+    * instances can collide, and a collision serves one fs the other's
+    * cached parse — the exact cross-instance staleness the key exists to
+    * prevent). A WeakHashMap issuing monotonically increasing ids makes
+    * identity guaranteed-unique for the instance's lifetime, and a dead
+    * instance's id can never be re-issued, so its stale cache entries can
+    * never be served again (they age out via the size-cap clear). */
+  private val fsIds = new java.util.WeakHashMap[FileSystem, java.lang.Long]()
+  private val fsIdNext = new java.util.concurrent.atomic.AtomicLong(0L)
+
+  private def manifestCacheKey(fs: FileSystem, root: Path): String = {
+    val id = fsIds.synchronized {
+      val cur = fsIds.get(fs)
+      if (cur != null) cur.longValue()
+      else { val fresh = fsIdNext.incrementAndGet(); fsIds.put(fs, fresh); fresh }
+    }
+    id.toString + "@" + root.toString
+  }
 
   /** Highest-version manifest that parses COMPLETELY (torn writes fail the
     * #END check and fall through to the previous version). */

@@ -70,4 +70,25 @@ class BeamSearchSpec extends AnyFunSuite {
   test("the walk is deterministic: two invocations return identical rows") {
     assert(collectBeam().toSeq == collectBeam().toSeq)
   }
+
+  test("hop lineage is driver-held: literal-only final plan, zero executor-resident residue") {
+    // Cluster-durability law (r17 verdict #4): the per-hop cut must NOT
+    // live in executor storage (r17's localCheckpoint frontier made an
+    // executor loss mid-walk unrecoverable and leaked 7 cached frontiers
+    // per invocation). First invocation warms the RelCache-shared graph /
+    // bucket relations; the second must add NO persisted blocks, and its
+    // result plan must read only driver-held literal relations — re-running
+    // it can never depend on executor-resident state.
+    collectBeam()
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val out = Similarity.annBeam(spark, sfDir)
+    assert(out.count() > 0)
+    val added = spark.sparkContext.getPersistentRDDs.keySet -- before
+    assert(added.isEmpty, s"walk left executor-resident blocks: $added")
+    val leaves = out.queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.nonEmpty && leaves.forall(
+      _.isInstanceOf[org.apache.spark.sql.catalyst.plans.logical.LocalRelation]),
+      s"final hop must be answerable from the driver-held literal, got: " +
+        leaves.map(_.getClass.getSimpleName).mkString(","))
+  }
 }
