@@ -135,7 +135,14 @@ object Bench {
     def heapUsedMb(): Long =
       java.lang.management.ManagementFactory.getMemoryMXBean.getHeapMemoryUsage.getUsed / (1L << 20)
     val gcStats = scala.collection.mutable.LinkedHashMap.empty[String, (Long, Long, Long)]
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // Diagnostic subset harness (r17 verdict #1): run only the entries whose
+    // name matches the regex — lets an interference hypothesis be tested by
+    // ablation (same session shape, one family removed) instead of argued
+    // from a full session's artifact. Canonical artifacts never set this.
+    val filter = sys.env.get("SPARK_GRAFT_BENCH_FILTER").map(_.r)
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filter.forall(_.matches(name)) }
+      .map { case (name, fn) =>
       // Checkpointed streaming entries (real micro-batch runs) have
       // inherently high run-to-run variance — same-HEAD artifacts have
       // disagreed 2× on them. Report the MEDIAN of 3 runs for those and
@@ -164,6 +171,8 @@ object Bench {
       if (reps > 1) spread(name) = (times.head, times.last)
       val (gcMs1, gcN1) = gcNow()
       gcStats(name) = (gcMs1 - gcMs0, gcN1 - gcN0, heap0)
+      if (sys.env.contains("SPARK_GRAFT_UNLOAD_STATESTORES"))
+        org.apache.spark.sql.graftbridge.StreamStateResidue.unloadAll()
       name -> times(times.size / 2)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }

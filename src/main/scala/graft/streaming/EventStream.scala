@@ -31,6 +31,25 @@ object EventStream {
   def readEventStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
+  /** Bounded-run teardown for the STATEFUL runners below: wait for the
+    * `Trigger.AvailableNow` query to finish, then release the state-store
+    * residue it leaves behind. A finished stateful query keeps its
+    * per-(operator, partition) state providers LOADED in the JVM-global
+    * registry — recent version maps on heap, visited by the periodic
+    * maintenance thread — until coordinator-driven maintenance notices the
+    * deactivation. In a long-lived driver running bounded streams between
+    * batch work that residue is a measured 2-3x tax on later queries
+    * (r18 sf5 ablation: eight finished parity runs inflated x_ann_beam
+    * 17.9 s → 49.0 s; unloading recovered it to its cold-IO band — SURVEY
+    * §8.5). Unloading is always safe: a provider re-loads from its
+    * checkpoint on next use. The stateLESS foreachBatch runners
+    * (DedupStream/SemanticStream/SketchStream) never load providers, so
+    * they have nothing to release. */
+  private def drain(q: org.apache.spark.sql.streaming.StreamingQuery): Unit = {
+    q.awaitTermination()
+    org.apache.spark.sql.graftbridge.StreamStateResidue.unloadAll()
+  }
+
   /** Hourly tumbling-window counts/sums with a 2h watermark: late events
     * within the watermark update their window, older ones are dropped —
     * bounded state however long the stream runs. Works identically on a
@@ -287,7 +306,7 @@ object EventStream {
         .outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      drain(q)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(outDir).filter(!col("event_type").startsWith("sentinel"))
   }
@@ -332,7 +351,7 @@ object EventStream {
         .outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      drain(q)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(outDir)
   }
@@ -375,7 +394,7 @@ object EventStream {
       .outputMode(OutputMode.Append())
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-    q.awaitTermination()
+    drain(q)
     s.read.parquet(outDir).filter(col("event_id").isNotNull)
   }
 
@@ -434,7 +453,7 @@ object EventStream {
         .outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      drain(q)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(outDir)
   }
@@ -476,7 +495,7 @@ object EventStream {
         .outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      drain(q)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(outDir).filter(col("user_id") >= 0)
   }
@@ -733,7 +752,7 @@ object EventStream {
         .outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      drain(q)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(outDir).filter(col("user_id") >= 0)
   }
@@ -774,7 +793,7 @@ object EventStream {
         .outputMode(OutputMode.Append())
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
         .start()
-      q.awaitTermination()
+      drain(q)
     } finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     s.read.parquet(outDir).filter(col("user_id") >= 0)
   }
