@@ -162,9 +162,16 @@ object Dedup {
     // file, or a few-MB documents table, is 1-2 splits). Keyed by doc_id so
     // placement is deterministic under streaming replay; the shuffle ships
     // only (id, text) once and the K-way mins still combine map-side.
-    val s = base.sparkSession
+    // Width comes from spark.sql.shuffle.partitions (the session default for
+    // repartition-by-column), NOT a hard-coded defaultParallelism: batch
+    // sessions set it to the core count (same spread as before), while the
+    // bounded stream runners right-size it to their backlog
+    // (StreamTuning.withPartitionsFor) — a 32-way spread of a ~200-row
+    // micro-batch paid 32 task deserializes of this stage's WIDE aggregate
+    // (K min-expressions) per batch, measured as executorDeserializeTime
+    // dominating the x_stream_dedup_* entries' task time.
     val exploded = base
-      .repartition(s.sparkContext.defaultParallelism, col("doc_id"))
+      .repartition(col("doc_id"))
       .select(col("doc_id"), tokensCol(col("text")).as("toks"))
       .select(col("doc_id"),
         explode(when(size(col("toks")) < 2, array().cast("array<string>"))

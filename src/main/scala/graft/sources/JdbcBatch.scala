@@ -549,6 +549,10 @@ object JdbcBatch {
             } finally st.close()
           }
           try {
+            val dbg = sys.env.contains("SPARK_GRAFT_DMLPAR_DEBUG")
+            def trace(chunk: Chunk, phase: String): Unit =
+              if (dbg) System.err.println(
+                f"[dmlpar] ${System.nanoTime() / 1e9}%.3f chunk=${chunk.start} $phase")
             val futures = todo.map { chunk =>
               scala.concurrent.Future {
                 val t0 = System.nanoTime()
@@ -560,8 +564,10 @@ object JdbcBatch {
                   try {
                     // Lost-ack guard: probed on EVERY attempt — a retry after
                     // a commit whose ack was lost must skip, not double-apply.
+                    trace(chunk, "probe-start")
                     if (alreadyCommitted(chunk)) { action = "skipped-journal"; done = true }
                     else {
+                      trace(chunk, "probe-done")
                       val holder = workerDml.get()
                       val conn = holder(0)
                       try {
@@ -569,13 +575,17 @@ object JdbcBatch {
                           .replace("{start}", chunk.start.toString)
                           .replace("{end}", chunk.end.toString)
                         val st = conn.createStatement()
+                        trace(chunk, "update-start")
                         try st.executeUpdate(sql) finally st.close()
+                        trace(chunk, "update-done")
                         val st2 = conn.createStatement()
                         try st2.executeUpdate(
                           s"INSERT INTO $commitLog VALUES ($runIdSql, ${chunk.start}, ${chunk.end})")
                         finally st2.close()
                         inTxn(chunk, conn)
+                        trace(chunk, "intxn-done")
                         conn.commit()
+                        trace(chunk, "committed")
                         done = true
                       } catch {
                         case e: Throwable =>

@@ -207,16 +207,18 @@ object DedupStream {
     // the reads make an empty directory a valid empty relation.
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(matchesDir))
-    val q = s.readStream
-      .schema(docSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stageDir)
-      .writeStream
-      .foreachBatch(incrementalBatch(indexDir, matchesDir) _)
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamTuning.withPartitionsFor(s, stageDir) {
+      val q = s.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stageDir)
+        .writeStream
+        .foreachBatch(incrementalBatch(indexDir, matchesDir) _)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.schema(matchSchema).parquet(matchesDir)
   }
 }

@@ -297,7 +297,8 @@ object EventStream {
       .parquet(stage)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions",
+        StreamTuning.partitionsFor(s, s"$workDir/stage").toString)
       val q = hourlyAggBody(src.withWatermark("ts", "2 hours"))
         .writeStream
         .format("parquet")
@@ -340,7 +341,8 @@ object EventStream {
       .parquet(stage)
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions",
+        StreamTuning.partitionsFor(s, s"$workDir/stage").toString)
       val q = src.withWatermark("ts", "1 hour")
         .filter(col("user_id") >= 0)
         .dropDuplicatesWithinWatermark("event_id")
@@ -441,11 +443,13 @@ object EventStream {
       .option("maxFilesPerTrigger", 1)
       .parquet(stage)
     // Join state is partitioned by the shuffle-partition count locked into
-    // the checkpoint at first run — same demo-sized pin as the sessionize
-    // runner (per-batch state-store commit cost is per partition).
+    // the checkpoint at first run — derived from the staged backlog like
+    // the sessionize runner (a stream-stream join holds FOUR state stores
+    // per partition per batch, so oversizing the count is 4x-amplified).
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions",
+        StreamTuning.partitionsFor(s, s"$workDir/stage").toString)
       val q = purchaseClickJoinStream(src).writeStream
         .format("parquet")
         .option("path", outDir)
@@ -481,13 +485,15 @@ object EventStream {
       .withWatermark("ts", "1 minute")
       .as[SessionInput]
     // The stateful operator's partition count is locked into the checkpoint
-    // at first run from spark.sql.shuffle.partitions. This demo-sized run
-    // pins a small count (per-batch state-store commit cost is per
-    // partition); a production deployment sizes it to key cardinality
-    // BEFORE the first trigger, exactly because it cannot change later.
+    // at first run from spark.sql.shuffle.partitions, and it cannot change
+    // later — so it is derived from the staged backlog's size BEFORE the
+    // first trigger (StreamTuning.partitionsFor: per-batch state-store
+    // commit cost is per partition, so the count must scale with data, not
+    // be a constant that is right at only one scale).
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions",
+        StreamTuning.partitionsFor(s, s"$workDir/stage").toString)
       val q = sessionize(src).writeStream
         .format("parquet")
         .option("path", outDir)
@@ -744,7 +750,8 @@ object EventStream {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     val transitions = idleTtlMs.fold(transitionStream(src))(transitionStreamTtl(src, _))
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions",
+        StreamTuning.partitionsFor(s, s"$workDir/stage").toString)
       val q = transitions.writeStream
         .format("parquet")
         .option("path", outDir)
@@ -785,7 +792,8 @@ object EventStream {
       .as[FunnelInput]
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     try {
-      s.conf.set("spark.sql.shuffle.partitions", "8")
+      s.conf.set("spark.sql.shuffle.partitions",
+        StreamTuning.partitionsFor(s, s"$workDir/stage").toString)
       val q = funnelStages(src, flushAtMs).writeStream
         .format("parquet")
         .option("path", outDir)

@@ -177,16 +177,18 @@ object SemanticStream {
     val matchesDir = s"$workDir/matches"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(indexDir))
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(matchesDir))
-    val q = s.readStream
-      .schema(vecSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stageDir)
-      .writeStream
-      .foreachBatch(incrementalBatch(clusterOf, tau, indexDir, matchesDir) _)
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamTuning.withPartitionsFor(s, stageDir) {
+      val q = s.readStream
+        .schema(vecSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stageDir)
+        .writeStream
+        .foreachBatch(incrementalBatch(clusterOf, tau, indexDir, matchesDir) _)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     s.read.schema(matchSchema).parquet(matchesDir)
   }
 }

@@ -170,16 +170,18 @@ object SketchStream {
       cellsOf: DataFrame => DataFrame): DataFrame = {
     val stateDir = s"$workDir/cms_state"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
-    val q = s.readStream
-      .schema(docSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stageDir)
-      .writeStream
-      .foreachBatch(cmsBatch(cellsOf, stateDir) _)
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamTuning.withPartitionsFor(s, stageDir) {
+      val q = s.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stageDir)
+        .writeStream
+        .foreachBatch(cmsBatch(cellsOf, stateDir) _)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val state = s.read.schema(cmsStateSchema).parquet(stateDir)
     val lastRow = state.agg(max(col("batch_id"))).head()
     if (lastRow.isNullAt(0))
@@ -194,16 +196,18 @@ object SketchStream {
       k: Int): (Map[String, Long], Long) = {
     val stateDir = s"$workDir/hh_state"
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(stateDir))
-    val q = s.readStream
-      .schema(docSchema)
-      .option("maxFilesPerTrigger", 1)
-      .parquet(stageDir)
-      .writeStream
-      .foreachBatch(sketchBatch(k, stateDir) _)
-      .option("checkpointLocation", s"$workDir/ckpt")
-      .trigger(Trigger.AvailableNow())
-      .start()
-    q.awaitTermination()
+    StreamTuning.withPartitionsFor(s, stageDir) {
+      val q = s.readStream
+        .schema(docSchema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stageDir)
+        .writeStream
+        .foreachBatch(sketchBatch(k, stateDir) _)
+        .option("checkpointLocation", s"$workDir/ckpt")
+        .trigger(Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
     val state = s.read.schema(stateSchema).parquet(stateDir)
     val lastRow = state.agg(max(col("batch_id"))).head()
     // zero micro-batches (empty corpus / no staged files) → empty sketch,
