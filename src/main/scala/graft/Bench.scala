@@ -46,6 +46,32 @@ object Bench {
         .groupBy("l_returnflag").agg(org.apache.spark.sql.functions.sum("l_quantity").as("q"))
         .orderBy("q").collect()
     }
+    // ...and the embedded-RDBMS path (r18, measurement fix — same rationale
+    // as the scan/join warmup above): Derby's engine boot plus the JDBC
+    // writer/reader JIT otherwise bill the alphabetically-FIRST entries —
+    // the single-shot dml_* family — as session cost (measured at sf0.1:
+    // dml_chunked_dedup 13.3 s first-in-session vs 1.5 s warm isolated).
+    // One tiny in-memory roundtrip (write, index, update, read, drop) moves
+    // that one-time cost into the warmup where the scan/JIT ramp already
+    // lives. Entries still pay their own Derby DATABASE creation — only the
+    // per-JVM engine/classloading is hoisted.
+    locally {
+      val wurl = "jdbc:derby:memory:graft_warmup;create=true"
+      val props = new java.util.Properties
+      spark.range(100).selectExpr("id", "id * 2 as v")
+        .write.mode("overwrite").jdbc(wurl, "warmup_t", props)
+      val c = java.sql.DriverManager.getConnection(wurl)
+      try {
+        val st = c.createStatement()
+        try {
+          st.executeUpdate("""CREATE INDEX warmup_t_id ON warmup_t ("id")""")
+          st.executeUpdate("""UPDATE warmup_t SET "v" = "v" + 1 WHERE "id" BETWEEN 10 AND 20""")
+        } finally st.close()
+      } finally c.close()
+      spark.read.jdbc(wurl, "warmup_t", props).count()
+      try java.sql.DriverManager.getConnection("jdbc:derby:memory:graft_warmup;drop=true")
+      catch { case _: java.sql.SQLException => () }
+    }
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     // Batch entries whose cost rides a SHARED persisted relation (RelCache
     // families: dedup pair/label/ground-truth builds, the graph edge set,

@@ -154,9 +154,18 @@ object Similarity {
     * vectors and the query vectors, self excluded, ranked per query by
     * (sim desc, id). `cand` is (q_id, c_id). */
   private def beamRank(cand: DataFrame, panel: DataFrame, q: DataFrame): DataFrame = {
-    val scored = cand
+    // cand (Q×W frontier / seed set) and q (the query batch) are
+    // control-plane sized BY CONSTRUCTION — they grow with the query
+    // batch, never the corpus — so they are broadcast explicitly: without
+    // the hint the planner built the PANEL side's broadcast twice per hop
+    // (BuildRight on both joins), re-scanning and hashing the corpus-derived
+    // panel/query projections 14 times per walk — measured as 20 s of
+    // executorCpuTime and 12 s of summed shuffle-write inside a 4 s entry
+    // at sf0.1. With the hints the frontier literal and the query batch are
+    // the build sides and the panel streams through once per hop.
+    val scored = broadcast(cand)
       .join(panel.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), "c_id")
-      .join(q, "q_id")
+      .join(broadcast(q), "q_id")
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
@@ -210,21 +219,45 @@ object Similarity {
     // The driver pull is Q×BEAM_W small rows per hop — control-plane sized
     // at any corpus scale because it grows with the QUERY batch, not the
     // corpus — and the literal broadcasts into the next hop's joins.
+    var frontierRows = 0 // set by every frontierLiteral pull (driver-local)
     def frontierLiteral(df: DataFrame): DataFrame = {
       import s.implicits._
-      df.select(col("q_id"), col("c_id"), col("sim"), col("rnk"))
+      val rows = df.select(col("q_id"), col("c_id"), col("sim"), col("rnk"))
         .as[(Long, Long, Double, Int)].collect().toIndexedSeq
-        .toDF("q_id", "c_id", "sim", "rnk")
+      frontierRows = rows.size
+      rows.toDF("q_id", "c_id", "sim", "rnk")
     }
     var ranked = frontierLiteral(beamRank(seeds, panel, q))
-    (1 to BEAM_HOPS).foreach { _ =>
-      val f = ranked.select(col("q_id"), col("c_id"))
-      val expanded = f.unionByName(
-        f.join(top3, f("c_id") === top3("a_id"))
-          .select(col("q_id"), col("b_id").as("c_id")))
-        .distinct()
-      ranked = frontierLiteral(beamRank(expanded, panel, q))
-    }
+    // The hop loop's only exchanges are the per-hop rank window and the
+    // frontier-expansion distinct — both over ≤ Q×4W rows by construction
+    // (query-batch sized at ANY corpus scale). Run them at a width derived
+    // from the MEASURED seed-frontier size (the literal's length is already
+    // on the driver — no extra job) instead of the session width: 7
+    // sequential hops × 32 near-empty reduce tasks was pure scheduling/
+    // shuffle-file overhead. Session width is restored after the walk —
+    // the seed computation above (one side corpus-scaled: the LSH bucket
+    // join) deliberately stays at session width.
+    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
+    val walkParts = math.max(2L, math.min(prevParts.toLong, frontierRows / 1000L + 1L))
+    try {
+      s.conf.set("spark.sql.shuffle.partitions", walkParts.toString)
+      (1 to BEAM_HOPS).foreach { hop =>
+        val f = ranked.select(col("q_id"), col("c_id"))
+        val expanded = f.unionByName(
+          f.join(top3, f("c_id") === top3("a_id"))
+            .select(col("q_id"), col("b_id").as("c_id")))
+          .distinct()
+        val hopFrame = beamRank(expanded, panel, q)
+        // Plan-evidence seam: the entry's RETURNED frame is a driver
+        // literal (LocalTableScan), so the hop joins this walk actually
+        // runs are invisible to an outside explain — dump hop 1's plan on
+        // request (plans/r18 evidence; zero cost when unset).
+        if (hop == 1 && sys.env.contains("SPARK_GRAFT_BEAM_EXPLAIN"))
+          println(hopFrame.queryExecution.explainString(
+            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+        ranked = frontierLiteral(hopFrame)
+      }
+    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
     ranked.filter(col("rnk") <= 3)
       .select(col("q_id"), col("c_id").as("nn_id"), col("rnk"), col("sim"))
   }
