@@ -115,6 +115,12 @@ package object graftbridge {
   def ngramMd5(c: Column, n: Int): Column =
     ExpressionUtils.column(NgramMd5(ExpressionUtils.expression(c), n))
 
+  /** All consecutive character bigrams of a string in one codepoint pass
+    * (see [[graftbridge.CharBigrams]] — the O(chars²) per-position substr
+    * formulation it replaces is the spec's parity reference). */
+  def charBigrams(c: Column): Column =
+    ExpressionUtils.column(CharBigrams(ExpressionUtils.expression(c)))
+
   /** Spark's own runtime-filter Bloom aggregate (catalyst
     * `BloomFilterAggregate` over `xxhash64(c)`), surfaced as a regular
     * aggregate Column: builds a serialized

@@ -481,8 +481,18 @@ class JdbcBatchSpec extends AnyFunSuite {
     // locks and Derby aborts with SQLTransactionRollbackException.
     locally {
       val c = java.sql.DriverManager.getConnection(url)
-      try c.createStatement().executeUpdate("""CREATE INDEX par_gap_id ON par_gap ("id")""")
-      finally c.close()
+      try {
+        c.createStatement().executeUpdate("""CREATE INDEX par_gap_id ON par_gap ("id")""")
+        // Refresh statistics after bulk load + index build (the same
+        // post-load step dml_chunked_update_par performs): under full-suite
+        // CPU load Derby's optimizer can otherwise settle on a heap scan
+        // for a sibling's range UPDATE, which walks into chunk 1's held row
+        // locks and raises SQLTransactionRollbackException before the
+        // planted crash fires.
+        val us = c.prepareStatement(
+          "CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS('APP', 'PAR_GAP', NULL)")
+        us.execute(); us.close()
+      } finally c.close()
     }
     val tpl = """UPDATE par_gap SET "val" = "val" + 1000 WHERE "id" BETWEEN {start} AND {end}"""
     // Deterministic crash shape: the FIRST chunk's worker waits until every
