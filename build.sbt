@@ -11,6 +11,19 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Bench output contract (r19, verdict #2 — every committed BENCH_rNN.json
+// back to r01 has parsed:null): two sbt behaviors between graft.Bench's
+// println and the driver's parser.
+//  - When sbt's stdout is a pipe (exactly the driver's capture mode), the
+//    forked process's output is re-logged line by line with an "[info] "
+//    prefix, so the JSON line never starts with '{"metric"'. StdoutOutput
+//    passes the child's stdout through verbatim instead.
+//  - sbt appends "[success] Total time: ..." after the run, so the JSON is
+//    never the LAST line either. showSuccess := false drops the banner.
+// With both set, the contract JSON printed last by Bench IS the final line
+// of the process output, unprefixed.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -54,8 +54,10 @@ object Bench {
     // One tiny in-memory roundtrip (write, index, update, read, drop) moves
     // that one-time cost into the warmup where the scan/JIT ramp already
     // lives. Entries still pay their own Derby DATABASE creation — only the
-    // per-JVM engine/classloading is hoisted.
-    locally {
+    // per-JVM engine/classloading is hoisted. Wrapped in try/catch (r19,
+    // ADVICE): this is a measurement aid — a Derby hiccup here must cost
+    // one warm dml_* number, not abort the whole bench session.
+    try {
       val wurl = "jdbc:derby:memory:graft_warmup;create=true"
       val props = new java.util.Properties
       spark.range(100).selectExpr("id", "id * 2 as v")
@@ -71,6 +73,8 @@ object Bench {
       spark.read.jdbc(wurl, "warmup_t", props).count()
       try java.sql.DriverManager.getConnection("jdbc:derby:memory:graft_warmup;drop=true")
       catch { case _: java.sql.SQLException => () }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] Derby warmup failed (continuing): ${e.getMessage}")
     }
     val errors = scala.collection.mutable.LinkedHashSet.empty[String]
     // Batch entries whose cost rides a SHARED persisted relation (RelCache
@@ -222,25 +226,39 @@ object Bench {
     // stay inside the driver's 2000-char artifact tail window.
     val gh = gcStats.map { case (k, (ms, n, heap)) => s"\"" + k + "\":[" + ms + "," + n + "," + heap + "]" }
       .mkString("{", ",", "}")
-    // Key order matters twice over: "metric" stays FIRST (every extraction
-    // script greps '{"metric".*'), and queries/errors/sf stay LAST — the
-    // round artifact records only the final 2000 chars of output, so the
-    // per-entry numbers must sit at the line's tail or the new config/
-    // storage blocks would push them out of the committed record.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","config":$cfg,"storage_rdds_mb":$st,"gc_ms_n_heap0":$gh,"rep_spread":$sp,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
-    // stdout goes through sbt's logger, which can mangle the line past
-    // recognition for the driver's JSON parse — always ALSO write the bare
-    // line to a file (env-provided path, or a pid-suffixed /tmp fallback so
-    // concurrent runs don't clobber each other).
-    val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
-      s"/tmp/graft_bench_${ProcessHandle.current().pid()}.json")
-    try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), line + "\n")
-    catch { case _: Throwable => () }
-    println(line)
-    // Belt-and-suspenders for log-scraping consumers: the same JSON on its
-    // own line behind a unique sentinel, recoverable even if the bare line
-    // is mangled by a log framework or the file path isn't picked up.
-    println(s"GRAFT_BENCH_JSON\t$line")
+    // TWO output lines (r19, restoring the driver parse contract — broken
+    // since at least r10, every committed BENCH_rNN.json has parsed:null):
+    //
+    //  - the EXTENDED line keeps every diagnosability block this harness
+    //    accumulated (config, per-entry storage/GC attribution, rep spread)
+    //    at full float precision. It goes to the file mirrors and to stdout
+    //    EARLY, behind the sentinel.
+    //  - the CONTRACT line is exactly the driver's documented shape —
+    //    {"metric","value","unit","queries","errors","sf"} — with seconds
+    //    rounded to 1 ms so the line is as short as it can honestly be. It
+    //    is printed LAST, after spark.stop(), so no Spark shutdown logging
+    //    can interleave, and build.sbt now sets `Global / showSuccess :=
+    //    false` so sbt appends NO "[success] Total time..." trailer after
+    //    it: the contract JSON is the final line of the process's output,
+    //    which is where the driver's parser looks for it (the r18 verdict
+    //    diagnosed the trailer as exactly what the parse tripped on).
+    val extended = s"""{"metric":"total","value":$total,"unit":"sec","config":$cfg,"storage_rdds_mb":$st,"gc_ms_n_heap0":$gh,"rep_spread":$sp,"queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+    val qs3 = results.map { case (k, v) => s"\"" + k + "\":" + f3(v) }
+      .mkString("{", ",", "}")
+    val contract = s"""{"metric":"total","value":${f3(total)},"unit":"sec","queries":$qs3,"errors":$errs,"sf":"$sfDir"}"""
+    // File mirrors: the env-provided path (pid-suffixed /tmp fallback so
+    // concurrent runs don't clobber each other) AND the fixed repo-root
+    // bench_out.json the r18 verdict asked for — both recoverable however
+    // badly a log pipeline mangles stdout.
+    for (out <- Seq(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT",
+          s"/tmp/graft_bench_${ProcessHandle.current().pid()}.json"),
+        "bench_out.json")) {
+      try java.nio.file.Files.writeString(java.nio.file.Paths.get(out), extended + "\n")
+      catch { case _: Throwable => () }
+    }
+    println(s"GRAFT_BENCH_JSON\t$extended")
     spark.stop()
+    println(contract)
   }
 }

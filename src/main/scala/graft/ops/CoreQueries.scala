@@ -563,38 +563,30 @@ object CoreQueries {
       // Pass 1: simulated mid-run death with deterministic out-of-order
       // coverage — the gap lands at the LOW end while MAX(chunk_end) is
       // already at the top of the keyspace.
-      // The latch wait is BOUNDED WELL BELOW Derby's 60 s lock timeout and
-      // the poison fires either way: chunk 1 executes its UPDATE before
-      // inTxn runs, so it HOLDS its range's row locks while it waits — if
-      // any sibling's scan ever walks into them (an optimizer regression
-      // to a heap scan), the sibling blocks only until this throw's
-      // rollback instead of dying with a lock timeout that would fail the
-      // whole entry. In the healthy index-range-scan plan the 7 siblings
-      // count down in a few hundred ms and the wait never matters.
-      //
-      // The bound is 6 s, not the 20 s it shipped with (r18): a cold Derby
-      // engine routinely compiles ONE sibling's UPDATE to a heap scan
-      // (optimizer timeout), and that sibling then sits on chunk 1's
-      // bottom-of-table row locks for the WHOLE latch window — traced
-      // chunk-by-chunk in this round's worker timeline (chunk 17500
-      // update-start +0.01 s, update-done +20.1 s, exactly at chunk 1's
-      // rollback). Once a sibling is lock-blocked it can only proceed on
-      // the rollback, so every second of latch bound past the healthy
-      // countdown time is pure stall: 20 s → 6 s cut the entry's worst
-      // case by 14 s (sf0.1 bench medians 22.9 s → ~8 s degraded, 1.9 s
-      // healthy) while leaving sf5's multi-second healthy countdown slack.
-      // Every entry invariant is timeout-independent: pass 1 still dies
-      // by construction, in-flight siblings still commit after the
-      // rollback (out-of-order journal coverage), the gap stays at the
-      // low end.
+      // Chunk 1 ROLLS ITS OWN TRANSACTION BACK before it waits on the
+      // latch (r19): its UPDATE and journal INSERT are doomed anyway (the
+      // throw below discards them), but until r18 they stayed uncommitted
+      // across the whole latch window — so chunk 1 HELD its range's row
+      // locks while waiting, and whenever a cold Derby engine compiled one
+      // sibling's UPDATE to a heap scan (optimizer timeout), that sibling
+      // walked into those locks and sat there until the rollback: the
+      // entry's bench number was bimodal (1.9 s healthy / ~7.6 s degraded
+      // at sf0.1, the whole 6 s latch bound spent stalled). Releasing the
+      // locks first makes the crash shape independent of Derby's plan
+      // choice: no sibling can ever block on chunk 1, the 7 countdowns
+      // arrive in a few hundred ms, and the latch bound is a pure safety
+      // net. The journal outcome is IDENTICAL (chunk 1 un-journaled, gap
+      // at the low end, siblings committed out of order), so pass 2 and
+      // the audited table state are unchanged.
       val siblings = new java.util.concurrent.CountDownLatch(7)
       val died =
         try {
           graft.sources.JdbcBatch.executeChunkedDmlPar(url, tpl, "p_partkey", "part_live",
             cfg, parallelism = 8, commitLog = "part_live_parlog", runId = "bump4pct-par",
             props = props,
-            inTxn = { (chunk, _) =>
+            inTxn = { (chunk, conn) =>
               if (chunk.start == mn) {
+                conn.rollback() // release row locks BEFORE the wait
                 siblings.await(6, java.util.concurrent.TimeUnit.SECONDS)
                 throw new RuntimeException("simulated mid-run death")
               } else siblings.countDown()

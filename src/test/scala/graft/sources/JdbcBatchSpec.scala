@@ -481,18 +481,8 @@ class JdbcBatchSpec extends AnyFunSuite {
     // locks and Derby aborts with SQLTransactionRollbackException.
     locally {
       val c = java.sql.DriverManager.getConnection(url)
-      try {
-        c.createStatement().executeUpdate("""CREATE INDEX par_gap_id ON par_gap ("id")""")
-        // Refresh statistics after bulk load + index build (the same
-        // post-load step dml_chunked_update_par performs): under full-suite
-        // CPU load Derby's optimizer can otherwise settle on a heap scan
-        // for a sibling's range UPDATE, which walks into chunk 1's held row
-        // locks and raises SQLTransactionRollbackException before the
-        // planted crash fires.
-        val us = c.prepareStatement(
-          "CALL SYSCS_UTIL.SYSCS_UPDATE_STATISTICS('APP', 'PAR_GAP', NULL)")
-        us.execute(); us.close()
-      } finally c.close()
+      try c.createStatement().executeUpdate("""CREATE INDEX par_gap_id ON par_gap ("id")""")
+      finally c.close()
     }
     val tpl = """UPDATE par_gap SET "val" = "val" + 1000 WHERE "id" BETWEEN {start} AND {end}"""
     // Deterministic crash shape: the FIRST chunk's worker waits until every
@@ -500,12 +490,24 @@ class JdbcBatchSpec extends AnyFunSuite {
     // completion leaves the journal with a gap at the LOW end of the
     // keyspace and MAX(chunk_end) at the top: the exact case where the
     // sequential loop's high-water-mark resume law would skip real work.
+    //
+    // Chunk 1 ROLLS BACK before waiting (r19, same change as the
+    // dml_chunked_update_par entry): its uncommitted UPDATE is discarded by
+    // the throw anyway, and holding its row locks across the latch window
+    // made the premise depend on Derby's plan choice — under full-suite
+    // load the optimizer can compile a sibling's range UPDATE as a heap
+    // scan, which then blocks on chunk 1's locks and times out (40XL1)
+    // before ever counting down. With the locks released first, no sibling
+    // can block on chunk 1 and the premise holds whatever plan Derby picks.
+    // The journal shape the test exists to exercise is unchanged: chunk 1
+    // un-journaled (the gap), 7 siblings committed.
     val others = new java.util.concurrent.CountDownLatch(7)
     val boom = intercept[RuntimeException] {
       JdbcBatch.executeChunkedDmlPar(url, tpl, "id", "par_gap",
         cfg(50), parallelism = 8, commitLog = "par_gap_log", runId = "par-gap-1",
-        inTxn = { (chunk, _) =>
+        inTxn = { (chunk, conn) =>
           if (chunk.start == BigInt(1)) {
+            conn.rollback() // release row locks BEFORE the wait
             assert(others.await(120, java.util.concurrent.TimeUnit.SECONDS),
               "test premise: sibling chunks never reached their bodies")
             throw new RuntimeException("simulated mid-run death")
@@ -555,8 +557,9 @@ class JdbcBatchSpec extends AnyFunSuite {
     intercept[RuntimeException] {
       JdbcBatch.executeChunkedDmlPar(url, tpl, "id", "par_del",
         cfg(50), parallelism = 8, commitLog = "par_del_log", runId = "par-del-1",
-        inTxn = { (chunk, _) =>
+        inTxn = { (chunk, conn) =>
           if (chunk.start == BigInt(1)) {
+            conn.rollback() // release row locks BEFORE the wait (see par_gap)
             assert(others.await(120, java.util.concurrent.TimeUnit.SECONDS))
             throw new RuntimeException("simulated mid-run death")
           } else others.countDown()
