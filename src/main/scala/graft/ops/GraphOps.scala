@@ -199,9 +199,28 @@ object GraphOps {
     val n = deg.count()
     val teleport = 150000000L / n
     val degN = deg.select(col("src").as("gnode"), col("outdeg"))
+    // The rank STATE carries outdeg (r19, guide §2.4 remove-shuffles /
+    // r18 verdict #5): outdeg is constant per node across rounds, so
+    // joining ranks back to degN every round to compute each node's
+    // contribution was a whole node×node join — one exchange plus, under
+    // AQE, its own stage-jobs — per round, paid only to re-attach a column
+    // the state could simply keep. With (node, r, outdeg) as the state,
+    // `give` is a pure projection and the round's only joins are the
+    // edge⋈give contribution join and ONE node-keyed left join that
+    // produces the next state — which in convergence mode ALSO carries the
+    // previous rank for the L1 tally, fusing away the separate next⋈prev
+    // movement join r18 shipped with. Net: 3 joins/round → 2 (fixed-round
+    // mode: 2 → 1), measured 69 → ~40 AQE stage-jobs for the converged
+    // entry. (An AQE-off bracket was tried first per the verdict's
+    // suggestion and REJECTED on measurement: without runtime size stats
+    // the static planner sort-merge-joins the node-sized state against the
+    // edge relation — taskRun 83 s → 149 s warm. AQE's runtime broadcasts
+    // are the right plan at bench scale and degrade gracefully at 100 TB.)
+    //
     // Round-0 state is a constant projection of deg — cut its lineage too
     // so the first convergence join never re-plans the edge build.
-    var ranks = degN.select(col("gnode").as("node"), lit(1000000000L / n).as("r"))
+    var ranks = degN.select(col("gnode").as("node"),
+        lit(1000000000L / n).as("r"), col("outdeg"))
       .localCheckpoint()
     // The previous MATERIALIZED cut. Each localCheckpoint materializes a
     // node-sized relation whose blocks would otherwise live until
@@ -225,27 +244,37 @@ object GraphOps {
     var prevPersisted: Option[DataFrame] = None
     while (round < maxRounds && !converged) {
       round += 1
-      val give = ranks.join(degN, col("node") === col("gnode"))
-        .select(col("node").as("src"), expr("r div outdeg").as("give"))
+      // `give` is now a pure projection of the state (outdeg rides along),
+      // and the SINGLE node-keyed left join below both attaches the new
+      // contributions and carries everything the branch-specific step
+      // needs: the previous rank (for the convergence tally) and outdeg
+      // (for the next state). `got` only exposes (dst, got), so the state
+      // appearing on both sides of the join (once inside give's lineage)
+      // is attribute-unambiguous.
+      val give = ranks.select(col("node").as("src"), expr("r div outdeg").as("give"))
       val got = e.join(give, "src")
         .groupBy(col("dst")).agg(sum(col("give")).as("got"))
-      val next = degN.select(col("gnode").as("node"))
-        .join(got, col("node") === col("dst"), "left")
-        .select(col("node"),
-          (lit(teleport) + expr("(85 * coalesce(got, 0L)) div 100")).as("r"))
+      val joined = ranks.join(got, col("node") === col("dst"), "left")
+      val next = joined.select(col("node"),
+        (lit(teleport) + expr("(85 * coalesce(got, 0L)) div 100")).as("r"),
+        col("outdeg"))
       val cut = round % checkpointInterval == 0
+      // Plan-evidence seam (r19): the loop's per-round joins never appear
+      // in the entry's outside explain (every exit path is a checkpointed
+      // LogicalRDD), so dump round 1's plan on request — zero cost unset.
+      if (round == 1 && sys.env.contains("SPARK_GRAFT_PR_EXPLAIN"))
+        println(next.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
       if (convergedBelowPpb > 0L) {
         // Integer L1 movement Σ|r_t − r_{t−1}| tallied INSIDE the round's
         // one materializing job via an accumulator (the same trick
         // [[Dedup.connectedComponents]] uses for its changed-label count)
-        // instead of a separate aggregate job per round: the previous
-        // round's ranks ride along through the node-keyed join the
-        // movement needs anyway, and the per-partition tally map emits the
-        // bare (node, r) rows the next round consumes — one job per round,
-        // no second scan, no aggregate exchange. Renamed columns, not
-        // aliases: prev and next share degN lineage and qualified-
-        // attribute resolution across a self-referencing join is not
-        // worth trusting.
+        // instead of a separate aggregate job per round. Since the state
+        // itself is the left side of the round's one join, the previous
+        // rank is ALREADY on the joined row — no second node-keyed join
+        // (the r18 shape paid one), no second scan, no aggregate exchange;
+        // the per-partition tally map emits the (node, r, outdeg) rows the
+        // next round consumes.
         //
         // Accumulator semantics under failure: a task RETRY re-adds its
         // partition's movement, so the tally can only OVER-count — which
@@ -256,15 +285,15 @@ object GraphOps {
         // (spec-pinned by GraphOpsSpec's tally-overcount test via the
         // tallyPadPpb test seam, which simulates a retry's inflation).
         val acc = s.sparkContext.longAccumulator(s"pagerank-l1-round-$round")
-        val prev = ranks.select(col("node").as("pnode"), col("r").as("pr"))
         import s.implicits._
-        val fused = next.join(prev, col("node") === col("pnode"))
-          .select(col("node"), col("r"), col("pr"))
-          .as[(Long, Long, Long)]
+        val fused = joined.select(col("node"),
+            (lit(teleport) + expr("(85 * coalesce(got, 0L)) div 100")).as("r2"),
+            col("r").as("pr"), col("outdeg"))
+          .as[(Long, Long, Long, Long)]
           .mapPartitions { it =>
-            it.map { case (nd, r2, p2) => acc.add(math.abs(r2 - p2)); (nd, r2) }
+            it.map { case (nd, r2, p2, od) => acc.add(math.abs(r2 - p2)); (nd, r2, od) }
           }
-          .toDF("node", "r")
+          .toDF("node", "r", "outdeg")
         // Persist FIRST even on cut rounds: a reliable checkpoint's write
         // pass recomputes the RDD, and without the cache that second pass
         // would re-add every partition's movement (systematic 2× tally).
@@ -321,7 +350,9 @@ object GraphOps {
     val out = if (materialized) ranks else ranks.localCheckpoint()
     if (out ne lastCut) { onCut(out); releaseCut(lastCut) }
     lastPersisted.foreach(_.unpersist(blocking = false))
-    (out, round)
+    // Callers' contract is (node, r): the carried outdeg is working state,
+    // projected away here (a Project over the materialized cut — free).
+    (out.select(col("node"), col("r")), round)
   }
 
   /** Release the persisted blocks behind a checkpointed rank relation. A
