@@ -150,27 +150,43 @@ object Similarity {
   private[ops] val BEAM_SEEDS = 8L // fixed entry set: panel ids < 8
   private[ops] val BEAM_QMOD = 29L // query set: vec_id % 29 == 3
 
+  /** Query-batch broadcast bound (rows): the batch is hinted as a
+    * broadcast build side only when its MEASURED row count is under this —
+    * ~1M rows of (id, vector, norm) is hundreds of MB framed, comfortably
+    * inside driver/executor budgets; past it the hint is dropped and the
+    * planner falls back to a shuffle join instead of aborting on the 8 GB
+    * broadcast cap (r18 ADVICE: the batch is corpus/29, NOT control-plane
+    * sized by construction). */
+  private[ops] val BEAM_BCAST_MAX_Q = 1L << 20
+
   /** One scored frontier expansion: candidates joined to the panel
     * vectors and the query vectors, self excluded, ranked per query by
-    * (sim desc, id). `cand` is (q_id, c_id). */
-  private def beamRank(cand: DataFrame, panel: DataFrame, q: DataFrame): DataFrame = {
-    // cand (Q×W frontier / seed set) and q (the query batch) are
-    // control-plane sized BY CONSTRUCTION — they grow with the query
-    // batch, never the corpus — so they are broadcast explicitly: without
-    // the hint the planner built the PANEL side's broadcast twice per hop
-    // (BuildRight on both joins), re-scanning and hashing the corpus-derived
-    // panel/query projections 14 times per walk — measured as 20 s of
-    // executorCpuTime and 12 s of summed shuffle-write inside a 4 s entry
-    // at sf0.1. With the hints the frontier literal and the query batch are
-    // the build sides and the panel streams through once per hop.
-    val scored = broadcast(cand)
+    * (sim desc, id). `cand` is (q_id, c_id).
+    *
+    * Hints are the CALLER's call (r19, r18 ADVICE + verdict #8): the hop
+    * loop passes `hintCand = true` because its cand is the rank-capped
+    * Q×4W frontier literal — control-plane sized by construction; the seed
+    * call passes false because ITS cand is the LSH bucket-mate join output
+    * (corpus-derived, skew-dependent), where a forced broadcast could
+    * abort at scale where the planner would have degraded gracefully. The
+    * query batch arrives pre-hinted by the caller under the measured-size
+    * bound above. `windowParts` narrows the rank window's exchange to the
+    * frontier-derived width via an EXPLICIT repartition — the r18 shape
+    * mutated session-global spark.sql.shuffle.partitions around the walk,
+    * which a concurrent batch query on the same session would silently
+    * inherit. */
+  private def beamRank(cand: DataFrame, panel: DataFrame, q: DataFrame,
+      hintCand: Boolean, windowParts: Option[Int]): DataFrame = {
+    val candSide = if (hintCand) broadcast(cand) else cand
+    val scored = candSide
       .join(panel.select(col("vec_id").as("c_id"), col("v").as("cv"), col("nrm").as("cn")), "c_id")
-      .join(broadcast(q), "q_id")
+      .join(q, "q_id")
       .filter(col("c_id") =!= col("q_id"))
       .select(col("q_id"), col("c_id"),
         (dot(col("qv"), col("cv")) / (col("qn") * col("cn"))).as("sim"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("sim").desc, col("c_id"))
-    scored.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= BEAM_W)
+    val pre = windowParts.map(n => scored.repartition(n, col("q_id"))).getOrElse(scored)
+    pre.withColumn("rnk", row_number().over(w)).filter(col("rnk") <= BEAM_W)
   }
 
   /** Beam-search top-3 (catalog `x_ann_beam`): the walk described above,
@@ -227,37 +243,47 @@ object Similarity {
       frontierRows = rows.size
       rows.toDF("q_id", "c_id", "sim", "rnk")
     }
-    var ranked = frontierLiteral(beamRank(seeds, panel, q))
+    // The query batch is broadcast only under a MEASURED row bound (one
+    // cheap count over the persisted vector relation): at bench scales it
+    // always broadcasts (same plan as r18 — panel streams, batch builds);
+    // at a scale where corpus/29 outgrows the bound the hint is dropped
+    // and the planner may shuffle instead of aborting on the broadcast cap.
+    val qHinted = if (q.count() <= BEAM_BCAST_MAX_Q) broadcast(q) else q
+    // Seed call: cand is the corpus-derived LSH bucket-mate set — NOT
+    // hinted (r18 ADVICE); the rank window runs at session width since the
+    // seed set is skew-dependent.
+    var ranked = frontierLiteral(beamRank(seeds, panel, qHinted,
+      hintCand = false, windowParts = None))
     // The hop loop's only exchanges are the per-hop rank window and the
     // frontier-expansion distinct — both over ≤ Q×4W rows by construction
     // (query-batch sized at ANY corpus scale). Run them at a width derived
     // from the MEASURED seed-frontier size (the literal's length is already
     // on the driver — no extra job) instead of the session width: 7
     // sequential hops × 32 near-empty reduce tasks was pure scheduling/
-    // shuffle-file overhead. Session width is restored after the walk —
-    // the seed computation above (one side corpus-scaled: the LSH bucket
-    // join) deliberately stays at session width.
-    val prevParts = s.conf.get("spark.sql.shuffle.partitions")
-    val walkParts = math.max(2L, math.min(prevParts.toLong, frontierRows / 1000L + 1L))
-    try {
-      s.conf.set("spark.sql.shuffle.partitions", walkParts.toString)
-      (1 to BEAM_HOPS).foreach { hop =>
-        val f = ranked.select(col("q_id"), col("c_id"))
-        val expanded = f.unionByName(
-          f.join(top3, f("c_id") === top3("a_id"))
-            .select(col("q_id"), col("b_id").as("c_id")))
-          .distinct()
-        val hopFrame = beamRank(expanded, panel, q)
-        // Plan-evidence seam: the entry's RETURNED frame is a driver
-        // literal (LocalTableScan), so the hop joins this walk actually
-        // runs are invisible to an outside explain — dump hop 1's plan on
-        // request (plans/r18 evidence; zero cost when unset).
-        if (hop == 1 && sys.env.contains("SPARK_GRAFT_BEAM_EXPLAIN"))
-          println(hopFrame.queryExecution.explainString(
-            org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-        ranked = frontierLiteral(hopFrame)
-      }
-    } finally s.conf.set("spark.sql.shuffle.partitions", prevParts)
+    // shuffle-file overhead. The width rides EXPLICIT repartitions on the
+    // two hop exchanges (r19, verdict #8) — no session-conf mutation, so a
+    // concurrent query on the same session can no longer inherit the
+    // narrowed width mid-walk.
+    val sessionParts = s.conf.get("spark.sql.shuffle.partitions").toLong
+    val walkParts = math.max(2L, math.min(sessionParts, frontierRows / 1000L + 1L)).toInt
+    (1 to BEAM_HOPS).foreach { hop =>
+      val f = ranked.select(col("q_id"), col("c_id"))
+      val expanded = f.unionByName(
+        f.join(top3, f("c_id") === top3("a_id"))
+          .select(col("q_id"), col("b_id").as("c_id")))
+        .repartition(walkParts, col("q_id"), col("c_id"))
+        .distinct()
+      val hopFrame = beamRank(expanded, panel, qHinted,
+        hintCand = true, windowParts = Some(walkParts))
+      // Plan-evidence seam: the entry's RETURNED frame is a driver
+      // literal (LocalTableScan), so the hop joins this walk actually
+      // runs are invisible to an outside explain — dump hop 1's plan on
+      // request (plans/r18 evidence; zero cost when unset).
+      if (hop == 1 && sys.env.contains("SPARK_GRAFT_BEAM_EXPLAIN"))
+        println(hopFrame.queryExecution.explainString(
+          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      ranked = frontierLiteral(hopFrame)
+    }
     ranked.filter(col("rnk") <= 3)
       .select(col("q_id"), col("c_id").as("nn_id"), col("rnk"), col("sim"))
   }
