@@ -897,17 +897,31 @@ object Dedup {
     // (see the sizing rule on [[simhashBandedPairs]]). The split is the
     // catalog's end-to-end consumer of the scale-path family: signatures →
     // wide banding → CC → split, nothing superlinear anywhere.
-    val pairs = simhashBandedPairs(simhashWideSignatures(s, d),
-      SIMHASH_WIDE_WORDS, SIMHASH_WIDE_BAND_BITS, SIMHASH_WIDE_MAX_HAMMING)
-    val labels = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
-    val h = conv(substring(md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 7), 16, 10)
-      .cast("long") % 100
-    documents(s, d).select(col("doc_id"), col("lang"))
-      .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
-      .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
-      .withColumn("split",
-        when(h < 80, "train").when(h < 90, "valid").otherwise("test"))
-      .select(col("doc_id"), col("lang"), col("cluster_id"), col("split"))
+    //
+    // Shared through RelCache (r19): building this relation RUNS the
+    // connected-components loop eagerly (iterative jobs at call time), and
+    // it has two catalog consumers — the split entry itself and
+    // x_pipeline_full's train gate — so without the cache each call
+    // re-paid the whole CC iteration (ProfileOne: the pipeline entry spent
+    // ~4.6 s CPU / 37 jobs per run, most of it this loop). The relation is
+    // corpus-sized but 4 narrow columns; same persistence discipline as
+    // the pair/label relations it derives from. Dependencies are resolved
+    // OUTSIDE the cache lambda per the RelCache recursive-update rule.
+    val sigs = simhashWideSignatures(s, d)
+    val docs = documents(s, d)
+    RelCache.shared(s, d, "dedup/leakageSplit") {
+      val pairs = simhashBandedPairs(sigs,
+        SIMHASH_WIDE_WORDS, SIMHASH_WIDE_BAND_BITS, SIMHASH_WIDE_MAX_HAMMING)
+      val labels = connectedComponents(pairs.select(col("doc_a"), col("doc_b")))
+      val h = conv(substring(md5(concat(lit("split:"), col("cluster_id").cast("string"))), 1, 7), 16, 10)
+        .cast("long") % 100
+      docs.select(col("doc_id"), col("lang"))
+        .join(labels.select(col("id").as("doc_id"), col("label")), Seq("doc_id"), "left")
+        .withColumn("cluster_id", coalesce(col("label"), col("doc_id")))
+        .withColumn("split",
+          when(h < 80, "train").when(h < 90, "valid").otherwise("test"))
+        .select(col("doc_id"), col("lang"), col("cluster_id"), col("split"))
+    }
   }
 
   /** Connected components over an arbitrary undirected pair relation
