@@ -47,9 +47,19 @@ object StreamTuning {
     * runners: their per-micro-batch jobs (signature aggregates, probe
     * joins, sketch folds) inherit the session width — 32 reduce tasks per
     * tiny batch job, ~0.3 s each across the 30-50 jobs of a lifecycle
-    * entry, was pure scheduling overhead. The streaming engine captures the
-    * conf at query start, so the set-before/restore-after bracket is safe
-    * under concurrent sessions. */
+    * entry, was pure scheduling overhead.
+    *
+    * Concurrency contract (r19, r18 ADVICE): the bracket mutates the
+    * SESSION-global shuffle width, so it assumes a SINGLE-THREADED session
+    * — a concurrent batch query planned on the same session inside the
+    * bracket would silently inherit the narrowed width. That assumption
+    * holds for every caller here (the bench/verify harnesses run entries
+    * sequentially). It is NOT an issue for the stream itself or for other
+    * sessions: the streaming engine captures the conf at query start, and
+    * the conf is per-session. Streams genuinely need the session-conf
+    * route (the width locks into the checkpoint before the first trigger
+    * — there is no per-plan repartition seam), unlike batch paths, which
+    * now thread widths through explicit repartition calls. */
   def withPartitionsFor[T](s: SparkSession, stageDir: String)(body: => T): T = {
     val prev = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", partitionsFor(s, stageDir).toString)

@@ -45,4 +45,46 @@ class CharBigramsSpec extends AnyFunSuite {
       .collect()
     shape.foreach(r => assert(r.getInt(1) == math.max(0, r.getInt(0) - 1)))
   }
+
+  test("CharBigrams: malformed UTF-8 (truncated multi-byte tails) clamps, never reads past the string") {
+    // r18 ADVICE asked this divergence to be pinned or documented. It is a
+    // DOCUMENTED DIVERGENCE: on a final codepoint that CLAIMS more bytes
+    // than remain, CharBigrams clamps the end offset to the byte length,
+    // while Spark's own substr walk advances past it and copies through
+    // the unclamped offset — i.e. UTF8String.substring reads bytes BEYOND
+    // the string's logical bounds out of the shared backing array
+    // (measured here: substr's last "bigram" of [61 62 E6] carried two
+    // neighbouring buffer bytes). The clamp is the sane behavior, so the
+    // law pinned on malformed input is CharBigrams' own: the shape law
+    // holds, and every emitted bigram is a byte-contiguous slice OF THE
+    // INPUT (contains/endsWith are byte-wise, so they fail on any
+    // overrun). Production consumers only feed valid UTF-8 (lowercased
+    // corpus text), where the element-for-element parity suites above
+    // apply; malformed strings are built by casting raw binary — Spark
+    // performs no UTF-8 validation on the cast.
+    val fixtures: Seq[Array[Byte]] = Seq(
+      Array('a'.toByte, 'b'.toByte, 0xE6.toByte), // 3-byte lead, 0 continuation bytes
+      Array('a'.toByte, 0xC3.toByte), // 2-byte lead, truncated at end
+      Array(0xC3.toByte, 0x28.toByte), // invalid continuation byte
+      Array(0xF0.toByte, 0x9F.toByte), // 4-byte lead, half missing
+      Array(0xE6.toByte), // lone lead byte
+      Array('x'.toByte, 0xE6.toByte, 0x97.toByte)) // 3-byte lead, 1 of 2 continuations
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(fixtures.map(Row(_)), 1),
+      StructType(Seq(StructField("b", BinaryType))))
+      .select(col("b").cast("string").as("t"))
+      .withColumn("fast", org.apache.spark.sql.graftbridge.charBigrams(col("t")))
+    // Shape law holds on malformed bytes too (length() uses the same walk).
+    val shape = df.select(length(col("t")).as("n"), size(col("fast")).as("k")).collect()
+    shape.foreach(r => assert(r.getInt(1) == math.max(0, r.getInt(0) - 1)))
+    // No overrun: every bigram's bytes occur inside the input, and the
+    // final bigram is a byte-suffix of it (the clamp at work).
+    val overruns = df.filter(size(col("fast")) > 0).filter(
+        exists(col("fast"), bg => !col("t").contains(bg)) ||
+          !col("t").endsWith(element_at(col("fast"), -1)))
+      .collect()
+    assert(overruns.isEmpty, overruns.mkString(", "))
+  }
 }
