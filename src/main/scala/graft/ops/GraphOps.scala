@@ -94,7 +94,15 @@ object GraphOps {
     val n = deg.count()
     val teleport = 150000000L / n
     // Distinct column names per role (node/gnode/src/dst) keep every join in
-    // the unrolled loop free of same-lineage attribute ambiguity.
+    // the unrolled loop free of same-lineage attribute ambiguity. NOTE
+    // (r19): this unrolled loop deliberately KEEPS the per-round degN join
+    // that [[pagerankLoop]] optimized away by carrying outdeg in the rank
+    // state — the loop version's state is a materialized checkpoint, so
+    // referencing it twice per round (contribution arm + join left side)
+    // reads cached blocks; HERE the state is an unrolled plan subtree, and
+    // referencing it twice would double the plan per round (2^3 copies of
+    // the scan by round 3). The linear degN shape is the cheaper plan for
+    // a small fixed unroll.
     val degN = deg.select(col("src").as("gnode"), col("outdeg"))
     var ranks = degN.select(col("gnode").as("node"), lit(1000000000L / n).as("r"))
     (1 to 3).foreach { _ =>
